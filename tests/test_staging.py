@@ -1,0 +1,35 @@
+"""Staging warehouse K1/K4: append vs overwrite, naming contract, teardown
+(reference priorityDataSource.py:847-889, sqlDwh.py:85-123)."""
+
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWarehouse
+
+
+def test_overwrite_then_append(spark, orders, tmp_path):
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t1")
+    full = orders.filter(F.col("o_orderdate") < "2024-06-01")
+    inc = orders.filter(F.col("o_orderdate") >= "2024-06-01")
+
+    r1 = wh.write(full, "ORDERS", incremental=False)
+    assert r1.table_name == "stg_orders"
+    assert r1.records_written == full.count()
+
+    r2 = wh.write(inc, "ORDERS", incremental=True)
+    assert r2.records_written == inc.count()
+    assert wh.read("orders").count() == orders.count()
+
+    # full refresh replaces everything (if_exists='replace' semantics)
+    r3 = wh.write(full, "ORDERS", incremental=False)
+    assert wh.read("orders").count() == full.count() == r3.records_written
+
+
+def test_tables_listing_and_drop_all(spark, orders, tmp_path):
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t2")
+    wh.write(orders.limit(5), "ORDERS", incremental=False)
+    wh.write(orders.limit(5), "CTYPE", incremental=False)
+    assert wh.tables() == ["stg_ctype", "stg_orders"]
+    dropped = wh.drop_all()
+    assert dropped == ["stg_ctype", "stg_orders"]
+    assert wh.tables() == []
+    assert not wh.exists("orders")
