@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship star-rollup query at sf0.001; ``queries`` /
+``oracle_sql`` expose the full operator catalog (SURVEY.md §2 plus the
+beyond-reference LLM-pipeline operators) with DuckDB oracles wherever the
+semantics are SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +12,53 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from priority_data_pipeline_postgres_db_spark.plans import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q.q_star_region_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    catalog: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    catalog.update(_q.CORE_QUERIES)
+    try:  # beyond-reference operator sets land module by module
+        from priority_data_pipeline_postgres_db_spark.operators import dedup as _dd
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        catalog.update(_dd.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from priority_data_pipeline_postgres_db_spark.operators import similarity as _sim
+
+        catalog.update(_sim.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from priority_data_pipeline_postgres_db_spark.functions import text as _txt
+
+        catalog.update(_txt.QUERIES)
+    except ImportError:
+        pass
+    return catalog
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query key (omitted for ops whose
+    semantics aren't SQL-expressible — driver does a rows-only check)."""
+    oracle: dict[str, str] = {}
+    oracle.update(_q.ORACLE)
+    for mod_path, attr in (
+        ("priority_data_pipeline_postgres_db_spark.operators.dedup", "ORACLE"),
+        ("priority_data_pipeline_postgres_db_spark.operators.similarity", "ORACLE"),
+        ("priority_data_pipeline_postgres_db_spark.functions.text", "ORACLE"),
+    ):
+        try:
+            import importlib
+
+            oracle.update(getattr(importlib.import_module(mod_path), attr))
+        except ImportError:
+            pass
+    return oracle

@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf"}.
+
+Execution is forced with the noop sink (full plan runs, nothing collected,
+no driver materialization skew). One warm-up action runs first so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan+filter, flatten, window, union, aggs, star joins,
+# sessionize, and (when present) the beyond-reference operator suites.
+HEADLINE = [
+    "s2_watermark_scan",
+    "j1_subform_flatten",
+    "o1_latest_per_key",
+    "k1_incremental_union",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "q_star_region_summary",
+    "q_events_rollup",
+    "q_sessionize",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality_score",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from priority_data_pipeline_postgres_db_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up: JVM + parquet footer reads
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

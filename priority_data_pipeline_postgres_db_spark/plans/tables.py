@@ -1,0 +1,36 @@
+"""Test-table loaders: the driver-generated synthetic parquet tables stand
+in for the reference's OData source (SURVEY.md §2.1 S1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong); truncate to
+        # micros with INTEGER division — double division loses precision at
+        # 1e18 ns and rounds the last microsecond, diverging from the
+        # DuckDB oracle's truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
