@@ -33,9 +33,14 @@ HEADLINE = [
     "q_events_rollup",
     "q_sessionize",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
     "text_quality_score",
+    "text_lang_id",
     "sim_cosine_topk",
+    "sim_ann_lsh_topk",
 ]
 
 

@@ -1,0 +1,218 @@
+"""Text analysis for LLM-data pipelines: token counting, quality scoring,
+language ID, document fingerprinting (BASELINE.json north star).
+
+Everything is JVM-side expression work (split / regexp / array built-ins
+inside whole-stage codegen) — no Python UDFs, so these run at scan speed at
+100 TB.  Cross-engine determinism: scores are double divisions of integer
+counts (bit-identical in any IEEE engine); fingerprints are md5 hex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalized_text, tokens_expr
+from ..plans.tables import load
+
+# Deliberately ASCII-simple patterns: identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+PUNCT_PATTERN = "[^A-Za-z0-9 ]"
+
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que", "un", "une"],
+    "zh": ["de", "le", "shi", "zai", "he", "you", "wo", "ta"],
+}
+
+
+def token_count_expr() -> Column:
+    return F.size(tokens_expr())
+
+
+def bpe_ish_count_expr() -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + single symbols
+    over the normalized text (a regex approximation of BPE pre-tokenization)."""
+    return F.size(F.regexp_extract_all(normalized_text(), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr().alias("n_tokens"),
+        bpe_ish_count_expr().alias("n_bpe_tokens"),
+        F.length(normalized_text()).alias("n_chars_norm"),
+    )
+
+
+def quality_score_expr() -> tuple[dict[str, Column], Column]:
+    """Length/punctuation/stopword heuristics → [0,1] quality score.
+
+    Components (per document):
+    - token length sanity: mean token length in [3, 10] scores high
+    - punctuation ratio: symbols / chars (lower is better)
+    - stopword ratio: share of tokens in the union stopword list —
+      natural text has some; word salad and boilerplate have few/none
+    - digit ratio: digits / chars (lower is better)
+    """
+    toks = tokens_expr()
+    n_tok = F.size(toks)
+    norm = normalized_text()
+    n_chars = F.length(norm)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    avg_tok_len = tok_chars / F.nullif(n_tok, F.lit(0))
+    n_punct = F.size(F.regexp_extract_all(norm, F.lit(PUNCT_PATTERN), 0))
+    punct_ratio = n_punct / F.nullif(n_chars, F.lit(0))
+    n_digit = F.size(F.regexp_extract_all(norm, F.lit("[0-9]"), 0))
+    digit_ratio = n_digit / F.nullif(n_chars, F.lit(0))
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in all_stops])))
+    stop_ratio = n_stop / F.nullif(F.size(F.array_distinct(toks)), F.lit(0))
+    comps = {
+        "n_tokens": n_tok,
+        "avg_token_len": avg_tok_len,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
+    }
+    len_ok = F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        len_ok * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(digit_ratio * 5, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2
+    )
+    return comps, score
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    comps, score = quality_score_expr()
+    return docs.filter(F.size(tokens_expr()) > 0).select(
+        "doc_id",
+        comps["n_tokens"].alias("n_tokens"),
+        comps["avg_token_len"].alias("avg_token_len"),
+        comps["punct_ratio"].alias("punct_ratio"),
+        comps["stop_ratio"].alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_scores_expr() -> dict[str, Column]:
+    """Per-language score: distinct-token overlap with the language's
+    stopword list (an n-gram-free heuristic langid)."""
+    uniq = F.array_distinct(tokens_expr())
+    return {
+        lang: F.size(F.array_intersect(uniq, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in sorted(STOPWORDS.items())
+    }
+
+
+def lang_id_expr() -> Column:
+    """argmax over language scores; ties resolved alphabetically (the CASE
+    chain checks languages in sorted order against the running max)."""
+    scores = lang_scores_expr()
+    mx = F.greatest(*scores.values())
+    out = F.lit("und")
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] == mx
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return F.when(mx == 0, F.lit("und")).otherwise(expr.otherwise(F.lit("und")))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_expr().alias("lang_pred"))
+
+
+def fingerprint_exprs() -> dict[str, Column]:
+    """Document fingerprints:
+    - fp_norm: md5 of the normalized text (exact-dup key)
+    - fp_bow: md5 of the sorted distinct token bag (order-insensitive —
+      catches shuffled/re-ordered copies)"""
+    return {
+        "fp_norm": F.md5(normalized_text()),
+        "fp_bow": F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_expr())))),
+    }
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fps = fingerprint_exprs()
+    return docs.select("doc_id", fps["fp_norm"].alias("fp_norm"), fps["fp_bow"].alias("fp_bow"))
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_UNIQ = f"list_distinct({_TOKS})"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_ALL_STOPS = _sql_list(sorted({w for ws in STOPWORDS.values() for w in ws}))
+_LANG_SCORE = {
+    lang: f"len(list_intersect({_UNIQ}, {_sql_list(ws)}))" for lang, ws in sorted(STOPWORDS.items())
+}
+_MX = "greatest(" + ", ".join(_LANG_SCORE[lang] for lang in sorted(STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _MX + " = 0 THEN 'und' "
+    + " ".join(f"WHEN {_LANG_SCORE[lang]} = {_MX} THEN '{lang}'" for lang in sorted(STOPWORDS))
+    + " ELSE 'und' END"
+)
+
+ORACLE = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all({_NORM}, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+               CAST(length({_NORM}) AS INTEGER) AS n_chars_norm
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+            CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS INTEGER) AS tok_chars,
+            CAST(length({_NORM}) AS INTEGER) AS n_chars,
+            CAST(len(regexp_extract_all({_NORM}, '{PUNCT_PATTERN}')) AS INTEGER) AS n_punct,
+            CAST(len(regexp_extract_all({_NORM}, '[0-9]')) AS INTEGER) AS n_digit,
+            CAST(len(list_intersect({_UNIQ}, {_ALL_STOPS})) AS INTEGER) AS n_stop,
+            CAST(len({_UNIQ}) AS INTEGER) AS n_uniq
+          FROM documents
+          WHERE len({_TOKS}) > 0
+        )
+        SELECT doc_id, n_tokens,
+          tok_chars / nullif(n_tokens, 0) AS avg_token_len,
+          n_punct / nullif(n_chars, 0) AS punct_ratio,
+          n_stop / nullif(n_uniq, 0) AS stop_ratio,
+          (CASE WHEN tok_chars / nullif(n_tokens, 0) >= 3
+                 AND tok_chars / nullif(n_tokens, 0) <= 10 THEN 1.0 ELSE 0.0 END) * 0.4
+          + (1.0 - least(n_punct / nullif(n_chars, 0) * 5, 1.0)) * 0.2
+          + (1.0 - least(n_digit / nullif(n_chars, 0) * 5, 1.0)) * 0.2
+          + least(n_stop / nullif(n_uniq, 0) * 10, 1.0) * 0.2 AS quality_score
+        FROM t
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM}) AS fp_norm,
+               md5(array_to_string(list_sort({_UNIQ}), ' ')) AS fp_bow
+        FROM documents
+    """,
+}

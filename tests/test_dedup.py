@@ -1,0 +1,86 @@
+"""Dedup operators: planted duplicates must be found; survivors are
+deterministic (SURVEY.md §7 M6 / BASELINE.json north star)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    normalized_text,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE, lang="en", source="s1"),
+        # exact dup modulo case/whitespace of 1
+        Row(doc_id=2, text="  The QUICK  brown fox jumps over the lazy dog while the cat watches from the warm windowsill and the birds sing in the garden outside ", lang="en", source="s1"),
+        # near dup of 1: one word changed
+        Row(doc_id=3, text=BASE.replace("garden", "meadow"), lang="en", source="s1"),
+        # unrelated
+        Row(doc_id=4, text="completely different content about spark shuffle partitions and adaptive query execution plans running at scale", lang="en", source="s1"),
+        # different block
+        Row(doc_id=5, text=BASE, lang="de", source="s1"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_keeps_lowest_id(spark, planted_docs):
+    out = exact_dedup(planted_docs, F.md5(normalized_text()), "doc_id", ["doc_id"])
+    ids = {r["doc_id"] for r in out.collect()}
+    # 2 (case/ws duplicate of 1) and 5 (byte-identical text, different lang
+    # — exact dedup keys on text alone) are dropped; lowest id survives
+    assert ids == {1, 3, 4}
+
+
+def test_ngram_jaccard_finds_near_dup_within_block(spark, planted_docs):
+    pairs = ngram_jaccard_pairs(planted_docs, ["lang", "source"], n=2, threshold=0.5)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # identical after normalize
+    assert (1, 3) in got and 0.8 < got[(1, 3)] < 1.0  # one word differs
+    # doc 5 is another block (lang=de): never paired with 1 despite same text
+    assert not any(5 in p for p in got)
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_candidates_contain_near_dups(spark, planted_docs):
+    pairs = minhash_candidate_pairs(planted_docs.select("doc_id", "text"), n=3)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical signature
+    assert (1, 3) in got  # high-jaccard near dup
+    assert (1, 5) in got  # minhash is blind to blocks — same text matches
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_identical_and_near(spark, planted_docs):
+    pairs = simhash_pairs(planted_docs.select("doc_id", "text"), max_hamming=10)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical token set → identical simhash
+    assert got[(1, 5)] == 0
+    assert got[(1, 3)] <= 10  # one-word swap: tiny hamming distance
+    assert (1, 4) not in got
+
+
+def test_embedding_near_dup_quantized_cosine(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.04, 0.0, 0.0]),  # ~cos 0.999
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),  # orthogonal to 1
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.95)
+    got = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"] for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99

@@ -1,0 +1,56 @@
+"""Similarity search: exact brute-force top-k properties + ANN recall
+against the exact baseline on the real embeddings fixture."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+
+
+def test_cosine_topk_known_vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.5, 0.5]),
+        Row(vec_id=3, embedding=[0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # by decreasing cosine to [1, 0]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_cosine_topk_excludes_self_and_ranks_densely(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cs = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_lsh_topk(emb, queries, dim=64, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # deterministic hyperplanes → recall is a fixed number for this fixture;
+    # assert a conservative floor (bucketed ANN trades recall for scale)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    for r in approx:
+        assert r["neighbor_id"] != r["query_id"]

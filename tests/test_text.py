@@ -1,0 +1,72 @@
+"""Text analysis: token counts, quality score bounds, lang-id heuristic,
+fingerprints (functions.text)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.functions.text import (
+    bpe_ish_count_expr,
+    fingerprint_exprs,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+def docs(spark, *texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_token_counts(spark):
+    df = docs(spark, "Hello,  world! 42 times", "")
+    out = df.select("doc_id", token_count_expr().alias("n"), bpe_ish_count_expr().alias("b")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 4  # hello,  world!  42  times
+    # bpe-ish: hello , world ! 42 times → 6
+    assert by_id[0]["b"] == 6
+    assert by_id[1]["n"] == 0
+
+
+def test_quality_score_in_unit_interval(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comps, score = quality_score_expr()
+    stats = (
+        d.filter(F.size(F.split(F.col("text"), r"\s+")) > 0)
+        .select(score.alias("s"))
+        .agg(F.min("s"), F.max("s"))
+        .first()
+    )
+    assert stats[0] is None or stats[0] >= 0.0
+    assert stats[1] is None or stats[1] <= 1.0
+
+
+def test_lang_id_on_natural_sentences(spark):
+    df = docs(
+        spark,
+        "the cat is in the house and it is warm",
+        "der Hund ist nicht in das Haus und die Katze",
+        "el perro es de la casa y que en un dia",
+        "le chat est dans les maisons et une belle que",
+    )
+    out = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_id_expr().alias("p")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "fr"
+
+
+def test_lang_id_no_signal_is_und(spark):
+    df = docs(spark, "zzz qqq xxx")
+    assert df.select(lang_id_expr().alias("p")).first()["p"] == "und"
+
+
+def test_fingerprints_bow_vs_norm(spark):
+    df = docs(spark, "alpha beta gamma", "gamma  ALPHA beta", "alpha beta delta")
+    fps = fingerprint_exprs()
+    out = df.select("doc_id", fps["fp_norm"].alias("n"), fps["fp_bow"].alias("b")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # bag-of-words fingerprint is order/case/ws-insensitive
+    assert by_id[0]["b"] == by_id[1]["b"]
+    assert by_id[0]["b"] != by_id[2]["b"]
+    # normalized fingerprint is order-sensitive
+    assert by_id[0]["n"] != by_id[1]["n"]
