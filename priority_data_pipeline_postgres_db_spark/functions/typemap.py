@@ -78,7 +78,14 @@ def entity_struct(
             dtype: T.DataType = T.StringType()
         else:
             dtype = lookup_spark_type(source_system, f["SourceDataType"]) or T.StringType()
-        md = {"keyFlag": bool(f.get("KeyFlag")), "sourceDataType": f["SourceDataType"]}
+        # sourceField preserves the source-system casing: identifiers are
+        # lowercased engine-side (P4) but the OData JSON keys keep original
+        # case — readers map back through this
+        md = {
+            "keyFlag": bool(f.get("KeyFlag")),
+            "sourceDataType": f["SourceDataType"],
+            "sourceField": f["fieldName"],
+        }
         if f.get("desc"):
             md["desc"] = f["desc"]
         out.append(T.StructField(name, dtype, nullable=not f.get("KeyFlag"), metadata=md))

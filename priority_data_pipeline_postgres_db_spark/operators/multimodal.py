@@ -1,0 +1,175 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas over ``mapInPandas`` (BASELINE.json
+north star).
+
+Design for 100 TB of media:
+
+- media rides as an opaque ``binary`` column next to typed metadata
+  (``media_type``, ``format``, width/height/duration) — one row per asset,
+  partition-friendly, no driver materialization,
+- decode / feature-extract / resize / frame-sample are **per-partition
+  Arrow batch iterators** (``mapInPandas``): the Python worker sees
+  pandas batches, never row-at-a-time serde; batch size is controlled by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``,
+- heavy stages repartition first so media bytes spread evenly (a skewed
+  asset-size distribution otherwise concentrates decode work).
+
+The image/audio codec libraries are NOT in this container, so the actual
+pixel/sample decoding is stubbed: ``decode_image`` raises
+``NotImplementedError`` unless ``deterministic_fake=True``, in which case a
+seeded fake decode (bytes → pseudo-pixel stats) exercises the full
+schema / partitioning / UDF-signature / batch path.  Swapping the stub for
+PIL/ffmpeg changes ONE function body, none of the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpg|wav|mp4...
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("payload_sha256", T.StringType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("n_frames_sampled", T.IntegerType(), True),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table (payload = seeded bytes) — the test
+    stand-in for a real object-store-backed asset manifest."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 7)
+        mt = ("image", "audio", "video")[i % 3]
+        rows.append(
+            (
+                i,
+                mt,
+                {"image": "png", "audio": "wav", "video": "mp4"}[mt],
+                bytearray(payload),
+                64 + i if mt == "image" else None,
+                48 + i if mt == "image" else None,
+                1000 * (i + 1) if mt != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
+    """STUB — pixel decoding needs PIL/libvips (not in this container).
+
+    The fake derives stable pseudo-stats from the payload bytes so the
+    distributed pipeline around it is fully exercised."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips; run with deterministic_fake=True "
+            "or install a codec and replace this body"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return {"mean_intensity": digest[0] / 255.0, "n_frames": 1}
+
+
+def sample_frames(payload: bytes, duration_ms: int | None, *, deterministic_fake: bool = False) -> int:
+    """STUB — frame sampling needs ffmpeg. Fake: 1 frame per started second."""
+    if not deterministic_fake:
+        raise NotImplementedError("frame sampling requires ffmpeg")
+    return max(1, (duration_ms or 0) // 1000)
+
+
+def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """Decode + feature-extract as a mapInPandas batch pipeline.
+
+    Repartitions on asset_id first: media payloads are size-skewed and the
+    decode stage is the expensive one — spread it before paying for it.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "payload_sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+            stats = [
+                decode_image(bytes(b), deterministic_fake=fake_decode)["mean_intensity"]
+                if mt == "image" and b is not None
+                else None
+                for mt, b in zip(pdf["media_type"], payloads)
+            ]
+            frames = [
+                sample_frames(bytes(b), d, deterministic_fake=fake_decode)
+                if mt == "video" and b is not None
+                else (1 if b is not None else 0)
+                for mt, b, d in zip(pdf["media_type"], payloads, pdf["duration_ms"])
+            ]
+            out["mean_intensity"] = pd.array(stats, dtype="float64")
+            out["n_frames_sampled"] = pd.array(frames, dtype="int32")
+            yield out
+
+    spread = media.repartition("asset_id")
+    return spread.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int, *, fake_decode: bool = True) -> DataFrame:
+    """Resize plumbing: filters to images JVM-side (predicate prunes before
+    any Python cost), then batch-transforms payload + dims."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                raise NotImplementedError("image resize requires PIL")
+            scale = pdf[["width", "height"]].max(axis=1).clip(lower=1)
+            factor = (max_side / scale).clip(upper=1.0)
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": (pdf["width"] * factor).round().astype("Int32"),
+                    "height": (pdf["height"] * factor).round().astype("Int32"),
+                    # fake "resized" payload: truncation proportional to area
+                    "payload": [
+                        bytes(b)[: max(1, int(len(b) * f * f))]
+                        for b, f in zip(pdf["payload"], factor)
+                    ],
+                }
+            )
+            yield out
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(batches, RESIZED_SCHEMA)

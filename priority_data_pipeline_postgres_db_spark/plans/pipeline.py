@@ -1,0 +1,205 @@
+"""Pipeline orchestration — the reference's entry-point behaviors as
+functions (SURVEY.md §3; app.py endpoints → engine calls).
+
+The three lifecycles:
+
+- ``refresh_data(incremental)``       ≙ POST /refreshData   (§3.1)
+- ``initial_data_load()``             ≙ POST /initialDataLoad (§3.2)
+- ``reset_data_platform()``           ≙ POST /resetDataPlatform (§3.3)
+- ``test_extraction_entities()``      ≙ GET /testExtractionconfigEntities
+
+plus the reference quirks deliberately fixed (SURVEY.md §2.9): canonical
+``dataStartDate`` key, strict boolean incremental, paginated source reads,
+and optional PK-dedup on append (closing the silent-duplicate gap).
+
+The source is pluggable: any ``EntitySource`` mapping an entity config to a
+nested DataFrame — parquet-backed for tests, the OData DataSource for real
+tenants.  Per-entity errors are captured in the run report and the loop
+continues, matching priorityDataSource.py:173-184.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.ingest import (
+    ExtractionRun,
+    split_subforms,
+    watermark_predicate,
+)
+from ..operators.staging import StagingWarehouse, WriteReport
+from ..sources.control import ControlStore
+from ..sources.metadata import SchemaRegistry
+
+
+class EntitySource(Protocol):
+    """Maps one entity config to its (possibly nested) DataFrame — the S1
+    scan. ``probe`` is the $top=1 connectivity test (S4)."""
+
+    def read(self, spark: SparkSession, entity_cfg: dict) -> DataFrame: ...
+
+
+@dataclass
+class ParquetEntitySource:
+    """Test/fixture source: entity NAME.lower() → <root>/<name>.parquet."""
+
+    root: str
+
+    def read(self, spark: SparkSession, entity_cfg: dict) -> DataFrame:
+        from .tables import load  # shared loader (handles the nanos-ts table)
+
+        return load(spark, self.root, entity_cfg["EntityID"].lower())
+
+
+@dataclass
+class ODataEntitySource:
+    """Production source: reads each entity through the OData DataSource
+    (sources.odata) with credentials from the extraction config.  Spark
+    pushes the watermark filter into the tenant's $filter (S2) — the
+    pipeline's .filter() lands server-side, not post-fetch."""
+
+    uri: str
+    user: str = ""
+    password: str = ""
+    transport: str = "http"
+    page_size: int = 1000
+    registry: "SchemaRegistry | None" = None
+    schema_ddl: dict[str, str] | None = None  # per-entity override
+
+    def read(self, spark: SparkSession, entity_cfg: dict) -> DataFrame:
+        eid = entity_cfg["EntityID"]
+        reader = (
+            spark.read.format("odata")
+            .option("uri", self.uri)
+            .option("entity", eid)
+            .option("transport", self.transport)
+            .option("pagesize", str(self.page_size))
+        )
+        if self.user:
+            reader = reader.option("user", self.user).option("password", self.password)
+        if entity_cfg.get("expand"):
+            reader = reader.option("expand", ",".join(entity_cfg["expand"]))
+        if self.schema_ddl and eid in self.schema_ddl:
+            reader = reader.option("schema_ddl", self.schema_ddl[eid])
+        return reader.load()
+
+
+@dataclass
+class RunReport:
+    """The per-run response JSON (priorityDataSource.py:158-223)."""
+
+    extraction_id: str
+    stg_data_written: list[WriteReport] = field(default_factory=list)
+    errors: list[dict] = field(default_factory=list)
+
+    def total_records(self) -> int:
+        return sum(r.records_written for r in self.stg_data_written)
+
+
+def dedup_append_by_pk(df: DataFrame, pk_cols: list[str], ts_col: str) -> DataFrame:
+    """Exactly-once guard for incremental appends: keep the newest row per
+    PK (window row_number). The reference appends blindly and duplicates
+    rows whose filterField straddles runs (SURVEY.md §7 M3)."""
+    w = Window.partitionBy(*pk_cols).orderBy(F.desc(ts_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        control: ControlStore,
+        registry: SchemaRegistry,
+        source: EntitySource,
+        warehouse: StagingWarehouse,
+        datasource_id: str,
+    ):
+        self.spark = spark
+        self.control = control
+        self.registry = registry
+        self.source = source
+        self.warehouse = warehouse
+        self.datasource_id = datasource_id
+
+    def _config(self) -> dict:
+        cfg = self.control.latest_config(self.datasource_id)
+        if cfg is None:
+            raise KeyError(f"no extraction config for {self.datasource_id}")
+        return cfg
+
+    # -- §3.1 refreshData --------------------------------------------------
+    def refresh_data(self, incremental: bool, *, run: ExtractionRun | None = None) -> RunReport:
+        cfg = self._config()
+        run = run or ExtractionRun()
+        report = RunReport(extraction_id=run.run_id)
+        tz = cfg.get("systemTimezone")
+        for ent in cfg["entities"]:
+            try:
+                df = self.source.read(self.spark, ent)
+                if ent.get("filterFlag"):
+                    boundary = ent["lastRun"] if incremental else ent["dataStartDate"]
+                    df = df.filter(watermark_predicate(ent["filterField"], boundary, tz))
+                pk = (
+                    self.registry.pk(ent["EntityID"])
+                    if ent["EntityID"] in self.registry
+                    else []
+                )
+                parts = split_subforms(df, ent["EntityID"], pk, run)
+                for p in parts:
+                    report.stg_data_written.append(
+                        self.warehouse.write(p.df, p.table_name, incremental=incremental)
+                    )
+                self.control.update_last_run(self.datasource_id, ent["EntityID"])
+            except Exception as ex:  # noqa: BLE001 — per-entity error report
+                report.errors.append({"entity": ent["EntityID"], "error": str(ex)})
+        return report
+
+    # -- §3.2 initialDataLoad ----------------------------------------------
+    def initial_data_load(self) -> dict:
+        from .catalog import SparkCatalogDwh
+
+        cfg = self._config()
+        dwh = SparkCatalogDwh(self.spark, cfg["accountID"])
+        dwh.create_db()
+        entities = [e["EntityID"] for e in cfg["entities"]]
+        deploy = dwh.deploy_tables(entities, self.registry)
+        load = self.refresh_data(incremental=False)
+        return {
+            "tablesDeployed": {
+                "created": deploy.created,
+                "exists": deploy.exists,
+                "failed": deploy.failed,
+            },
+            "stgDataWritten": [vars(r) for r in load.stg_data_written],
+            "errors": load.errors,
+        }
+
+    # -- §3.3 resetDataPlatform ---------------------------------------------
+    def reset_data_platform(self) -> dict:
+        from .catalog import SparkCatalogDwh
+
+        cfg = self._config()
+        dwh = SparkCatalogDwh(self.spark, cfg["accountID"])
+        dropped = dwh.delete_tables()
+        self.warehouse.drop_all()
+        result = self.initial_data_load()
+        result["tablesDropped"] = dropped
+        return result
+
+    # -- S4 probe -----------------------------------------------------------
+    def test_extraction_entities(self) -> list[dict]:
+        """$top=1 per entity (app.py:65-71): one pushed-down-limit read."""
+        cfg = self._config()
+        out = []
+        for ent in cfg["entities"]:
+            try:
+                n = self.source.read(self.spark, ent).limit(1).count()
+                out.append({"entity": ent["EntityID"], "ok": n >= 0})
+            except Exception as ex:  # noqa: BLE001
+                out.append({"entity": ent["EntityID"], "ok": False, "error": str(ex)})
+        return out

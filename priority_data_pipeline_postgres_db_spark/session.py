@@ -37,6 +37,9 @@ def get_spark(app_name: str = "priority-data-pipeline-spark") -> SparkSession:
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark has
         # no native type for; read as long and convert (plans.tables.load)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (sources.odata implements
+        # pushFilters; off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))

@@ -1,0 +1,319 @@
+"""OData source — the reference's S1-S4 scan surface as a Spark Python
+DataSource (SURVEY.md §2.1, §4).
+
+Reference behaviors reproduced (priorityDataSource.py:629-736):
+
+- Basic-auth entity GET of ``<uri><EntityID>`` returning ``{"value": [...]}``
+- ``$filter <field> ge <ts-with-offset>`` predicate pushdown (S2, built at
+  :646-675) — here driven by Catalyst through ``pushFilters``
+- ``$expand=A_SUBFORM,B_SUBFORM`` nested child reads (S3, :686-693)
+- ``$top=1`` probe (S4, :699-711) — ``df.limit(1)`` reaches the source as a
+  single small page
+
+and the reference gap deliberately fixed (SURVEY.md §2.9): **pagination**.
+The reference fetches every entity in ONE request; this source plans
+``$skip/$top`` page windows as Spark partitions so a 100 TB entity scan is
+N parallel page readers, not one giant driver fetch. Pages are stabilized
+with ``$orderby`` on the key so windows don't shear under concurrent writes.
+
+Python workers re-import this module to execute ``read``; transports are
+therefore resolved by NAME from options (a closure can't ride along).  The
+``fake`` transport serves deterministic synthetic pages — it exists so the
+full partition-planning → page-fetch → row-decode path runs in real Python
+workers under test.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import re
+import urllib.request
+from datetime import datetime, timezone
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+Transport = Callable[[str, dict], dict]
+"""(url, headers) -> parsed JSON body."""
+
+
+def http_transport(url: str, headers: dict) -> dict:
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310 — https URIs from config
+        return json.loads(resp.read().decode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# fake transport (deterministic synthetic tenant for tests)
+# --------------------------------------------------------------------------
+
+_FAKE_N = 57  # deliberately not a multiple of the page size
+
+
+def _fake_rows(entity: str) -> list[dict]:
+    rows = []
+    for i in range(_FAKE_N):
+        row = {
+            "ORDNAME": f"SO{i:05d}",
+            "CURDATE": f"2024-01-{(i % 28) + 1:02d}T00:00:00+02:00",
+            "QPRICE": round(100.0 + i * 1.5, 3),
+            "ORD": i,
+        }
+        if entity == "ORDERS_EXPANDED":
+            row["ORDERITEMS_SUBFORM"] = [
+                {"ORDNAME": row["ORDNAME"], "KLINE": k, "TQUANT": float(k)}
+                for k in range(1, (i % 3) + 1)
+            ]
+        rows.append(row)
+    return rows
+
+
+def fake_transport(url: str, headers: dict) -> dict:
+    """Minimal OData tenant: understands $count, $skip, $top, $orderby and
+    ``$filter=CURDATE ge <iso>``."""
+    path, _, query = url.partition("?")
+    entity = path.rstrip("/").rsplit("/", 1)[-1]
+    if entity.endswith("/$count"):
+        entity = entity[: -len("/$count")]
+    params = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+    rows = _fake_rows(entity.removesuffix("$count").rstrip("/"))
+    flt = params.get("$filter", "")
+    m = re.match(r"(\w+) ge ([0-9T:+\-\.]+)", flt)
+    if m:
+        fld, bound = m.group(1), m.group(2)
+        bdt = datetime.fromisoformat(bound)
+        rows = [r for r in rows if datetime.fromisoformat(r[fld]) >= bdt]
+    rows.sort(key=lambda r: r["ORDNAME"])
+    if path.rstrip("/").endswith("$count"):
+        return {"count": len(rows)}
+    skip = int(params.get("$skip", 0))
+    top = int(params.get("$top", len(rows)))
+    return {"value": rows[skip : skip + top]}
+
+
+TRANSPORTS: dict[str, Transport] = {
+    "http": http_transport,
+    "fake": fake_transport,
+}
+
+
+# --------------------------------------------------------------------------
+# URL building (reference semantics: priorityDataSource.py:646-721)
+# --------------------------------------------------------------------------
+
+
+def auth_headers(user: str, password: str) -> dict:
+    """Basic-auth header (priorityDataSource.py:243-245)."""
+    token = base64.b64encode(f"{user}:{password}".encode()).decode()
+    return {"Authorization": f"Basic {token}", "Accept": "application/json"}
+
+
+def build_url(
+    uri: str,
+    entity: str,
+    *,
+    filter_clause: str | None = None,
+    expand: list[str] | None = None,
+    orderby: str | None = None,
+    skip: int | None = None,
+    top: int | None = None,
+    count: bool = False,
+) -> str:
+    base = uri.rstrip("/") + "/" + entity + ("/$count" if count else "")
+    params = []
+    if filter_clause:
+        params.append(f"$filter={filter_clause}")
+    if expand:
+        # '<name>_SUBFORM' suffix + comma join (priorityDataSource.py:686-693)
+        params.append("$expand=" + ",".join(f"{e}_SUBFORM" for e in expand))
+    if orderby:
+        params.append(f"$orderby={orderby}")
+    if skip is not None:
+        params.append(f"$skip={skip}")
+    if top is not None:
+        params.append(f"$top={top}")
+    return base + ("?" + "&".join(params) if params else "")
+
+
+def _fmt_value(v: Any) -> str:
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v
+    return str(v)
+
+
+def filters_to_odata(filters: list[Filter], field_map: dict[str, str]) -> tuple[str, list[Filter]]:
+    """Catalyst filters → OData $filter conjunction; returns (clause,
+    unsupported). Comparison pushdown mirrors the reference's single
+    ``<field> ge <ts>`` clause (S2) generalized to the five comparators."""
+    ops = {
+        GreaterThanOrEqual: "ge",
+        GreaterThan: "gt",
+        LessThanOrEqual: "le",
+        LessThan: "lt",
+        EqualTo: "eq",
+    }
+    clauses, unsupported = [], []
+    for f in filters:
+        op = ops.get(type(f))
+        col = f.attribute[0] if op and len(f.attribute) == 1 else None
+        if op and col and col in field_map:
+            clauses.append(f"{field_map[col]} {op} {_fmt_value(f.value)}")
+        else:
+            unsupported.append(f)
+    return " and ".join(clauses), unsupported
+
+
+# --------------------------------------------------------------------------
+# the DataSource
+# --------------------------------------------------------------------------
+
+
+class ODataPartition(InputPartition):
+    def __init__(self, skip: int, top: int):
+        self.skip = skip
+        self.top = top
+
+
+class ODataReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.pushed_filter_clause = ""
+        self._count: int | None = None
+
+    # -- option plumbing ---------------------------------------------------
+    @property
+    def _transport(self) -> Transport:
+        return TRANSPORTS[self.options.get("transport", "http")]
+
+    @property
+    def _headers(self) -> dict:
+        user = self.options.get("user", "")
+        return auth_headers(user, self.options.get("password", "")) if user else {}
+
+    @property
+    def _expand(self) -> list[str]:
+        raw = self.options.get("expand", "")
+        return [e for e in raw.split(",") if e]
+
+    def _page_size(self) -> int:
+        return int(self.options.get("pagesize", 1000))
+
+    def _orderby(self) -> str | None:
+        return self.options.get("orderby")
+
+    # -- pushdown (S2) ------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        field_map = {f.name: f.metadata.get("sourceField", f.name) for f in self.schema.fields}
+        clause, unsupported = filters_to_odata(list(filters), field_map)
+        self.pushed_filter_clause = clause
+        # pushed comparisons are EXACT (the tenant applies them) → only the
+        # unsupported remainder needs Spark-side re-evaluation
+        return iter(unsupported)
+
+    # -- partition planning (pagination fix, SURVEY.md §2.9) ----------------
+    def partitions(self) -> list[ODataPartition]:
+        url = build_url(
+            self.options["uri"],
+            self.options["entity"],
+            filter_clause=self.pushed_filter_clause or None,
+            count=True,
+        )
+        body = self._transport(url, self._headers)
+        total = int(body if isinstance(body, (int, str)) else body.get("count", 0))
+        page = self._page_size()
+        n_pages = max(1, math.ceil(total / page))
+        return [ODataPartition(i * page, page) for i in range(n_pages)]
+
+    # -- page read (S1) ------------------------------------------------------
+    def read(self, partition: ODataPartition) -> Iterator[tuple]:
+        url = build_url(
+            self.options["uri"],
+            self.options["entity"],
+            filter_clause=self.pushed_filter_clause or None,
+            expand=self._expand,
+            orderby=self._orderby() or self.schema.fields[0].metadata.get("sourceField", self.schema.fields[0].name),
+            skip=partition.skip,
+            top=partition.top,
+        )
+        body = self._transport(url, self._headers)
+        fields = [
+            (f.name, f.metadata.get("sourceField", f.name), f.dataType) for f in self.schema.fields
+        ]
+        for rec in body.get("value", []):
+            yield tuple(_convert(rec.get(src), dtype) for _, src, dtype in fields)
+
+
+def _convert(v: Any, dtype: T.DataType) -> Any:
+    """EDM JSON value → Spark external type (driver-side type map §1.3)."""
+    if v is None:
+        return None
+    if isinstance(dtype, T.TimestampType):
+        dt = datetime.fromisoformat(v) if isinstance(v, str) else v
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
+    if isinstance(dtype, T.StringType):
+        return str(v)
+    if isinstance(dtype, T.LongType):
+        return int(v)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        return [
+            tuple(_convert(item.get(f.metadata.get("sourceField", f.name)), f.dataType) for f in dtype.elementType.fields)
+            for item in v
+        ]
+    return v
+
+
+class ODataDataSource(DataSource):
+    """``spark.read.format("odata")`` — register with
+    ``spark.dataSource.register(ODataDataSource)``.
+
+    Options: uri, entity, user, password, expand (comma list, without the
+    _SUBFORM suffix), pagesize, orderby, transport (http|fake), schema_ddl
+    (skip the $metadata fetch).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "odata"
+
+    def schema(self) -> T.StructType:
+        ddl = self.options.get("schema_ddl")
+        if ddl:
+            # return the DDL string itself — parsing it here would need an
+            # active SparkSession, which the instantiation context lacks
+            return ddl
+        # derive from $metadata (S5) via the schema registry
+        from .metadata import SchemaRegistry, parse_edmx
+
+        transport = TRANSPORTS[self.options.get("transport", "http")]
+        user = self.options.get("user", "")
+        headers = auth_headers(user, self.options.get("password", "")) if user else {}
+        xml = transport(self.options["uri"].rstrip("/") + "/$metadata", headers)
+        registry = SchemaRegistry(parse_edmx(xml if isinstance(xml, str) else xml["xml"]))
+        return registry.struct(self.options["entity"], with_audit=False)
+
+    def reader(self, schema: T.StructType) -> ODataReader:
+        return ODataReader(schema, dict(self.options))

@@ -1,0 +1,57 @@
+"""Multimodal plumbing: binary columns through mapInPandas batches —
+schema, partitioning, stubbed decode, resize (operators/multimodal)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    resize_images,
+    synthetic_media,
+)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError, match="PIL|libvips"):
+        decode_image(b"xx")
+
+
+def test_extract_features_schema_and_counts(spark):
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 64
+    by_id = {r["asset_id"]: r for r in rows}
+    # payload hash matches a locally computed one (the batch path didn't
+    # mangle binary data)
+    payload = hashlib.sha256(b"asset-3").digest() * (4 + 3 % 7)
+    assert by_id[3]["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    assert by_id[3]["payload_bytes"] == len(payload)
+    # images get intensities; non-images don't
+    for r in rows:
+        if r["media_type"] == "image":
+            assert 0.0 <= r["mean_intensity"] <= 1.0
+        else:
+            assert r["mean_intensity"] is None
+    # videos sample ≥1 frame
+    assert all(r["n_frames_sampled"] >= 1 for r in rows if r["media_type"] == "video")
+
+
+def test_extract_features_deterministic(spark):
+    media = synthetic_media(spark, n=16)
+    a = {r["asset_id"]: r["payload_sha256"] for r in extract_features(media).collect()}
+    b = {r["asset_id"]: r["payload_sha256"] for r in extract_features(media).collect()}
+    assert a == b
+
+
+def test_resize_only_images_and_bounds(spark):
+    media = synthetic_media(spark, n=30)
+    out = resize_images(media, max_side=32).collect()
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert max(r["width"], r["height"]) <= 32
+        assert len(r["payload"]) >= 1

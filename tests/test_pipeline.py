@@ -1,0 +1,118 @@
+"""Lifecycle tests: initial load → incremental → reset (SURVEY.md §5.3/§5.4),
+catalog DDL idempotence, per-entity error isolation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWarehouse
+from priority_data_pipeline_postgres_db_spark.plans.catalog import SparkCatalogDwh
+from priority_data_pipeline_postgres_db_spark.plans.pipeline import (
+    ParquetEntitySource,
+    Pipeline,
+    dedup_append_by_pk,
+)
+from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+from priority_data_pipeline_postgres_db_spark.sources.metadata import SchemaRegistry
+
+EDMX = """<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">
+ <edmx:DataServices><Schema xmlns="http://docs.oasis-open.org/odata/ns/edm">
+  <EntityType Name="EVENTS"><Key><PropertyRef Name="EVENT_ID"/></Key>
+   <Property Name="EVENT_ID" Type="Edm.Int64"/>
+   <Property Name="TS" Type="Edm.DateTimeOffset"/>
+   <Property Name="VALUE" Type="Edm.Decimal"/>
+  </EntityType></Schema></edmx:DataServices></edmx:Edmx>"""
+
+
+def make_pipeline(spark, tmp_path, sf_dir, entities):
+    control = ControlStore(os.path.join(tmp_path, "control.json"))
+    cfg = {
+        "datasourceName": "t",
+        "uri": "unused://",
+        "accountID": f"t{abs(hash(tmp_path)) % 10**8:08d}",
+        "systemTimezone": "UTC",
+        "sourceSystem": "priority",
+        "entities": entities,
+    }
+    control.insert_config(cfg, datasource_id="ds1")
+    return Pipeline(
+        spark,
+        control,
+        SchemaRegistry.from_edmx(EDMX),
+        ParquetEntitySource(sf_dir),
+        StagingWarehouse(spark, os.path.join(tmp_path, "wh"), account_id=cfg["accountID"]),
+        "ds1",
+    )
+
+
+def entity(eid, **kw):
+    base = {
+        "EntityID": eid,
+        "filterFlag": False,
+        "filterField": "",
+        "expand": [],
+        "lastRun": "2024-01-10 00:00:00",
+        "dataStartDate": "2024-01-01 00:00:00",
+    }
+    base.update(kw)
+    return base
+
+
+def test_full_then_incremental(spark, tmp_path, sf_dir):
+    p = make_pipeline(
+        spark,
+        str(tmp_path),
+        sf_dir,
+        [entity("EVENTS", filterFlag=True, filterField="ts", lastRun="2024-01-20 00:00:00")],
+    )
+    full = p.refresh_data(incremental=False)
+    assert not full.errors
+    n_full = full.total_records()
+    assert n_full > 0  # everything since dataStartDate
+
+    # watermark advanced to "now" by the full run → restore a mid-range one
+    p.control.update_last_run("ds1", "EVENTS", value="2024-01-20 00:00:00")
+    inc = p.refresh_data(incremental=True)
+    n_inc = inc.total_records()
+    assert 0 < n_inc < n_full  # only post-watermark rows
+    assert p.warehouse.read("events").count() == n_full + n_inc  # appended
+
+
+def test_per_entity_error_isolation(spark, tmp_path, sf_dir):
+    p = make_pipeline(spark, str(tmp_path), sf_dir, [entity("NOSUCH"), entity("EVENTS")])
+    rep = p.refresh_data(incremental=False)
+    assert [e["entity"] for e in rep.errors] == ["NOSUCH"]
+    assert rep.total_records() > 0  # EVENTS still loaded
+
+
+def test_initial_load_and_reset(spark, tmp_path, sf_dir):
+    p = make_pipeline(spark, str(tmp_path), sf_dir, [entity("EVENTS")])
+    out = p.initial_data_load()
+    assert out["tablesDeployed"]["created"] == ["stg_events"]
+    assert not out["errors"]
+    # second deploy: table exists, nothing recreated
+    out2 = p.initial_data_load()
+    assert out2["tablesDeployed"]["exists"] == ["stg_events"]
+
+    reset = p.reset_data_platform()
+    assert "stg_events" in reset["tablesDropped"]
+    assert reset["tablesDeployed"]["created"] == ["stg_events"]
+    # cleanup catalog state
+    SparkCatalogDwh(spark, p._config()["accountID"]).drop_db()
+
+
+def test_probe(spark, tmp_path, sf_dir):
+    p = make_pipeline(spark, str(tmp_path), sf_dir, [entity("EVENTS"), entity("NOSUCH")])
+    probe = {r["entity"]: r["ok"] for r in p.test_extraction_entities()}
+    assert probe == {"EVENTS": True, "NOSUCH": False}
+
+
+def test_dedup_append_by_pk(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "old"), (1, "2024-02-01", "new"), (2, "2024-01-01", "only")],
+        "id long, ts string, v string",
+    )
+    out = dedup_append_by_pk(df, ["id"], "ts")
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
