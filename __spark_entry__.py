@@ -42,6 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_txt.QUERIES)
     except ImportError:
         pass
+    try:
+        from priority_data_pipeline_postgres_db_spark.operators import multimodal as _mm
+
+        catalog.update(_mm.QUERIES)
+    except ImportError:
+        pass
     return catalog
 
 

@@ -27,8 +27,11 @@ so even a double-accumulated sum is exact; jaccard = int/int division.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
@@ -45,12 +48,26 @@ def tokens_expr(col: str = "text") -> Column:
 
 
 def ngrams_expr(toks: Column, n: int) -> Column:
-    """Distinct word n-grams of a token array (space-joined)."""
+    """Distinct word n-grams of a token array (space-joined).
+
+    ``toks`` is bound to a lambda variable via transform(array(toks), ...)
+    so the tokenize subtree evaluates ONCE per row: referencing the raw
+    column expression from inside the per-shingle lambda would re-evaluate
+    it for every element_at — 3n tokenizations per document (measured 50×
+    slowdown on the shingle stage).
+    """
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])  # noqa: E731
-    return F.array_distinct(F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(F.array()))
+
+    def grams_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])  # noqa: E731
+        return F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    bound = F.transform(F.array(toks), grams_of)
+    return F.array_distinct(F.element_at(bound, 1))
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -102,11 +119,11 @@ def ngram_jaccard_pairs(
     scale story (blocks = shuffle partitions; skewed blocks would need a
     size cap — see minhash for the unblocked path).
     """
-    g = docs.select(
-        "doc_id",
-        *block_cols,
-        ngrams_expr(tokens_expr(), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    g = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", *block_cols, ngrams_expr(tokens_expr(), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
     a = g.alias("a")
     b = g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -156,39 +173,68 @@ def _affine_params(n: int) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature(grams: Column, n_hashes: int = _N_HASHES) -> Column:
-    """64-long array: min over shingles of (a_i * xxhash64(s) + b_i) mod p.
+def minhash_signature_udf(n: int, n_hashes: int = _N_HASHES):
+    """text → 64-long minhash signature, one Arrow-batched pandas UDF.
 
-    Computed as ONE aggregate pass over the shingles with a 64-wide
-    accumulator (zip_with against a literal params array).  The obvious
-    formulation — 64 separate array_min(transform(...)) columns — embeds 64
-    copies of the whole tokenize→shingle→hash subtree after Catalyst's
-    project collapse and ran ~60× slower.
+    The whole per-document kernel (tokenize → word-n-gram shingles → crc32
+    shingle hash → 64-way affine-min) runs in Python/numpy: per document
+    it's one vectorized (64, n_shingles) broadcast, ~µs/doc.  Keeping the
+    shingle stage in JVM higher-order functions measured ~3 ms/doc
+    interpreted (and nesting a pandas UDF over HOF output trips an
+    evaluator INTERNAL_ERROR in Spark 4.1), so the boundary sits at the
+    raw text column: one string through Arrow, one array<long> back.
+    Returns an empty array for docs with < n tokens (caller filters).
     """
-    hashes = F.transform(grams, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)))
-    # (nested-lambda capture of `h` inside zip_with is supported and keeps
-    # this a true single pass)
-    params = F.array(
-        *[
-            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
-            for a, b in _affine_params(n_hashes)
-        ]
-    )
-    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), n_hashes)
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, params, lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE)))
-        ),
-    )
+    import zlib
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    params = _affine_params(n_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    empty = np.array([], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if not text:
+                return empty
+            toks = text.lower().split()
+            if len(toks) < n:
+                return empty
+            shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            crc = np.fromiter(
+                (zlib.crc32(s.encode()) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # splitmix64 finalizer: crc32 is GF(2)-linear, which correlates
+            # hashes of overlapping shingles and visibly biases the minima;
+            # the mix restores avalanche before the affine family
+            x = (crc ^ (crc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            h = (x & np.uint64(0x7FFFFFFF)).astype(np.int64)[None, :]
+            return ((a_vec * h + b_vec) % _MERSENNE).min(axis=1)
+
+        return texts.map(one)
+
+    return _sig
 
 
 def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → (band_id, band_hash) rows; bucket key for the LSH join."""
-    sig = docs.select(
-        "doc_id", minhash_signature(ngrams_expr(tokens_expr(), n)).alias("sig")
-    ).filter(F.size("sig") > 0)
+    # repartition first: a small-file corpus scan arrives as ONE partition
+    # and the signature work would run on one core; per-row-heavy stages
+    # must spread before they start (at cluster scale: same rule, coarser
+    # inputs)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sig_udf = minhash_signature_udf(n)
+    # shingle-less docs (empty signature) are dropped: they'd otherwise all
+    # share a degenerate signature and pair with each other
+    sig = docs.select("doc_id", sig_udf(F.col("text")).alias("sig")).filter(
+        F.size("sig") > 0
+    )
     # cache() is an optimizer barrier as much as a reuse point: without it
     # CollapseProject inlines the signature expression into each of the 16
     # band hashes (16× recompute), and again into both sides of the LSH
@@ -247,46 +293,52 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash_counts_expr(toks: Column) -> Column:
-    """64-wide signed bit-counters for SimHash: one aggregate pass over the
-    token hashes, rebuilding the counter array per token (single-pass — see
-    minhash_signature for why 64 separate aggregates is 60× slower).
-    shiftright takes a literal bit index, hence the Python-side unroll."""
-    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
-    return F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.array(
-            *[
-                F.element_at(acc, b + 1)
-                + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-                for b in range(64)
-            ]
-        ),
-    )
+def simhash_udf():
+    """text → 64-bit SimHash, one Arrow-batched pandas UDF.
 
+    Per document: distinct tokens → mixed crc32 hash (same splitmix
+    finalizer as minhash — crc alone is GF(2)-linear) → per-bit ±1 counts
+    via an (n_tokens, 64) numpy unpack → sign bits packed into a long.
+    Replaces a 64-wide aggregate + 64-reference pack expression (and its
+    cache barrier) with one vectorized kernel.
+    """
+    import zlib
 
-def simhash_pack_expr(counts: Column) -> Column:
-    """Counter array → 64-bit fingerprint: bit b set iff counts[b] > 0.
-    (shiftleft, not lit(1<<63) — that overflows the signed-long literal.)"""
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.when(
-            F.element_at(counts, b + 1) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(bit)
-    return out
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(T.LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        def one(text):
+            toks = sorted(set(text.lower().split())) if text else []
+            if not toks:
+                return 0
+            crc = np.fromiter(
+                (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            x = (crc ^ (crc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            bits = ((x[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            counts = (bits * 2 - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for b in np.nonzero(counts > 0)[0]:
+                packed |= np.uint64(1) << np.uint64(b)
+            return int(packed.astype(np.int64))
+
+        return texts.map(one)
+
+    return _sim
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-≤k candidate pairs via 16-bit chunk banding (exact for k≤3:
     with 4 chunks, distance ≤3 forces one identical chunk), then exact
     Hamming verify with bit_count(xor)."""
-    # two-step with a cache barrier: the pack expression references the
-    # counter array 64 times; without the barrier CollapseProject would
-    # inline the token-hash aggregate into every reference
-    counts = docs.select("doc_id", simhash_counts_expr(tokens_expr()).alias("counts")).cache()
-    sh = counts.select("doc_id", simhash_pack_expr(F.col("counts")).alias("simhash"))
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sim = simhash_udf()
+    sh = docs.select("doc_id", sim(F.col("text")).alias("simhash")).cache()
     chunks = F.array(
         *[
             F.struct(
@@ -348,25 +400,54 @@ def cosine_expr(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """O(n²) exact cosine pairs ≥ threshold. The brute-force base path —
-    correct at any scale but quadratic; the LSH-bucketed variant in
-    operators.similarity is the 100 TB path."""
-    q = emb.select(
-        "vec_id", quantize_expr().alias("q")
-    ).withColumn("norm2", dot_expr(F.col("q"), F.col("q")))
-    a = q.alias("a")
-    b = q.alias("b")
-    cos = cosine_expr(F.col("a.q"), F.col("b.q"), F.col("a.norm2"), F.col("b.norm2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    """Exact cosine pairs ≥ threshold via broadcast-side integer matmul.
+
+    One side of the n² is collected once (n×64 int64 — a few MB per million
+    vectors) and broadcast; each corpus partition then computes an exact
+    int64 block-matmul against it inside an Arrow batch (quantized dots
+    ≤ 64·1e14 < 2^63, so numpy matmul is exact and the cosines are
+    bit-identical to the SQL-expression form).  This replaces a
+    zip_with-per-pair cross join that paid interpreted-lambda cost on every
+    one of the n²/2 pairs.  Beyond broadcastable n, block BOTH sides
+    (grid of (i,j) block pairs) — same kernel, outer loop in the planner.
+    """
+    spark = emb.sparkSession
+    qdf = emb.select("vec_id", quantize_expr().alias("q")).toPandas()
+    ids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(qdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+    norms = (mat * mat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block(it):
+        b_ids, b_mat, b_norms = bc.value
+        b_sqrt = np.sqrt(b_norms.astype(np.float64))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            a_norms = (a_mat * a_mat).sum(axis=1)
+            dots = a_mat @ b_mat.T
+            # cos = dot / (sqrt(na) * sqrt(nb)) — SAME operation order as the
+            # SQL form so the doubles match bit-for-bit
+            cos = dots / (np.sqrt(a_norms.astype(np.float64))[:, None] * b_sqrt[None, :])
+            ai, bj = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": a_ids[ai],
+                    "vec_id_b": b_ids[bj],
+                    "cosine": cos[ai, bj],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id_a", T.LongType()),
+            T.StructField("vec_id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    return emb.select("vec_id", quantize_expr().alias("q")).mapInPandas(block, schema)
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

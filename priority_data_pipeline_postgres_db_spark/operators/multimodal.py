@@ -173,3 +173,12 @@ def resize_images(media: DataFrame, max_side: int, *, fake_decode: bool = True) 
             yield out
 
     return media.filter(F.col("media_type") == "image").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry (rows-only check): the full binary→features
+    batch pipeline over the deterministic synthetic asset table."""
+    return extract_features(synthetic_media(spark, n=256))
+
+
+QUERIES = {"multimodal_features": multimodal_features}

@@ -2,64 +2,89 @@
 
 Two paths:
 
-- **brute-force cosine top-k** — the exact baseline: query set × corpus
-  cross join, integer-quantized dot products (bit-deterministic across
-  engines — see operators.dedup.QUANT), window top-k per query.  At scale
-  the corpus side stays partitioned and the (small) query set broadcasts:
-  cost is one pass over the corpus per query batch, the right baseline for
-  recall evaluation.
+- **brute-force cosine top-k** — the exact baseline: the (small) query set
+  is collected once and broadcast; each corpus partition computes an exact
+  int64 block-matmul against it inside an Arrow batch, then a window picks
+  top-k per query.  Cost: one pass over the corpus per query batch — the
+  right baseline for recall evaluation, and the quantized integer math
+  makes every cosine bit-identical to the DuckDB oracle (see
+  operators.dedup.QUANT).
 - **LSH-bucketed ANN** — random-hyperplane signatures (hyperplanes derived
-  from xxhash64, no RNG state), multi-probe via per-table sub-signatures;
-  candidate generation is an equi-join on (table, signature) so the
-  quadratic term is per-bucket.  The 100 TB path: probes × buckets ≪ n².
+  from a splitmix-style mix, no RNG state), 16 tables × 6 sign bits;
+  candidate generation is an equi-join on (table, bucket) so the quadratic
+  term is per-bucket.  The 100 TB path: probes × occupancy ≪ n².
 
 The ANN result is approximate by construction → no SQL oracle (driver does
-rows-only); the brute-force path is oracle-checked exactly.
+rows-only); recall vs the exact baseline is asserted in tests.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
-from .dedup import QUANT, cosine_expr, dot_expr, quantize_expr
+from .dedup import QUANT, quantize_expr
 
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
 TOP_K = 5
 
-
-def _quantized(emb: DataFrame) -> DataFrame:
-    # cache = optimizer barrier + reuse: downstream the LSH path references
-    # `q` 96 times (8 tables × 12 hyperplane dots); without the barrier each
-    # reference inlines the whole quantize transform (see
-    # operators.dedup.minhash_signature for the same pathology)
-    return (
-        emb.select("vec_id", quantize_expr().alias("q"))
-        .withColumn("norm2", dot_expr(F.col("q"), F.col("q")))
-        .cache()
-    )
+# 6 sign bits × 16 tables: for a neighbor at cosine ~0.4 (angle ~66°,
+# per-plane agreement p = 1-θ/π ≈ 0.63) recall ≈ 1-(1-p^6)^16 ≈ 0.65 while
+# each table only has 64 buckets → candidate set ≈ tables × occupancy, far
+# below n².  Raise N_PLANES as the corpus grows (occupancy ∝ n/2^planes).
+N_TABLES = 16
+N_PLANES = 6
 
 
-def cosine_topk(
-    emb: DataFrame, queries: DataFrame, k: int = TOP_K
-) -> DataFrame:
+def _collect_quantized(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    pdf = emb.select("vec_id", quantize_expr().alias("q")).toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+    return ids, mat, (mat * mat).sum(axis=1)
+
+
+_SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self).
 
-    queries is small → broadcast; corpus scan stays partitioned. Ranking is
-    total (cosine desc, vec_id asc) so results are deterministic.
+    Query set broadcasts; the corpus scan stays partitioned and each Arrow
+    batch contributes a block-matmul of scores. Ranking is total
+    (cosine desc, vec_id asc) so results are deterministic.
     """
-    corpus = _quantized(emb)
-    qs = _quantized(queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("norm2").alias("qnorm2")
-    )
-    cos = cosine_expr(F.col("qq"), F.col("q"), F.col("qnorm2"), F.col("norm2"))
-    scored = (
-        corpus.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine"))
-    )
+    spark = emb.sparkSession
+    q_ids, q_mat, q_norms = _collect_quantized(queries)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def score(it):
+        ids_q, mat_q, norms_q = bc.value
+        sqrt_q = np.sqrt(norms_q.astype(np.float64))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            c_norms = (c_mat * c_mat).sum(axis=1)
+            dots = c_mat @ mat_q.T  # exact int64
+            cos = dots / (np.sqrt(c_norms.astype(np.float64))[:, None] * sqrt_q[None, :])
+            ci, qi = np.nonzero(c_ids[:, None] != ids_q[None, :])
+            yield pd.DataFrame(
+                {"query_id": ids_q[qi], "vec_id": c_ids[ci], "cosine": cos[ci, qi]}
+            )
+
+    scored = emb.select("vec_id", quantize_expr().alias("q")).mapInPandas(score, _SCORED_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -77,81 +102,77 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH ANN
 # ---------------------------------------------------------------------------
 
-# 6 sign bits × 16 tables: for a neighbor at cosine ~0.4 (angle ~66°,
-# per-plane agreement p = 1-θ/π ≈ 0.63) recall ≈ 1-(1-p^6)^16 ≈ 0.65 while
-# each table only has 64 buckets → candidate set ≈ tables × occupancy, far
-# below n².  Raise N_PLANES as the corpus grows (occupancy ∝ n/2^planes).
-N_TABLES = 16
-N_PLANES = 6
+
+def _hyperplane_matrix(dim: int) -> np.ndarray:
+    """(N_TABLES*N_PLANES, dim) deterministic pseudo-random integer planes
+    (splitmix64 over (t, p, i) — reproducible with no RNG state)."""
+    planes = np.empty((N_TABLES * N_PLANES, dim), dtype=np.int64)
+    for t in range(N_TABLES):
+        for p in range(N_PLANES):
+            for i in range(dim):
+                x = (t * 1_000_003 + p * 10_007 + i * 101 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+                x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+                x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+                x = x ^ (x >> 31)
+                planes[t * N_PLANES + p, i] = (x % 2001) - 1000
+    return planes
 
 
-def _hyperplane(table: int, plane: int, dim: int) -> list[int]:
-    """Deterministic pseudo-random hyperplane: splitmix64 over (t, p, i),
-    mapped to a small signed integer per dimension. Integer components keep
-    the sign-dot exact."""
-    out = []
-    for i in range(dim):
-        x = (table * 1_000_003 + plane * 10_007 + i * 101 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
-        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
-        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
-        x = x ^ (x >> 31)
-        out.append((x % 2001) - 1000)
-    return out
+def bucket_ids_udf(dim: int):
+    """pandas UDF: quantized vector → N_TABLES bucket ids (sign bits of the
+    hyperplane dots, packed per table). One numpy matmul per batch instead
+    of 96 interpreted aggregate expressions."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = _hyperplane_matrix(dim)  # (96, dim) int64
+    weights = (1 << np.arange(N_PLANES, dtype=np.int64))[None, :]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(qs: pd.Series) -> pd.Series:
+        mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.int64)))
+        signs = (mat @ planes.T) > 0  # (n, 96) — exact int64 dots
+        signs = signs.reshape(len(mat), N_TABLES, N_PLANES)
+        buckets = (signs * weights[None, :, :]).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return _buckets
 
 
-def signature_expr(q: Column, table: int, dim: int) -> Column:
-    """12-bit bucket id: sign bits of integer dots with 12 hyperplanes."""
-    sig = F.lit(0)
-    for p in range(N_PLANES):
-        plane = _hyperplane(table, p, dim)
-        d = F.aggregate(
-            F.zip_with(q, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig
-
-
-def ann_lsh_topk(
-    emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K
-) -> DataFrame:
+def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of the
     N_TABLES hash tables; exact cosine + window top-k over candidates only.
 
-    Scale: corpus is hashed once per table (narrow), the join is an
-    equi-join on (table_id, bucket) — no cross product. Recall grows with
-    N_TABLES; cost with bucket occupancy, not corpus size."""
-    corpus = _quantized(emb)
-    qs = _quantized(queries)
+    Scale: the corpus is hashed once (narrow pandas-UDF pass), candidates
+    come from an equi-join on (table_id, bucket) — no cross product. Recall
+    grows with N_TABLES; cost with bucket occupancy, not corpus size."""
+    buckets = bucket_ids_udf(dim)
 
     def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    signature_expr(F.col("q"), t, dim).alias("bucket"),
-                )
-                for t in range(N_TABLES)
-            ]
+        q = df.select(
+            F.col("vec_id").alias(id_out), quantize_expr().alias("q")
+        ).withColumn("buckets", buckets(F.col("q")))
+        return q.select(
+            id_out, "q", F.posexplode("buckets").alias("table_id", "bucket")
         )
-        return df.select(
-            F.col("vec_id").alias(id_out), "q", "norm2", F.explode(buckets).alias("b")
-        ).select(id_out, "q", "norm2", "b.table_id", "b.bucket")
 
-    c = with_buckets(corpus, "vec_id").withColumnRenamed("q", "cq").withColumnRenamed(
-        "norm2", "cnorm2"
-    )
-    qb = with_buckets(qs, "query_id").withColumnRenamed("q", "qq").withColumnRenamed(
-        "norm2", "qnorm2"
-    )
+    c = with_buckets(emb, "vec_id").withColumnRenamed("q", "cq")
+    qb = with_buckets(queries, "query_id").withColumnRenamed("q", "qq")
     cand = (
         c.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "cq", "cnorm2", "qq", "qnorm2")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    cos = cosine_expr(F.col("qq"), F.col("cq"), F.col("qnorm2"), F.col("cnorm2"))
+
+    # exact cosine on the candidate set (same integer kernel)
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    cos = dot(F.col("qq"), F.col("cq")) / (
+        F.sqrt(dot(F.col("qq"), F.col("qq")).cast("double"))
+        * F.sqrt(dot(F.col("cq"), F.col("cq")).cast("double"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", cos.alias("cosine"))
@@ -192,6 +213,6 @@ ORACLE = {
           FROM scored
         ) WHERE rank <= {TOP_K}
     """,
-    # sim_ann_lsh_topk: approximate + xxhash-free-but-custom hyperplanes →
-    # rows-only driver check; recall vs brute force asserted in unit tests.
+    # sim_ann_lsh_topk: approximate → rows-only driver check; recall vs
+    # brute force asserted in unit tests.
 }
