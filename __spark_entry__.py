@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from priority_data_pipeline_postgres_db_spark.plans import analytics as _an
 from priority_data_pipeline_postgres_db_spark.plans import queries as _q
 
 
@@ -24,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     catalog: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     catalog.update(_q.CORE_QUERIES)
+    catalog.update(_an.QUERIES)
     try:  # beyond-reference operator sets land module by module
         from priority_data_pipeline_postgres_db_spark.operators import dedup as _dd
 
@@ -56,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
     semantics aren't SQL-expressible — driver does a rows-only check)."""
     oracle: dict[str, str] = {}
     oracle.update(_q.ORACLE)
+    oracle.update(_an.ORACLE)
     for mod_path, attr in (
         ("priority_data_pipeline_postgres_db_spark.operators.dedup", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.operators.similarity", "ORACLE"),

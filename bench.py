@@ -41,6 +41,11 @@ HEADLINE = [
     "text_lang_id",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
+    "q_cube_region_nation",
+    "q_pivot_returnflag",
+    "j_asof_join",
+    "set_except_high_qty",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Advanced analytics operators beyond the reference's own surface
+(SURVEY.md §2.7 'free in Spark' rows, made concrete and oracle-checked):
+cube/rollup, pivot, as-of join, set ops, approximate aggregates.
+
+Determinism: same exact-decimal-sum→double discipline as plans.queries;
+the as-of join uses the union+window formulation on BOTH sides (DuckDB's
+native ASOF JOIN breaks ties arbitrarily, so the oracle runs the identical
+deterministic algorithm instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import as_double, dec
+from .tables import load
+
+
+def q_cube_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the region/nation dims: every rollup level in one pass
+    (grouping-set expansion happens map-side; one shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    joined = orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+    return joined.cube("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"),
+        as_double(F.sum(dec("o_totalprice"))).alias("sum_totalprice"),
+    )
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (explicit value list keeps the plan
+    single-pass; an implicit pivot would first scan for distinct values)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(as_double(F.sum(dec("l_quantity"))))
+    )
+    return out.select(
+        "l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o")
+    )
+
+
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.3): for each
+    event, the latest order of the same key with o_orderdate <= ts.
+
+    Union-and-window formulation: tag both streams, sort within key by
+    (time, tag, orderkey), carry the last non-null order id forward.  One
+    shuffle on the key, no range cross-product — this is the scalable
+    batch as-of (applyInPandas+merge_asof would move all rows through
+    Python; the window stays JVM-side).  Ties among orders at the same
+    timestamp resolve to the highest o_orderkey — deterministic, which is
+    also why the oracle uses this same algorithm instead of DuckDB's
+    native ASOF JOIN (arbitrary tie-break).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    merged = orders.unionByName(events)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", F.coalesce("o_orderkey", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_asof = merged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+    return (
+        with_asof.filter(F.col("is_event") == 1)
+        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
+    )
+
+
+def set_except_high_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: line items minus the high-quantity subset."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    hi = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber")
+    )
+    return li.exceptAll(hi)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct vs exact (rows-only: HLL sketches are
+    engine-specific). At 100 TB the approximate path is the only one that
+    avoids a full shuffle of the distinct keys."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES = {
+    "q_cube_region_nation": q_cube_region_nation,
+    "q_pivot_returnflag": q_pivot_returnflag,
+    "j_asof_join": j_asof_join,
+    "set_except_high_qty": set_except_high_qty,
+    "q_approx_distinct": q_approx_distinct,
+}
+
+ORACLE = {
+    "q_cube_region_nation": """
+        SELECT r_name, n_name, count(*) AS n_orders,
+          CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, n_name)
+    """,
+    "q_pivot_returnflag": """
+        SELECT l_returnflag,
+          CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F'), 4) AS DECIMAL(18,4)) AS DOUBLE) AS qty_f,
+          CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O'), 4) AS DECIMAL(18,4)) AS DOUBLE) AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "j_asof_join": """
+        WITH merged AS (
+          SELECT o_custkey AS k, o_orderdate AS t, o_orderkey,
+                 0 AS is_event, CAST(NULL AS BIGINT) AS event_id
+          FROM orders
+          UNION ALL
+          SELECT user_id AS k, ts AS t, CAST(NULL AS BIGINT) AS o_orderkey,
+                 1 AS is_event, event_id
+          FROM events
+        ), carried AS (
+          SELECT *,
+            last_value(o_orderkey IGNORE NULLS) OVER (
+              PARTITION BY k
+              ORDER BY t, is_event, coalesce(o_orderkey, -1)
+              ROWS UNBOUNDED PRECEDING
+            ) AS asof_orderkey
+          FROM merged
+        )
+        SELECT event_id, k AS user_id, asof_orderkey
+        FROM carried WHERE is_event = 1
+    """,
+    "set_except_high_qty": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        EXCEPT ALL
+        SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 25
+    """,
+    # q_approx_distinct: rows-only (sketches differ between engines)
+}
