@@ -46,6 +46,7 @@ HEADLINE = [
     "j_asof_join",
     "set_except_high_qty",
     "multimodal_features",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -29,27 +29,47 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def token_count_expr() -> Column:
-    return F.size(tokens_expr())
+def token_count_expr(toks: Column | None = None) -> Column:
+    return F.size(tokens_expr() if toks is None else toks)
 
 
-def bpe_ish_count_expr() -> Column:
+def bpe_ish_count_expr(norm: Column | None = None) -> Column:
     """Sub-word-ish token count: letter runs + digit runs + single symbols
     over the normalized text (a regex approximation of BPE pre-tokenization)."""
-    return F.size(F.regexp_extract_all(normalized_text(), F.lit(BPE_ISH_PATTERN), 0))
+    norm = normalized_text() if norm is None else norm
+    return F.size(F.regexp_extract_all(norm, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def tokenized(docs: DataFrame, *extra: str) -> DataFrame:
+    """Materialized tokenization: (doc_id, *extra, toks, norm, uniq), cached.
+
+    The tokenize/normalize subtrees are higher-order/regex expressions that
+    fall outside whole-stage codegen, so Catalyst's project collapse would
+    re-evaluate them once per downstream reference (a quality score makes
+    ~8 references → 8 tokenizations per row).  The cache is the barrier:
+    tokenize once, every metric reads stored arrays.  Repartition first —
+    small-file corpora arrive as one partition (see operators.dedup).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(
+        "doc_id", *extra, tokens_expr().alias("toks"), normalized_text().alias("norm")
+    )
+    return base.withColumn("uniq", F.array_distinct(F.col("toks"))).cache()
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = tokenized(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        token_count_expr().alias("n_tokens"),
-        bpe_ish_count_expr().alias("n_bpe_tokens"),
-        F.length(normalized_text()).alias("n_chars_norm"),
+        token_count_expr(F.col("toks")).alias("n_tokens"),
+        bpe_ish_count_expr(F.col("norm")).alias("n_bpe_tokens"),
+        F.length(F.col("norm")).alias("n_chars_norm"),
     )
 
 
-def quality_score_expr() -> tuple[dict[str, Column], Column]:
+def quality_score_expr(
+    toks: Column | None = None, norm: Column | None = None
+) -> tuple[dict[str, Column], Column]:
     """Length/punctuation/stopword heuristics → [0,1] quality score.
 
     Components (per document):
@@ -59,9 +79,9 @@ def quality_score_expr() -> tuple[dict[str, Column], Column]:
       natural text has some; word salad and boilerplate have few/none
     - digit ratio: digits / chars (lower is better)
     """
-    toks = tokens_expr()
+    toks = tokens_expr() if toks is None else toks
     n_tok = F.size(toks)
-    norm = normalized_text()
+    norm = normalized_text() if norm is None else norm
     n_chars = F.length(norm)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     avg_tok_len = tok_chars / F.nullif(n_tok, F.lit(0))
@@ -90,9 +110,9 @@ def quality_score_expr() -> tuple[dict[str, Column], Column]:
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    comps, score = quality_score_expr()
-    return docs.filter(F.size(tokens_expr()) > 0).select(
+    docs = tokenized(load(spark, sf_dir, "documents"))
+    comps, score = quality_score_expr(F.col("toks"), F.col("norm"))
+    return docs.filter(F.size("toks") > 0).select(
         "doc_id",
         comps["n_tokens"].alias("n_tokens"),
         comps["avg_token_len"].alias("avg_token_len"),
@@ -102,20 +122,20 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lang_scores_expr() -> dict[str, Column]:
+def lang_scores_expr(uniq: Column | None = None) -> dict[str, Column]:
     """Per-language score: distinct-token overlap with the language's
     stopword list (an n-gram-free heuristic langid)."""
-    uniq = F.array_distinct(tokens_expr())
+    uniq = F.array_distinct(tokens_expr()) if uniq is None else uniq
     return {
         lang: F.size(F.array_intersect(uniq, F.array(*[F.lit(w) for w in ws])))
         for lang, ws in sorted(STOPWORDS.items())
     }
 
 
-def lang_id_expr() -> Column:
+def lang_id_expr(uniq: Column | None = None) -> Column:
     """argmax over language scores; ties resolved alphabetically (the CASE
     chain checks languages in sorted order against the running max)."""
-    scores = lang_scores_expr()
+    scores = lang_scores_expr(uniq)
     mx = F.greatest(*scores.values())
     out = F.lit("und")
     expr = None
@@ -126,24 +146,28 @@ def lang_id_expr() -> Column:
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", lang_id_expr().alias("lang_pred"))
+    docs = tokenized(load(spark, sf_dir, "documents"), "lang")
+    return docs.select("doc_id", "lang", lang_id_expr(F.col("uniq")).alias("lang_pred"))
 
 
-def fingerprint_exprs() -> dict[str, Column]:
+def fingerprint_exprs(
+    norm: Column | None = None, uniq: Column | None = None
+) -> dict[str, Column]:
     """Document fingerprints:
     - fp_norm: md5 of the normalized text (exact-dup key)
     - fp_bow: md5 of the sorted distinct token bag (order-insensitive —
       catches shuffled/re-ordered copies)"""
+    norm = normalized_text() if norm is None else norm
+    uniq = F.array_distinct(tokens_expr()) if uniq is None else uniq
     return {
-        "fp_norm": F.md5(normalized_text()),
-        "fp_bow": F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_expr())))),
+        "fp_norm": F.md5(norm),
+        "fp_bow": F.md5(F.concat_ws(" ", F.array_sort(uniq))),
     }
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    fps = fingerprint_exprs()
+    docs = tokenized(load(spark, sf_dir, "documents"))
+    fps = fingerprint_exprs(F.col("norm"), F.col("uniq"))
     return docs.select("doc_id", fps["fp_norm"].alias("fp_norm"), fps["fp_bow"].alias("fp_bow"))
 
 
@@ -216,3 +240,56 @@ ORACLE = {
         FROM documents
     """,
 }
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k salient terms by tf × (N/df).
+
+    The idf factor is the raw rarity ratio N/df rather than log(N/df):
+    rank-equivalent per document (log is monotone), and — unlike log, whose
+    libm rounding differs across engines — int/int double division is
+    bit-exact against the SQL oracle.  Shape: explode → two grouped
+    aggregations (map-side combined) → broadcast join of the small df table
+    → per-doc window top-k.  At 100 TB the df table is vocabulary-sized
+    (≪ corpus); the only big shuffle is the (doc, term) tf aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    par = spark.sparkContext.defaultParallelism
+    terms = docs.repartition(par).select(
+        "doc_id", F.explode(tokens_expr()).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+        "score", F.col("tf") * (F.lit(n_docs) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
+
+ORACLE["text_tfidf_top_terms"] = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * ((SELECT n_docs FROM n) / dfreq.df) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ((SELECT n_docs FROM n) / dfreq.df) DESC,
+                                         tf.term ASC) AS rank
+      FROM tf JOIN dfreq USING (term)
+    ) WHERE rank <= 3
+"""
