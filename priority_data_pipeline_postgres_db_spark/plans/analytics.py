@@ -165,3 +165,33 @@ ORACLE = {
     """,
     # q_approx_distinct: rows-only (sketches differ between engines)
 }
+
+
+def k1_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental semantics as a query (SURVEY.md §7 M3):
+    a full batch and an overlapping incremental batch are appended, then
+    the PK-dedup guard keeps exactly the newest row per key — closing the
+    reference's silent duplicate-append gap. One window over the PK."""
+    from ..plans.pipeline import dedup_append_by_pk
+
+    ev = load(spark, sf_dir, "events")
+    full = ev.filter(F.col("ts") < "2024-01-20").withColumn("batch", F.lit(1))
+    # overlap: the incremental batch re-delivers everything after the 10th
+    inc = ev.filter(F.col("ts") >= "2024-01-10").withColumn("batch", F.lit(2))
+    appended = full.unionByName(inc)
+    return dedup_append_by_pk(appended, ["event_id"], "batch")
+
+
+QUERIES["k1_dedup_append"] = k1_dedup_append
+
+ORACLE["k1_dedup_append"] = """
+    WITH appended AS (
+      SELECT *, 1 AS batch FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      UNION ALL
+      SELECT *, 2 AS batch FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    )
+    SELECT event_id, ts, user_id, event_type, value, props, batch FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY batch DESC) AS rn
+      FROM appended
+    ) WHERE rn = 1
+"""

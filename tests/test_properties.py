@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) over the pure driver-side components:
+EDMX parsing, type mapping, control store, OData URL/filter building.
+No SparkSession — these run in milliseconds per example."""
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from priority_data_pipeline_postgres_db_spark.functions.typemap import entity_struct
+from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+from priority_data_pipeline_postgres_db_spark.sources.metadata import parse_edmx, to_struct
+from priority_data_pipeline_postgres_db_spark.sources.odata import build_url, filters_to_odata
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNull
+
+IDENT = st.from_regex(r"[A-Z][A-Z0-9_]{0,14}", fullmatch=True)
+EDM_TYPES = st.sampled_from(["Edm.String", "Edm.Decimal", "Edm.DateTimeOffset", "Edm.Int64"])
+
+
+@st.composite
+def entity_defs(draw):
+    n_fields = draw(st.integers(1, 8))
+    names = draw(
+        st.lists(IDENT, min_size=n_fields, max_size=n_fields, unique=True)
+    )
+    types = [draw(EDM_TYPES) for _ in range(n_fields)]
+    n_keys = draw(st.integers(0, min(2, n_fields)))
+    return {"name": draw(IDENT), "fields": list(zip(names, types)), "keys": names[:n_keys]}
+
+
+def render_edmx(entities: list[dict]) -> str:
+    parts = [
+        '<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">',
+        '<edmx:DataServices><Schema xmlns="http://docs.oasis-open.org/odata/ns/edm">',
+    ]
+    for e in entities:
+        parts.append(f'<EntityType Name="{e["name"]}">')
+        if e["keys"]:
+            parts.append(
+                "<Key>" + "".join(f'<PropertyRef Name="{k}"/>' for k in e["keys"]) + "</Key>"
+            )
+        for fname, ftype in e["fields"]:
+            parts.append(f'<Property Name="{fname}" Type="{ftype}"/>')
+        parts.append("</EntityType>")
+    parts.append("</Schema></edmx:DataServices></edmx:Edmx>")
+    return "".join(parts)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(entity_defs(), min_size=1, max_size=4))
+def test_edmx_roundtrip_properties(entities):
+    # entity names may repeat across draws; keep first occurrence semantics
+    docs = parse_edmx(render_edmx(entities))
+    assert len(docs) == len(entities)
+    for e, doc in zip(entities, docs):
+        assert doc["_id"] == e["name"]
+        assert [f["fieldName"] for f in doc["Fields"]] == [n for n, _ in e["fields"]]
+        assert doc["EntityPk"] == e["keys"]
+        # every key field flagged, every non-key not
+        for f in doc["Fields"]:
+            assert f["KeyFlag"] == (f["fieldName"] in e["keys"])
+        # struct invariants: PKs become non-nullable strings, audit cols last
+        struct = to_struct(doc)
+        assert struct.fieldNames()[-2:] == ["extractionid", "extractiontimestamputc"]
+        for f in struct.fields[:-2]:
+            src = next(x for x in doc["Fields"] if x["fieldName"].lower() == f.name)
+            if src["KeyFlag"]:
+                assert f.dataType.simpleString() == "string" and not f.nullable
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(IDENT, st.sampled_from(["Edm.String", "Edm.Int64", "Edm.Decimal", "Edm.Unknown"]), st.booleans()),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_entity_struct_total(fields):
+    st_fields = [
+        {"fieldName": n, "SourceDataType": t, "KeyFlag": k} for n, t, k in fields
+    ]
+    struct = entity_struct(st_fields, with_audit=False)
+    assert len(struct.fields) == len(fields)
+    for (n, t, k), f in zip(fields, struct.fields):
+        assert f.name == n.lower()
+        if k or t in ("Edm.String", "Edm.Unknown"):
+            assert f.dataType.simpleString() == "string"  # PK coercion / degrade
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=6),
+    st.integers(0, 5),
+)
+def test_control_store_latest_wins(seq, n_updates):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        store = ControlStore(os.path.join(d, "c.json"))
+        base = {
+            "datasourceName": "x",
+            "uri": "u://",
+            "accountID": "a",
+            "systemTimezone": "UTC",
+            "sourceSystem": "priority",
+            "entities": [
+                {
+                    "EntityID": "E1",
+                    "filterFlag": False,
+                    "filterField": "",
+                    "expand": [],
+                    "lastRun": "2024-01-01 00:00:00",
+                    "dataStartDate": "2024-01-01 00:00:00",
+                }
+            ],
+        }
+        for i, tag in enumerate(seq):
+            store.insert_config(dict(base, datasourceName=f"v{i}-{tag}"), datasource_id="ds")
+        got = store.latest_config("ds")
+        assert got["datasourceName"] == f"v{len(seq)-1}-{seq[-1]}"
+        for j in range(n_updates):
+            store.update_last_run("ds", "E1", value=f"2024-02-{j+1:02d} 00:00:00")
+        if n_updates:
+            reloaded = ControlStore(store.path)
+            assert (
+                reloaded.latest_config("ds")["entities"][0]["lastRun"]
+                == f"2024-02-{n_updates:02d} 00:00:00"
+            )
+
+
+@settings(max_examples=50, deadline=None)
+@given(IDENT, st.lists(IDENT, max_size=3, unique=True), st.integers(0, 1000), st.integers(1, 1000))
+def test_build_url_structure(entity, expand, skip, top):
+    url = build_url("https://h/o/", entity, expand=expand or None, skip=skip, top=top)
+    assert url.startswith(f"https://h/o/{entity}")
+    assert f"$skip={skip}" in url and f"$top={top}" in url
+    for e in expand:
+        assert f"{e}_SUBFORM" in url
+    # qs separators well-formed: exactly one '?', params '&'-joined
+    assert url.count("?") == 1
+    assert "??" not in url and "&&" not in url
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(IDENT, st.integers(0, 10**9)), max_size=5))
+def test_filters_to_odata_partition(pairs):
+    filters = []
+    for name, v in pairs:
+        filters.append(GreaterThanOrEqual((name.lower(),), v))
+        filters.append(IsNull((name.lower(),)))
+    field_map = {name.lower(): name for name, _ in pairs}
+    clause, unsupported = filters_to_odata(filters, field_map)
+    # every filter either translated or returned — none dropped
+    assert len(unsupported) + (clause.count(" ge ") if clause else 0) == len(filters)
+    # IsNull is never translatable
+    assert sum(isinstance(f, IsNull) for f in unsupported) == len(pairs)
