@@ -195,3 +195,62 @@ ORACLE["k1_dedup_append"] = """
       FROM appended
     ) WHERE rn = 1
 """
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (SURVEY.md §2.7 row): parse the events.props
+    JSON payload and aggregate on an extracted field. from_json with an
+    explicit schema stays codegen-friendly (schema inference would scan)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_id", "event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: identical Catalyst plan whether declared via
+    DataFrame calls or spark.sql over registered views."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+QUERIES["q_json_extract"] = q_json_extract
+QUERIES["q_sql_api_revenue"] = q_sql_api_revenue
+
+ORACLE["q_json_extract"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+ORACLE["q_sql_api_revenue"] = """
+    SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+"""
