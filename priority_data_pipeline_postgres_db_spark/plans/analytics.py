@@ -254,3 +254,47 @@ ORACLE["q_sql_api_revenue"] = """
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY o_orderpriority
 """
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
+    nation) → profit by nation × order year. part/supplier/nation broadcast;
+    the lineitem⋈orders fact join is the only shuffle that grows with SF."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    amount = (
+        dec("l_extendedprice", 4, 12) * (F.lit(1).cast("decimal(8,4)") - dec("l_discount", 4, 8))
+        - dec("l_quantity", 4, 12) * dec("p_retailprice", 4, 12)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(as_double(F.sum(amount)).alias("sum_profit"))
+    )
+
+
+QUERIES["q9_product_profit"] = q9_product_profit
+
+ORACLE["q9_product_profit"] = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      CAST(CAST(ROUND(SUM(
+        CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+        - CAST(l_quantity AS DECIMAL(12,4)) * CAST(p_retailprice AS DECIMAL(12,4))
+      ), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, year(o_orderdate)
+"""

@@ -109,3 +109,29 @@ class SparkCatalogDwh:
 
     def drop_db(self) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")
+
+
+class BucketedWarehouse(SparkCatalogDwh):
+    """Bucketed managed tables: pre-shuffled storage so repeated joins and
+    aggregations on the bucket key run with NO exchange (SCALE.md — the
+    co-located-join story; at 100 TB the one-time bucketed write amortizes
+    over every downstream join on that key)."""
+
+    def write_bucketed(
+        self,
+        df,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 8,
+        *,
+        sort: bool = True,
+    ) -> str:
+        name = f"{self.db}.{table.lower()}"
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+        if sort:
+            writer = writer.sortBy(*bucket_cols)
+        writer.saveAsTable(name)
+        return name
+
+    def read_table(self, table: str):
+        return self.spark.table(f"{self.db}.{table.lower()}")
