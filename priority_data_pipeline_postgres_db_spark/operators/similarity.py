@@ -216,3 +216,99 @@ ORACLE = {
     # sim_ann_lsh_topk: approximate → rows-only driver check; recall vs
     # brute force asserted in unit tests.
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index over coarse clusters)
+# ---------------------------------------------------------------------------
+
+N_PROBE = 4
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K, nprobe: int = N_PROBE
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is inverted-listed by its coarse
+    cluster id (the ``label`` column — in production the assignment step is
+    a k-means fit); each query probes only its ``nprobe`` nearest
+    centroids' lists.
+
+    On this near-random test corpus the labels are weak clusters, so
+    recall needs nprobe≈4 of 10 lists (real embedding spaces cluster far
+    tighter and probe 1-5% of lists).
+
+    Scale shape: centroids are tiny (k_clusters × dim, driver+broadcast);
+    the probe decision is numpy on the query batch; candidate retrieval is
+    a broadcast equi-join on ``label`` — the corpus is scanned once and
+    only probed lists leave the scan (predicate `label IN (...)` pushes
+    down). Search cost ∝ corpus/k_clusters × nprobe instead of corpus."""
+    spark = emb.sparkSession
+
+    # centroids: mean of quantized vectors per label — exact int sums, then
+    # one double division (deterministic; tiny table collected to driver)
+    q_all = emb.select("vec_id", "label", quantize_expr().alias("q"))
+    cent_pdf = (
+        q_all.groupBy("label")
+        .agg(
+            F.array(*[F.sum(F.element_at("q", i + 1)) for i in range(64)]).alias("sums"),
+            F.count("*").alias("n"),
+        )
+        .toPandas()
+    )
+    labels = cent_pdf["label"].to_numpy()
+    cents = np.stack(
+        cent_pdf["sums"].map(lambda v: np.asarray(v, dtype=np.float64))
+    ) / cent_pdf["n"].to_numpy(dtype=np.float64)[:, None]
+
+    # probe assignment: nearest nprobe centroids per query (cosine, numpy)
+    q_ids, q_mat, q_norms = _collect_quantized(queries)
+    cent_norm = np.sqrt((cents * cents).sum(axis=1))
+    cos_qc = (q_mat.astype(np.float64) @ cents.T) / (
+        np.sqrt(q_norms.astype(np.float64))[:, None] * cent_norm[None, :]
+    )
+    order = np.argsort(-cos_qc, axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(q_ids[i]), int(labels[j])) for i in range(len(q_ids)) for j in order[i]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, label int")
+
+    # candidates: corpus rows in a probed list of the query
+    cand = q_all.join(F.broadcast(probes), "label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    # exact cosine over candidates with the broadcast query matrix
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def score(it):
+        ids_q, mat_q, norms_q = bc.value
+        sqrt_q = np.sqrt(norms_q.astype(np.float64))
+        pos = {int(v): i for i, v in enumerate(ids_q)}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            c_norms = (c_mat * c_mat).sum(axis=1)
+            qi = pdf["query_id"].map(pos).to_numpy()
+            dots = np.einsum("ij,ij->i", c_mat, mat_q[qi])
+            cos = dots / (np.sqrt(c_norms.astype(np.float64)) * sqrt_q[qi])
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cosine": cos}
+            )
+
+    scored = cand.select("query_id", "vec_id", "q").mapInPandas(score, _SCORED_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
+QUERIES["sim_ivf_topk"] = sim_ivf_topk
+# approximate → rows-only; recall vs brute force asserted in tests

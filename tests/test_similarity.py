@@ -54,3 +54,20 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
     for r in approx:
         assert r["neighbor_id"] != r["query_id"]
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx_rows = ivf_topk(emb, queries, k=5, nprobe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # labels are true coarse clusters → probing 2 lists should catch a fair
+    # share of true neighbors; deterministic for this fixture
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    for r in approx_rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 5
