@@ -298,3 +298,71 @@ ORACLE["q9_product_profit"] = """
     WHERE p_name LIKE '%a%'
     GROUP BY n_name, year(o_orderdate)
 """
+
+
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface (EXISTS / NOT EXISTS): customers partitioned
+    by whether they have any order. Both are broadcast-able one-sided
+    joins — no row multiplication, the scalable existence check."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_orders.select("c_custkey", F.lit("active").alias("segment"))
+        .unionByName(without.select("c_custkey", F.lit("dormant").alias("segment")))
+    )
+
+
+def o_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/rank window battery over one shuffle: cumulative spend,
+    order rank, and previous order gap per customer."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        as_double(running).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who bought in both 1996 and 1999."""
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y96.intersect(y99)
+
+
+QUERIES["j_semi_anti"] = j_semi_anti
+QUERIES["o_window_running"] = o_window_running
+QUERIES["set_intersect_buyers"] = set_intersect_buyers
+
+ORACLE["j_semi_anti"] = """
+    SELECT c_custkey, 'active' AS segment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'dormant' AS segment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLE["o_window_running"] = """
+    SELECT o_orderkey, o_custkey,
+      CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING), 4) AS DECIMAL(18,4)) AS DOUBLE) AS running_spend,
+      CAST(row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq,
+      lag(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+"""
+
+ORACLE["set_intersect_buyers"] = """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+"""
