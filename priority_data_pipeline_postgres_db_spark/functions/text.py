@@ -293,3 +293,50 @@ ORACLE["text_tfidf_top_terms"] = f"""
       FROM tf JOIN dfreq USING (term)
     ) WHERE rank <= 3
 """
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+    """Robust per-key anomaly detection via applyInPandas (grouped map):
+    flag events whose value deviates from the user's median by more than
+    ``z`` × MAD.  Exact medians per group are the textbook grouped-map
+    case — a built-in exact median needs a full sort per group anyway, and
+    the pandas kernel gets the whole group as one frame (groups are
+    per-user sized, never corpus-sized, so the Python boundary is safe at
+    scale).  Rows-only driver check (interpolated medians differ in the
+    ulp across engines); invariants unit-tested.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..plans.tables import load
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("median_value", T.DoubleType()),
+            T.StructField("mad", T.DoubleType()),
+        ]
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = float(np.median(pdf["value"]))
+        mad = float(np.median(np.abs(pdf["value"] - med)))
+        if mad == 0.0:
+            return pdf.iloc[0:0][["user_id", "event_id", "value"]].assign(
+                median_value=0.0, mad=0.0
+            )
+        mask = np.abs(pdf["value"] - med) > z * mad
+        out = pdf.loc[mask, ["user_id", "event_id", "value"]].copy()
+        out["median_value"] = med
+        out["mad"] = mad
+        return out
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(per_user, out_schema)
+
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+# rows-only: exact-median interpolation is ulp-sensitive across engines

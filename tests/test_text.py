@@ -70,3 +70,18 @@ def test_fingerprints_bow_vs_norm(spark):
     assert by_id[0]["b"] != by_id[2]["b"]
     # normalized fingerprint is order-sensitive
     assert by_id[0]["n"] != by_id[1]["n"]
+
+
+def test_events_anomaly_mad_invariants(spark, sf_dir):
+    from priority_data_pipeline_postgres_db_spark.functions.text import events_anomaly_mad
+
+    out = events_anomaly_mad(spark, sf_dir, z=3.0)
+    rows = out.collect()
+    assert len(rows) > 0  # the synthetic values have tails
+    for r in rows:
+        # every flagged event truly violates the MAD bound it reports
+        assert abs(r["value"] - r["median_value"]) > 3.0 * r["mad"]
+        assert r["mad"] > 0
+    # flagged set is a small minority
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(rows) < total * 0.2
