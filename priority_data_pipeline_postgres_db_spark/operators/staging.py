@@ -42,15 +42,27 @@ class StagingWarehouse:
     def _path(self, table_name: str) -> str:
         return os.path.join(self.root, f"acc_{self.account_id}", STG_PREFIX + table_name.lower())
 
-    def write(self, df: DataFrame, table_name: str, *, incremental: bool) -> WriteReport:
-        """Append (incremental) or overwrite (full refresh) — K1."""
+    def write(
+        self,
+        df: DataFrame,
+        table_name: str,
+        *,
+        incremental: bool,
+        entity_name: str | None = None,
+    ) -> WriteReport:
+        """Append (incremental) or overwrite (full refresh) — K1.
+
+        ``entity_name`` defaults to the table name; subform children pass
+        the suffixed form so the report keeps the reference's naming
+        contract (entityName carries ``_subform``, tableName doesn't —
+        priorityDataSource.py:803-806)."""
         mode = "append" if incremental else "overwrite"
         path = self._path(table_name)
         df.write.mode(mode).parquet(path)
         # count from the written files, not the input plan, so the report
         # reflects what actually landed (reference counts to_sql's return).
         n = self.spark.read.parquet(path).count() if not incremental else df.count()
-        return WriteReport(table_name, STG_PREFIX + table_name.lower(), n)
+        return WriteReport(entity_name or table_name, STG_PREFIX + table_name.lower(), n)
 
     def read(self, table_name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table_name))

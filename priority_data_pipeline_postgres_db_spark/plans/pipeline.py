@@ -152,7 +152,12 @@ class Pipeline:
                 parts = split_subforms(df, ent["EntityID"], pk, run)
                 for p in parts:
                     report.stg_data_written.append(
-                        self.warehouse.write(p.df, p.table_name, incremental=incremental)
+                        self.warehouse.write(
+                            p.df,
+                            p.table_name,
+                            incremental=incremental,
+                            entity_name=p.entity_name,
+                        )
                     )
                 self.control.update_last_run(self.datasource_id, ent["EntityID"])
             except Exception as ex:  # noqa: BLE001 — per-entity error report

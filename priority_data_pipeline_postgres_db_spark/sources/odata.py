@@ -99,11 +99,11 @@ def fake_transport(url: str, headers: dict) -> dict:
     """Minimal OData tenant: understands $count, $skip, $top, $orderby and
     ``$filter=CURDATE ge <iso>``."""
     path, _, query = url.partition("?")
-    entity = path.rstrip("/").rsplit("/", 1)[-1]
-    if entity.endswith("/$count"):
-        entity = entity[: -len("/$count")]
+    segments = [s for s in path.rstrip("/").split("/") if s]
+    is_count = segments[-1] == "$count"
+    entity = segments[-2] if is_count else segments[-1]
     params = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
-    rows = _fake_rows(entity.removesuffix("$count").rstrip("/"))
+    rows = _fake_rows(entity)
     flt = params.get("$filter", "")
     m = re.match(r"(\w+) ge ([0-9T:+\-\.]+)", flt)
     if m:
@@ -111,7 +111,7 @@ def fake_transport(url: str, headers: dict) -> dict:
         bdt = datetime.fromisoformat(bound)
         rows = [r for r in rows if datetime.fromisoformat(r[fld]) >= bdt]
     rows.sort(key=lambda r: r["ORDNAME"])
-    if path.rstrip("/").endswith("$count"):
+    if is_count:
         return {"count": len(rows)}
     skip = int(params.get("$skip", 0))
     top = int(params.get("$top", len(rows)))
