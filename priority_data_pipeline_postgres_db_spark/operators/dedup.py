@@ -369,7 +369,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6)
+    # max_hamming=3: the 4x16-bit chunk banding only GUARANTEES capture up
+    # to Hamming 3 (pigeonhole); asking for 6 would silently drop pairs
+    # that differ in all four chunks
+    return simhash_pairs(docs, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
-from .dedup import QUANT, quantize_expr
+from .dedup import QUANT, dot_expr, quantize_expr
 
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
 TOP_K = 5
@@ -163,15 +163,10 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
         .dropDuplicates(["query_id", "vec_id"])
     )
 
-    # exact cosine on the candidate set (same integer kernel)
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
-        )
-
-    cos = dot(F.col("qq"), F.col("cq")) / (
-        F.sqrt(dot(F.col("qq"), F.col("qq")).cast("double"))
-        * F.sqrt(dot(F.col("cq"), F.col("cq")).cast("double"))
+    # exact cosine on the candidate set (same integer kernel as dedup)
+    cos = dot_expr(F.col("qq"), F.col("cq")) / (
+        F.sqrt(dot_expr(F.col("qq"), F.col("qq")).cast("double"))
+        * F.sqrt(dot_expr(F.col("cq"), F.col("cq")).cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -226,7 +221,11 @@ N_PROBE = 4
 
 
 def ivf_topk(
-    emb: DataFrame, queries: DataFrame, k: int = TOP_K, nprobe: int = N_PROBE
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: the corpus is inverted-listed by its coarse
     cluster id (the ``label`` column — in production the assignment step is
@@ -243,6 +242,8 @@ def ivf_topk(
     only probed lists leave the scan (predicate `label IN (...)` pushes
     down). Search cost ∝ corpus/k_clusters × nprobe instead of corpus."""
     spark = emb.sparkSession
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
 
     # centroids: mean of quantized vectors per label — exact int sums, then
     # one double division (deterministic; tiny table collected to driver)
@@ -250,7 +251,7 @@ def ivf_topk(
     cent_pdf = (
         q_all.groupBy("label")
         .agg(
-            F.array(*[F.sum(F.element_at("q", i + 1)) for i in range(64)]).alias("sums"),
+            F.array(*[F.sum(F.element_at("q", i + 1)) for i in range(dim)]).alias("sums"),
             F.count("*").alias("n"),
         )
         .toPandas()

@@ -58,10 +58,13 @@ class StagingWarehouse:
         priorityDataSource.py:803-806)."""
         mode = "append" if incremental else "overwrite"
         path = self._path(table_name)
+        before = self.spark.read.parquet(path).count() if incremental and os.path.isdir(path) else 0
         df.write.mode(mode).parquet(path)
-        # count from the written files, not the input plan, so the report
-        # reflects what actually landed (reference counts to_sql's return).
-        n = self.spark.read.parquet(path).count() if not incremental else df.count()
+        # count what actually LANDED from the written files — parquet
+        # counts are footer-metadata-only. (Re-counting the input frame
+        # would re-execute the whole source read — a second full OData
+        # fetch per entity in production.)
+        n = self.spark.read.parquet(path).count() - before
         return WriteReport(entity_name or table_name, STG_PREFIX + table_name.lower(), n)
 
     def read(self, table_name: str) -> DataFrame:

@@ -33,7 +33,7 @@ from ..operators.ingest import (
     watermark_predicate,
 )
 from ..operators.staging import StagingWarehouse, WriteReport
-from ..sources.control import ControlStore
+from ..sources.control import ControlStore, now_in_system_tz
 from ..sources.metadata import SchemaRegistry
 
 
@@ -118,6 +118,8 @@ class Pipeline:
         source: EntitySource,
         warehouse: StagingWarehouse,
         datasource_id: str,
+        *,
+        dedup_append: bool = False,
     ):
         self.spark = spark
         self.control = control
@@ -125,6 +127,10 @@ class Pipeline:
         self.source = source
         self.warehouse = warehouse
         self.datasource_id = datasource_id
+        # exactly-once appends: anti-join re-delivered PKs away before an
+        # incremental write (the inclusive >= lastRun boundary plus the
+        # start-of-run watermark necessarily re-delivers the overlap)
+        self.dedup_append = dedup_append
 
     def _config(self) -> dict:
         cfg = self.control.latest_config(self.datasource_id)
@@ -138,6 +144,11 @@ class Pipeline:
         run = run or ExtractionRun()
         report = RunReport(extraction_id=run.run_id)
         tz = cfg.get("systemTimezone")
+        # capture the new watermark BEFORE scanning: stamping now() after
+        # the load (the reference's behavior, priorityDataSource.py:595)
+        # permanently loses rows committed to the source mid-run. The
+        # overlap this re-delivers is removed by the PK anti-join below.
+        run_start = now_in_system_tz(tz) if tz else None
         for ent in cfg["entities"]:
             try:
                 df = self.source.read(self.spark, ent)
@@ -151,15 +162,27 @@ class Pipeline:
                 )
                 parts = split_subforms(df, ent["EntityID"], pk, run)
                 for p in parts:
+                    out_df = p.df
+                    if (
+                        incremental
+                        and self.dedup_append
+                        and pk
+                        and all(c in out_df.columns for c in pk)
+                        and self.warehouse.exists(p.table_name)
+                    ):
+                        existing = self.warehouse.read(p.table_name).select(*pk).distinct()
+                        out_df = out_df.join(existing, pk, "left_anti")
                     report.stg_data_written.append(
                         self.warehouse.write(
-                            p.df,
+                            out_df,
                             p.table_name,
                             incremental=incremental,
                             entity_name=p.entity_name,
                         )
                     )
-                self.control.update_last_run(self.datasource_id, ent["EntityID"])
+                self.control.update_last_run(
+                    self.datasource_id, ent["EntityID"], value=run_start
+                )
             except Exception as ex:  # noqa: BLE001 — per-entity error report
                 report.errors.append({"entity": ent["EntityID"], "error": str(ex)})
         return report

@@ -29,6 +29,7 @@ import base64
 import json
 import math
 import re
+import urllib.parse
 import urllib.request
 from datetime import datetime, timezone
 from typing import Any, Callable, Iterator
@@ -102,7 +103,10 @@ def fake_transport(url: str, headers: dict) -> dict:
     segments = [s for s in path.rstrip("/").split("/") if s]
     is_count = segments[-1] == "$count"
     entity = segments[-2] if is_count else segments[-1]
-    params = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+    params = {
+        k: urllib.parse.unquote(v)
+        for k, v in (p.split("=", 1) for p in query.split("&") if "=" in p)
+    }
     rows = _fake_rows(entity)
     flt = params.get("$filter", "")
     m = re.match(r"(\w+) ge ([0-9T:+\-\.]+)", flt)
@@ -147,14 +151,18 @@ def build_url(
     count: bool = False,
 ) -> str:
     base = uri.rstrip("/") + "/" + entity + ("/$count" if count else "")
+    # percent-encode values: a $filter clause carries spaces (illegal raw in
+    # a request line) and '+' timezone offsets (decoded as space by the
+    # server); commas and quotes stay literal for OData readability
+    q = lambda v: urllib.parse.quote(str(v), safe="(),'$")  # noqa: E731
     params = []
     if filter_clause:
-        params.append(f"$filter={filter_clause}")
+        params.append(f"$filter={q(filter_clause)}")
     if expand:
         # '<name>_SUBFORM' suffix + comma join (priorityDataSource.py:686-693)
         params.append("$expand=" + ",".join(f"{e}_SUBFORM" for e in expand))
     if orderby:
-        params.append(f"$orderby={orderby}")
+        params.append(f"$orderby={q(orderby)}")
     if skip is not None:
         params.append(f"$skip={skip}")
     if top is not None:
@@ -164,9 +172,12 @@ def build_url(
 
 def _fmt_value(v: Any) -> str:
     if isinstance(v, datetime):
-        return v.isoformat()
+        return v.isoformat()  # OData datetimeoffset literals are unquoted
     if isinstance(v, str):
-        return v
+        # OData string literals are single-quoted, '' escapes a quote
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
     return str(v)
 
 

@@ -92,20 +92,29 @@ def test_url_builder_matches_reference_shapes():
     )
     # $expand gets the _SUBFORM suffix + comma join (priorityDataSource.py:686-693)
     assert "$expand=ORDERITEMS_SUBFORM,SHIP_SUBFORM" in url
-    assert "$filter=CURDATE ge 2020-05-30T00:00:00+03:00" in url
+    # the filter clause is percent-encoded: raw spaces are illegal in a
+    # request line and a raw '+' offset would decode server-side as a space
+    assert "$filter=CURDATE%20ge%202020-05-30T00%3A00%3A00%2B03%3A00" in url
     assert url.endswith("$top=1")
+    import urllib.parse
+
+    decoded = urllib.parse.unquote(url)
+    assert "CURDATE ge 2020-05-30T00:00:00+03:00" in decoded
 
 
 def test_filters_to_odata_translation():
+    from datetime import datetime
+
     clause, rest = filters_to_odata(
         [
-            GreaterThanOrEqual(("curdate",), "2024-01-01"),
-            EqualTo(("ordname",), "SO1"),
+            GreaterThanOrEqual(("curdate",), datetime(2024, 1, 1)),
+            EqualTo(("ordname",), "SO'1"),
             IsNull(("qprice",)),
         ],
         {"curdate": "CURDATE", "ordname": "ORDNAME"},
     )
-    assert clause == "CURDATE ge 2024-01-01 and ORDNAME eq SO1"
+    # datetimeoffset literals unquoted; string literals quoted with ''-escape
+    assert clause == "CURDATE ge 2024-01-01T00:00:00 and ORDNAME eq 'SO''1'"
     assert len(rest) == 1 and isinstance(rest[0], IsNull)
 
 

@@ -116,3 +116,46 @@ def test_dedup_append_by_pk(spark):
     out = dedup_append_by_pk(df, ["id"], "ts")
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got == {1: "new", 2: "only"}
+
+
+def test_dedup_append_prevents_redelivery(spark, tmp_path, sf_dir):
+    """Exactly-once wiring: with dedup_append, a second incremental run
+    over the same (inclusive) watermark window appends nothing."""
+    p = make_pipeline(
+        spark,
+        str(tmp_path),
+        sf_dir,
+        [entity("EVENTS", filterFlag=True, filterField="ts", lastRun="2024-01-20 00:00:00")],
+    )
+    p.dedup_append = True
+    p.refresh_data(incremental=False)
+    n_after_full = p.warehouse.read("events").count()
+
+    # two identical incremental windows: second is a full re-delivery
+    p.control.update_last_run("ds1", "EVENTS", value="2024-01-20 00:00:00")
+    inc1 = p.refresh_data(incremental=True)
+    p.control.update_last_run("ds1", "EVENTS", value="2024-01-20 00:00:00")
+    inc2 = p.refresh_data(incremental=True)
+
+    assert inc1.total_records() == 0  # full load already delivered them
+    assert inc2.total_records() == 0
+    total = p.warehouse.read("events").count()
+    assert total == n_after_full  # no duplicates accumulated
+    # and PKs are unique
+    assert p.warehouse.read("events").select("event_id").distinct().count() == total
+
+
+def test_watermark_advances_to_run_start_not_completion(spark, tmp_path, sf_dir):
+    """The new watermark is captured before the scan: it must not exceed
+    the run's start wall-clock (rows committed mid-run stay in the next
+    window)."""
+    from datetime import datetime
+
+    p = make_pipeline(spark, str(tmp_path), sf_dir, [entity("EVENTS")])
+    before = datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S")
+    p.refresh_data(incremental=False)
+    after_run = p.control.latest_config("ds1")["entities"][0]["lastRun"]
+    # config tz is UTC in make_pipeline → comparable strings
+    assert after_run >= before
+    done = datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S")
+    assert after_run <= done
