@@ -84,7 +84,12 @@ class ODataEntitySource:
             reader = reader.option("user", self.user).option("password", self.password)
         if entity_cfg.get("expand"):
             reader = reader.option("expand", ",".join(entity_cfg["expand"]))
-        if self.schema_ddl and eid in self.schema_ddl:
+        # schema resolution order: registry struct (carries sourceField
+        # metadata + PK coercion) > explicit DDL override > the source's
+        # own $metadata fetch
+        if self.registry is not None and eid in self.registry:
+            reader = reader.schema(self.registry.struct(eid, with_audit=False))
+        elif self.schema_ddl and eid in self.schema_ddl:
             reader = reader.option("schema_ddl", self.schema_ddl[eid])
         return reader.load()
 

@@ -121,3 +121,29 @@ def test_filters_to_odata_translation():
 def test_fake_transport_count_endpoint():
     body = fake_transport("fake://t/ORDERS/$count?", {})
     assert body["count"] == _FAKE_N
+
+
+def test_entity_source_uses_registry_schema(spark):
+    """ODataEntitySource resolves schemas from the registry: lowercase
+    engine-side names, source-case JSON keys mapped via sourceField
+    metadata, PK coerced to string."""
+    from priority_data_pipeline_postgres_db_spark.plans.pipeline import ODataEntitySource
+    from priority_data_pipeline_postgres_db_spark.sources.metadata import SchemaRegistry
+
+    edmx = """<edmx:Edmx xmlns:edmx="e"><edmx:DataServices><Schema xmlns="s">
+     <EntityType Name="ORDERS"><Key><PropertyRef Name="ORDNAME"/></Key>
+      <Property Name="ORDNAME" Type="Edm.String"/>
+      <Property Name="CURDATE" Type="Edm.DateTimeOffset"/>
+      <Property Name="ORD" Type="Edm.Int64"/>
+     </EntityType></Schema></edmx:DataServices></edmx:Edmx>"""
+    src = ODataEntitySource(
+        uri="fake://t/odata",
+        transport="fake",
+        page_size=20,
+        registry=SchemaRegistry.from_edmx(edmx),
+    )
+    df = src.read(spark, {"EntityID": "ORDERS", "expand": []})
+    assert df.columns == ["ordname", "curdate", "ord"]
+    row = df.orderBy("ord").first()
+    assert row["ordname"] == "SO00000" and row["ord"] == 0
+    assert df.count() == _FAKE_N
