@@ -49,17 +49,26 @@ class StagingWarehouse:
         *,
         incremental: bool,
         entity_name: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> WriteReport:
         """Append (incremental) or overwrite (full refresh) — K1.
 
         ``entity_name`` defaults to the table name; subform children pass
         the suffixed form so the report keeps the reference's naming
         contract (entityName carries ``_subform``, tableName doesn't —
-        priorityDataSource.py:803-806)."""
+        priorityDataSource.py:803-806).
+
+        ``partition_by`` lays the table out hive-partitioned (typically a
+        derived date column): downstream time-bounded scans prune whole
+        directories, and incremental appends land as new partitions — the
+        standard DWH layout for a 100 TB landing zone."""
         mode = "append" if incremental else "overwrite"
         path = self._path(table_name)
         before = self.spark.read.parquet(path).count() if incremental and os.path.isdir(path) else 0
-        df.write.mode(mode).parquet(path)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         # count what actually LANDED from the written files — parquet
         # counts are footer-metadata-only. (Re-counting the input frame
         # would re-execute the whole source read — a second full OData

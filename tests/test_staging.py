@@ -33,3 +33,30 @@ def test_tables_listing_and_drop_all(spark, orders, tmp_path):
     assert dropped == ["stg_ctype", "stg_orders"]
     assert wh.tables() == []
     assert not wh.exists("orders")
+
+
+def test_partitioned_staging_layout_and_pruning(spark, tmp_path, sf_dir):
+    """Hive-partitioned staging: directory layout by derived date column,
+    and a date-bounded read prunes to the matching partitions."""
+    import io
+    import contextlib
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t3")
+    ev = load(spark, sf_dir, "events").withColumn("event_day", F.to_date("ts"))
+    wh.write(ev, "EVENTS", incremental=False, partition_by=["event_day"])
+
+    base = os.path.join(str(tmp_path), "acc_t3", "stg_events")
+    days = [d for d in os.listdir(base) if d.startswith("event_day=")]
+    assert len(days) == ev.select("event_day").distinct().count()
+
+    scan = wh.read("events").filter(F.col("event_day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    # partition filter prunes directories at planning time
+    assert "PartitionFilters: [isnotnull(event_day" in plan
+    assert scan.count() == ev.filter(F.col("event_day") == "2024-01-05").count()
