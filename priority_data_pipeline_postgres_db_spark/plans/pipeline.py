@@ -134,7 +134,12 @@ class Pipeline:
         self.datasource_id = datasource_id
         # exactly-once appends: anti-join re-delivered PKs away before an
         # incremental write (the inclusive >= lastRun boundary plus the
-        # start-of-run watermark necessarily re-delivers the overlap)
+        # start-of-run watermark necessarily re-delivers the overlap).
+        # NOTE the semantics: at-most-once per PK — a re-delivered row that
+        # the source UPDATED keeps its original staged version. For
+        # updatable sources leave this off and resolve at read time with
+        # dedup_append_by_pk(ts_col='extractiontimestamputc') → newest
+        # wins (a true upsert needs a MERGE-capable table format).
         self.dedup_append = dedup_append
 
     def _config(self) -> dict:
