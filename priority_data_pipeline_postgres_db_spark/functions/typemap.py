@@ -46,14 +46,29 @@ EDM_POSTGRES_MAP: dict[tuple[str, str], str] = {
     ("sbo", "SBO_num"): "VARCHAR(255)",
 }
 
+# MySQL legacy target names (datatypesConvert.json MySQLDatatype field,
+# static/datatypesConvert.json:1-50) — the reference keeps both columns in
+# each mapping doc; full parity means carrying both here.  Values are the
+# reference's SQLAlchemy-flavored names verbatim (it evals them as
+# SQLAlchemy symbols at sqlDwh.py:352 — we only report them).
+EDM_MYSQL_MAP: dict[tuple[str, str], str] = {
+    ("priority", "Edm.String"): "TEXT(255)",
+    ("priority", "Edm.Decimal"): "Numeric(scale=3)",
+    ("priority", "Edm.DateTimeOffset"): "DateTime",
+    ("priority", "Edm.Int64"): "BigInteger",
+    ("sbo", "SBO_text"): "TEXT(255)",
+    ("sbo", "SBO_num"): "TEXT(255)",
+}
+
 
 def lookup_spark_type(source_system: str, source_type: str) -> T.DataType | None:
     """First-match-or-None lookup (priorityDataSource.py:538-542)."""
     return EDM_TYPE_MAP.get((source_system.lower(), source_type))
 
 
-def lookup_target_name(source_system: str, source_type: str) -> str | None:
-    return EDM_POSTGRES_MAP.get((source_system.lower(), source_type))
+def lookup_target_name(source_system: str, source_type: str, *, dialect: str = "postgres") -> str | None:
+    table = EDM_MYSQL_MAP if dialect == "mysql" else EDM_POSTGRES_MAP
+    return table.get((source_system.lower(), source_type))
 
 
 def entity_struct(

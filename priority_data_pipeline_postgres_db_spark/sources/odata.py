@@ -47,23 +47,35 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-Transport = Callable[[str, dict], dict]
-"""(url, headers) -> parsed JSON body."""
+Transport = Callable[[str, dict], "dict | str"]
+"""(url, headers) -> parsed JSON body (dict) or raw text (non-JSON
+responses — the ``$metadata`` EDMX document is XML)."""
 
 
-def http_transport(url: str, headers: dict) -> dict:
+def http_transport(url: str, headers: dict) -> dict | str:
     """HTTP GET with bounded exponential-backoff retry — page reads run in
     worker tasks, and one transient 5xx must not fail a whole Spark task
     attempt (the reference had no retry at all; a flaky tenant failed the
-    entity, priorityDataSource.py:173-184)."""
+    entity, priorityDataSource.py:173-184).
+
+    Content-type aware: JSON bodies are parsed; anything else (notably the
+    ``$metadata`` EDMX **XML** document, priorityDataSource.py:349-358)
+    comes back as raw text for the caller to parse.  A ``$metadata`` URL is
+    always treated as text even if the server omits the content type.
+    """
     import time
 
+    is_metadata = url.split("?", 1)[0].rstrip("/").endswith("$metadata")
     last_err: Exception | None = None
     for attempt in range(4):
         try:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=60) as resp:  # noqa: S310 — https URIs from config
-                return json.loads(resp.read().decode("utf-8"))
+                ctype = (resp.headers.get("Content-Type") or "").lower()
+                body = resp.read().decode("utf-8")
+            if is_metadata or ("json" not in ctype and ctype):
+                return body
+            return json.loads(body)
         except Exception as ex:  # noqa: BLE001 — urllib raises several families
             last_err = ex
             if attempt < 3:
@@ -96,11 +108,26 @@ def _fake_rows(entity: str) -> list[dict]:
     return rows
 
 
-def fake_transport(url: str, headers: dict) -> dict:
-    """Minimal OData tenant: understands $count, $skip, $top, $orderby and
+_FAKE_EDMX = """<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+ <edmx:DataServices><Schema xmlns="http://docs.oasis-open.org/odata/ns/edm">
+  <EntityType Name="ORDERS">
+   <Key><PropertyRef Name="ORDNAME"/></Key>
+   <Property Name="ORDNAME" Type="Edm.String" Nullable="false"/>
+   <Property Name="CURDATE" Type="Edm.DateTimeOffset"/>
+   <Property Name="QPRICE" Type="Edm.Decimal"/>
+   <Property Name="ORD" Type="Edm.Int64"/>
+  </EntityType>
+ </Schema></edmx:DataServices></edmx:Edmx>"""
+
+
+def fake_transport(url: str, headers: dict) -> dict | str:
+    """Minimal OData tenant: understands $metadata (raw EDMX XML, like a
+    real tenant), $count, $skip, $top, $orderby and
     ``$filter=CURDATE ge <iso>``."""
     path, _, query = url.partition("?")
     segments = [s for s in path.rstrip("/").split("/") if s]
+    if segments[-1] == "$metadata":
+        return _FAKE_EDMX
     is_count = segments[-1] == "$count"
     entity = segments[-2] if is_count else segments[-1]
     params = {
@@ -239,8 +266,24 @@ class ODataReader(DataSourceReader):
     def _page_size(self) -> int:
         return int(self.options.get("pagesize", 1000))
 
-    def _orderby(self) -> str | None:
-        return self.options.get("orderby")
+    def _orderby(self) -> str:
+        """Page-window sort key. $skip/$top windows are only stable under a
+        UNIQUE total order, so the default is the registry primary key
+        (keyFlag metadata on the schema), not the first schema field — a
+        non-unique sort lets rows straddling page boundaries duplicate or
+        drop. A user-supplied ``orderby`` must likewise be a unique key."""
+        explicit = self.options.get("orderby")
+        if explicit:
+            return explicit
+        key_fields = [
+            f.metadata.get("sourceField", f.name)
+            for f in self.schema.fields
+            if f.metadata.get("keyFlag")
+        ]
+        if key_fields:
+            return ",".join(key_fields)
+        first = self.schema.fields[0]
+        return first.metadata.get("sourceField", first.name)
 
     # -- pushdown (S2) ------------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -272,7 +315,7 @@ class ODataReader(DataSourceReader):
             self.options["entity"],
             filter_clause=self.pushed_filter_clause or None,
             expand=self._expand,
-            orderby=self._orderby() or self.schema.fields[0].metadata.get("sourceField", self.schema.fields[0].name),
+            orderby=self._orderby(),
             skip=partition.skip,
             top=partition.top,
         )

@@ -123,6 +123,68 @@ def test_fake_transport_count_endpoint():
     assert body["count"] == _FAKE_N
 
 
+@pytest.fixture(scope="module")
+def http_tenant():
+    """A real HTTP server wrapping the fake tenant: JSON pages with a JSON
+    content type, $metadata as EDMX XML with an XML content type — the
+    exact shape a live tenant serves (priorityDataSource.py:349-358)."""
+    import json as jsonlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from priority_data_pipeline_postgres_db_spark.sources.odata import fake_transport
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = fake_transport("fake://tenant" + self.path, {})
+            if isinstance(body, str):
+                payload, ctype = body.encode(), "application/xml;charset=utf-8"
+            else:
+                payload, ctype = jsonlib.dumps(body).encode(), "application/json"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/odata"
+    srv.shutdown()
+
+
+def test_http_transport_metadata_is_raw_xml(http_tenant):
+    """The transport must NOT json.loads the EDMX document (VERDICT r1 #1)."""
+    from priority_data_pipeline_postgres_db_spark.sources.odata import http_transport
+
+    body = http_transport(http_tenant + "/$metadata", {})
+    assert isinstance(body, str) and "<edmx:Edmx" in body
+    # JSON endpoints still parse
+    count = http_transport(http_tenant + "/ORDERS/$count", {})
+    assert count["count"] == _FAKE_N
+
+
+def test_schema_inference_over_real_http(spark, http_tenant):
+    """End-to-end over the http transport with NO schema override: schema()
+    fetches $metadata (XML), the registry derives the struct (PK→string,
+    lowercased names), pages stream back as JSON."""
+    df = (
+        spark.read.format("odata")
+        .option("uri", http_tenant)
+        .option("entity", "ORDERS")
+        .option("transport", "http")
+        .option("pagesize", "10")
+        .load()
+    )
+    assert df.columns == ["ordname", "curdate", "qprice", "ord"]
+    assert df.schema["ordname"].dataType.simpleString() == "string"  # PK coerced
+    assert df.count() == _FAKE_N
+    assert df.select(F.countDistinct("ordname")).first()[0] == _FAKE_N
+
+
 def test_entity_source_uses_registry_schema(spark):
     """ODataEntitySource resolves schemas from the registry: lowercase
     engine-side names, source-case JSON keys mapped via sourceField

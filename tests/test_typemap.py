@@ -28,6 +28,24 @@ def test_unmatched_type_maps_to_none():
     assert lookup_target_name("nosuch", "Edm.String") is None
 
 
+def test_mysql_legacy_mapping_field_for_field():
+    """Both target columns of the reference's mapping docs
+    (static/datatypesConvert.json:1-50: MySQLDatatype + postgresDatatype)
+    are carried, value-for-value."""
+    expected = {
+        ("Priority", "Edm.String"): ("TEXT(255)", "VARCHAR"),
+        ("Priority", "Edm.Decimal"): ("Numeric(scale=3)", "NUMERIC"),
+        ("Priority", "Edm.DateTimeOffset"): ("DateTime", "TIMESTAMP"),
+        ("Priority", "Edm.Int64"): ("BigInteger", "BIGINT"),
+        ("SBO", "SBO_text"): ("TEXT(255)", "VARCHAR(255)"),
+        ("SBO", "SBO_num"): ("TEXT(255)", "VARCHAR(255)"),
+    }
+    for (system, src_type), (mysql, pg) in expected.items():
+        assert lookup_target_name(system, src_type, dialect="mysql") == mysql
+        assert lookup_target_name(system, src_type) == pg
+    assert lookup_target_name("priority", "Edm.Guid", dialect="mysql") is None
+
+
 def test_pk_force_coerced_to_string():
     # sqlDwh.py:348-350 — Int64 key becomes a string PK
     fields = [
