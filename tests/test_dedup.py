@@ -54,6 +54,25 @@ def test_ngram_jaccard_finds_near_dup_within_block(spark, planted_docs):
     assert not any(4 in p for p in got)
 
 
+def test_ngram_jaccard_caps_hot_blocks(spark, planted_docs):
+    """A pathological single hot block must not go quadratic unbounded:
+    blocks over max_block are excluded (VERDICT r1 #5), small blocks are
+    untouched."""
+    hot = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=BASE, lang="xx", source="hot") for i in range(20)]
+    )
+    docs = planted_docs.unionByName(hot)
+    pairs = ngram_jaccard_pairs(docs, ["lang", "source"], n=2, threshold=0.5, max_block=10)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    # 20 identical docs would have yielded 190 pairs; the capped block yields none
+    assert not any(a >= 100 for a, _ in got)
+    # the small (en, s1) block still produces its pairs
+    assert (1, 2) in got and (1, 3) in got
+    # and with a cap that accommodates the block, the pairs come back
+    uncapped = ngram_jaccard_pairs(docs, ["lang", "source"], n=2, threshold=0.5, max_block=100)
+    assert uncapped.filter((F.col("doc_id_a") >= 100)).count() == 190
+
+
 def test_minhash_candidates_contain_near_dups(spark, planted_docs):
     pairs = minhash_candidate_pairs(planted_docs.select("doc_id", "text"), n=3)
     got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
@@ -90,3 +109,28 @@ def test_embedding_near_dup_quantized_cosine(spark):
     got = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"] for r in pairs.collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] > 0.99
+
+
+def test_embedding_near_dup_no_driver_collect(spark, monkeypatch):
+    """The blocked grid must never collect the corpus to the driver
+    (VERDICT r1 #2): poison toPandas/collect and run the operator."""
+    from pyspark.sql import DataFrame
+
+    rows = [
+        Row(vec_id=i, embedding=[1.0 if j == (i % 3) else 0.02 * i for j in range(4)])
+        for i in range(1, 30)
+    ]
+    emb = spark.createDataFrame(rows)
+    expected = embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=4).count()
+    assert expected > 0
+
+    def boom(self, *a, **kw):
+        raise AssertionError("corpus must not be collected to the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=4)
+    assert pairs.count() == expected
+    # pair coverage is independent of the grid granularity
+    monkeypatch.undo()
+    assert embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=1).count() == expected
