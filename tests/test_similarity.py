@@ -59,14 +59,16 @@ def test_ann_recall_vs_exact(spark, sf_dir):
 def test_ivf_recall_vs_exact(spark, sf_dir):
     from priority_data_pipeline_postgres_db_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # drop the fixture's label column: ivf_topk must fit its own coarse
+    # quantizer (sampled spherical k-means) and run on ANY embeddings table
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").drop("label")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
     approx_rows = ivf_topk(emb, queries, k=5, nprobe=4).collect()
     approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
-    # labels are true coarse clusters → probing 2 lists should catch a fair
-    # share of true neighbors; deterministic for this fixture
+    # fitted k-means clusters → probing 4 of 10 lists catches a fair share
+    # of true neighbors; deterministic fit for this fixture
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
     for r in approx_rows:
         assert r["neighbor_id"] != r["query_id"]
