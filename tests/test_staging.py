@@ -35,6 +35,52 @@ def test_tables_listing_and_drop_all(spark, orders, tmp_path):
     assert not wh.exists("orders")
 
 
+def test_crashed_write_leaves_no_phantom_rows(spark, orders, tmp_path):
+    """Batch-commit protocol: a write that dies before its atomic rename
+    leaves an orphan scratch dir that readers, counts, exists() and the
+    next report all ignore (VERDICT r1: idempotent appends sans Delta)."""
+    import os
+    import shutil
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t4")
+    wh.write(orders.limit(8), "ORDERS", incremental=False)
+    n_committed = wh.read("orders").count()
+    assert n_committed == 8
+
+    # simulate a crash mid-append: a fully-written scratch dir that never
+    # reached its commit rename (real partial files, hidden dir name)
+    base = os.path.join(str(tmp_path), "acc_t4", "stg_orders")
+    committed = next(d for d in os.listdir(base) if d.startswith("ingest_batch="))
+    orphan = os.path.join(base, ".tmp-deadbeef")
+    shutil.copytree(os.path.join(base, committed), orphan)
+    assert any(f.endswith(".parquet") for f in os.listdir(orphan))
+
+    # readers and counts exclude the orphan
+    assert wh.read("orders").count() == n_committed
+    assert wh.exists("orders") and wh.tables() == ["stg_orders"]
+
+    # the next committed append reports only its own rows
+    r = wh.write(orders.limit(3), "ORDERS", incremental=True)
+    assert r.records_written == 3
+    assert wh.read("orders").count() == n_committed + 3
+
+    # a table that has ONLY an orphan doesn't exist yet
+    empty_base = os.path.join(str(tmp_path), "acc_t4", "stg_ghost")
+    shutil.copytree(orphan, os.path.join(empty_base, ".tmp-dead"))
+    assert not wh.exists("ghost")
+    assert "stg_ghost" not in wh.tables()
+
+
+def test_empty_incremental_append_commits_nothing(spark, orders, tmp_path):
+    """An incremental batch the exactly-once guard emptied must not leave
+    a schema-less committed dir behind (parquet can't re-read one)."""
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t5")
+    wh.write(orders.limit(5), "ORDERS", incremental=False)
+    r = wh.write(orders.limit(0), "ORDERS", incremental=True)
+    assert r.records_written == 0
+    assert wh.read("orders").count() == 5
+
+
 def test_partitioned_staging_layout_and_pruning(spark, tmp_path, sf_dir):
     """Hive-partitioned staging: directory layout by derived date column,
     and a date-bounded read prunes to the matching partitions."""
@@ -48,8 +94,11 @@ def test_partitioned_staging_layout_and_pruning(spark, tmp_path, sf_dir):
     ev = load(spark, sf_dir, "events").withColumn("event_day", F.to_date("ts"))
     wh.write(ev, "EVENTS", incremental=False, partition_by=["event_day"])
 
+    # partition dirs nest inside the committed batch dir
     base = os.path.join(str(tmp_path), "acc_t3", "stg_events")
-    days = [d for d in os.listdir(base) if d.startswith("event_day=")]
+    batches = [d for d in os.listdir(base) if d.startswith("ingest_batch=")]
+    assert len(batches) == 1
+    days = [d for d in os.listdir(os.path.join(base, batches[0])) if d.startswith("event_day=")]
     assert len(days) == ev.select("event_day").distinct().count()
 
     scan = wh.read("events").filter(F.col("event_day") == "2024-01-05")
