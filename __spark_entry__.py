@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_mm.QUERIES)
     except ImportError:
         pass
+    try:
+        from priority_data_pipeline_postgres_db_spark.operators import corpus as _cp
+
+        catalog.update(_cp.QUERIES)
+    except ImportError:
+        pass
     return catalog
 
 
@@ -63,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
         ("priority_data_pipeline_postgres_db_spark.operators.dedup", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.operators.similarity", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.functions.text", "ORACLE"),
+        ("priority_data_pipeline_postgres_db_spark.operators.corpus", "ORACLE"),
     ):
         try:
             import importlib

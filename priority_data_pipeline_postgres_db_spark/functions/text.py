@@ -302,8 +302,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str, z: float = 3.0) -> Data
     case — a built-in exact median needs a full sort per group anyway, and
     the pandas kernel gets the whole group as one frame (groups are
     per-user sized, never corpus-sized, so the Python boundary is safe at
-    scale).  Rows-only driver check (interpolated medians differ in the
-    ulp across engines); invariants unit-tested.
+    scale).  Oracle-checked: numpy's even-count median interpolation
+    ((a+b)/2) matches DuckDB's ``median``/``mad`` bit-for-bit on this
+    data (verified exhaustively per user at sf0.01), so the driver gets a
+    full hash-match instead of rows-only.
     """
     import numpy as np
     import pandas as pd
@@ -339,4 +341,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str, z: float = 3.0) -> Data
 
 
 QUERIES["events_anomaly_mad"] = events_anomaly_mad
-# rows-only: exact-median interpolation is ulp-sensitive across engines
+
+ORACLE["events_anomaly_mad"] = """
+    WITH stats AS (
+      SELECT user_id, median(value) AS med, mad(value) AS madv
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.value, s.med AS median_value, s.madv AS mad
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.madv > 0 AND abs(e.value - s.med) > 3.0 * s.madv
+"""

@@ -1,0 +1,215 @@
+"""Training-corpus preparation operators (BASELINE.json north star —
+the steps between raw documents and a training run that the reference's
+ELT surface stops short of).
+
+Three operators, each deterministic and oracle-checked:
+
+- **connected-components dedup clustering** — near-dup PAIRS (any of the
+  dedup families) only say "these two overlap"; a training pipeline needs
+  the transitive closure: one cluster id per group of mutually-near docs,
+  so exactly one survivor per cluster ships.  Implemented as iterative
+  min-label propagation (the standard large-graph CC: per round each node
+  takes the min label among itself and its neighbors; rounds = graph
+  diameter, and near-dup components are shallow).  Each round is one
+  shuffle on ``dst``; lineage is truncated per round (localCheckpoint) so
+  plans don't snowball — at cluster scale swap in ``checkpoint`` against
+  a real checkpoint dir.
+- **hash split** — deterministic train/validation/test assignment from a
+  content-stable hash of the key (md5-60, the same engine-portable hash
+  the LSH family uses).  Pure JVM expressions — no UDF, no RNG, no state:
+  re-running on a grown corpus never reshuffles old docs across splits.
+- **sequence packing** — concat-and-chunk layout: per language stream
+  (ordered by doc_id), each doc starts at the running token offset and
+  lands in sequence ``floor(offset / capacity)``.  One window sum —
+  engine-exact integer math.  At 100 TB the per-lang window is the
+  bottleneck; shard the partition key (lang, doc_id bucket) and offset
+  per shard if a single language exceeds an executor's sort budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.tables import load
+from .dedup import _TOKS, ngram_jaccard_pairs, tokens_expr
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable — exact CC
+    via min-label propagation.
+
+    Convergence is detected by the (monotonically decreasing) global label
+    sum; the loop is driver-side but touches one scalar per round, and the
+    round count is the component diameter, not the data size.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select(node_col, F.col(node_col).alias("component")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels[node_col])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels[node_col] == nbr_min["dst"], "left")
+            .select(
+                node_col,
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage: plans must not snowball
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster id per document from the blocked ngram-Jaccard near-dup
+    graph (same parameters as ``dedup_ngram_jaccard``); singleton docs are
+    their own cluster."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, ["lang", "source"], n=1, threshold=0.5)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 100
+_TRAIN_LT = 90  # buckets [0, 90) → train
+_VAL_LT = 95  # [90, 95) → validation, [95, 100) → test
+
+
+def hash_bucket_expr(col: str, buckets: int = _SPLIT_BUCKETS):
+    """Deterministic bucket from the md5-60 hash of the key — all JVM
+    expressions (md5 + conv stay in codegen), identical in DuckDB as
+    ``('0x'||substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash_bucket_expr("doc_id")
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "validation")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+SEQ_CAPACITY = 2048
+
+
+def pack_sequences(docs: DataFrame, capacity: int = SEQ_CAPACITY) -> DataFrame:
+    """Assign each doc its (seq_id, seq_offset) in a concat-and-chunk
+    token stream per language: running token offset via one window sum,
+    sequence = offset // capacity.  Integer math end to end."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.size(tokens_expr()).cast("long").alias("n_tokens")
+        )
+        .withColumn("seq_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_id", F.floor(F.col("seq_start") / capacity))
+        .withColumn("seq_offset", F.col("seq_start") % capacity)
+    )
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "dedup_connected_components": dedup_connected_components,
+    "corpus_hash_split": corpus_hash_split,
+    "corpus_pack_sequences": corpus_pack_sequences,
+}
+
+# import composes the ngram-pair SQL so the edge set stays definition-
+# identical with dedup_ngram_jaccard's oracle
+from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+
+ORACLE = {
+    "dedup_connected_components": f"""
+        WITH RECURSIVE pairs AS (
+          SELECT * FROM ({_DEDUP_ORACLE["dedup_ngram_jaccard"]}) t
+        ), edges AS (
+          SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ), reach(root, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT root AS doc_id, CAST(min(node) AS BIGINT) AS component
+        FROM reach GROUP BY root
+    """,
+    "corpus_hash_split": f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {_SPLIT_BUCKETS} AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket,
+               CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+                    WHEN bucket < {_VAL_LT} THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    "corpus_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS seq_start
+          FROM t
+        )
+        SELECT doc_id, lang, n_tokens, seq_start,
+               seq_start // {SEQ_CAPACITY} AS seq_id,
+               seq_start % {SEQ_CAPACITY} AS seq_offset
+        FROM s
+    """,
+}

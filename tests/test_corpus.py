@@ -1,0 +1,64 @@
+"""Training-corpus prep operators: CC clustering, hash split, packing
+(operators.corpus)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+    SEQ_CAPACITY,
+    connected_components,
+    corpus_hash_split,
+    pack_sequences,
+)
+
+
+def test_connected_components_planted_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain_needs_propagation(spark):
+    """A length-8 chain exercises multi-round propagation (diameter > 1)."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_hash_split_deterministic_and_stable(spark, sf_dir):
+    out1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus_hash_split(spark, sf_dir).collect()}
+    out2 = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus_hash_split(spark, sf_dir).collect()}
+    assert out1 == out2  # no RNG, no state
+    for bucket, split in out1.values():
+        assert 0 <= bucket < 100
+        assert split == ("train" if bucket < 90 else "validation" if bucket < 95 else "test")
+    # roughly proportional (hash uniformity, generous bounds)
+    n = len(out1)
+    n_train = sum(1 for _, s in out1.values() if s == "train")
+    assert 0.8 * n <= n_train / 0.9 <= 1.2 * n
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs).orderBy("lang", "doc_id").collect()
+    by_lang: dict = {}
+    for r in out:
+        assert 0 <= r["seq_offset"] < SEQ_CAPACITY
+        assert r["seq_id"] == r["seq_start"] // SEQ_CAPACITY
+        prev = by_lang.get(r["lang"])
+        if prev is not None:
+            # running offset is the cumulative token count of predecessors
+            assert r["seq_start"] == prev["seq_start"] + prev["n_tokens"]
+            assert r["seq_id"] >= prev["seq_id"]
+        by_lang[r["lang"]] = r
+    # first doc of each lang stream starts at offset 0
+    firsts = {}
+    for r in out:
+        firsts.setdefault(r["lang"], r)
+    assert all(r["seq_start"] == 0 for r in firsts.values())
