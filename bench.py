@@ -47,6 +47,9 @@ HEADLINE = [
     "set_except_high_qty",
     "multimodal_features",
     "text_tfidf_top_terms",
+    "dedup_connected_components",
+    "corpus_hash_split",
+    "corpus_pack_sequences",
 ]
 
 

@@ -57,7 +57,12 @@ def connected_components(
     round count is the component diameter, not the data size.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the symmetrized edge set ONCE — every propagation round
+    # joins against it, and recomputing an expensive upstream pair plan
+    # (e.g. the blocked Jaccard self-join) per round would dominate
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = nodes.select(node_col, F.col(node_col).alias("component")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iters):
