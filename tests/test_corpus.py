@@ -31,6 +31,37 @@ def test_connected_components_chain_needs_propagation(spark):
     assert got == {i: 1 for i in range(1, 9)}
 
 
+def test_connected_components_matches_union_find(spark):
+    """Random graphs: the distributed min-label propagation must agree
+    with a reference union-find on every node."""
+    import random
+
+    rng = random.Random(20260813)
+    for _ in range(3):
+        n = 30
+        raw = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(25)]
+        raw = [(a, b) for a, b in raw if a != b]
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in raw:
+            parent[find(a)] = find(b)
+        roots: dict = {}
+        for i in range(1, n + 1):
+            roots.setdefault(find(i), []).append(i)
+        expected = {i: min(members) for members in roots.values() for i in members}
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+        edges = spark.createDataFrame(raw, "doc_id_a long, doc_id_b long")
+        got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+        assert got == expected
+
+
 def test_hash_split_deterministic_and_stable(spark, sf_dir):
     out1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus_hash_split(spark, sf_dir).collect()}
     out2 = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus_hash_split(spark, sf_dir).collect()}

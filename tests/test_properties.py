@@ -156,3 +156,41 @@ def test_filters_to_odata_partition(pairs):
     assert len(unsupported) + (clause.count(" ge ") if clause else 0) == len(filters)
     # IsNull is never translatable
     assert sum(isinstance(f, IsNull) for f in unsupported) == len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# cross-engine hash portability (the md5-60 contract every oracle-checked
+# LSH / split operator rests on)
+# ---------------------------------------------------------------------------
+
+import duckdb as _duckdb
+
+from priority_data_pipeline_postgres_db_spark.operators.dedup import _md5_60
+
+_DUCK = _duckdb.connect()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+def test_md5_60_matches_duckdb(s):
+    """Python int(md5[:15],16) == DuckDB ('0x'||substr(md5,1,15))::BIGINT
+    for arbitrary printable strings — the exact expression the minhash/
+    simhash/split oracles inline."""
+    got = _DUCK.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+    ).fetchone()[0]
+    assert got == _md5_60(s)
+    assert 0 <= got < 1 << 60
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(10**12), max_value=10**12))
+def test_hash_split_bucket_matches_duckdb(doc_id):
+    """The JVM-side bucket expression's semantics (md5 of the key's string
+    form, 60-bit prefix, mod 100) — DuckDB and Python agree; Spark-vs-
+    DuckDB equality is pinned by the corpus_hash_split oracle."""
+    got = _DUCK.execute(
+        "SELECT ('0x' || substr(md5(CAST(? AS VARCHAR)), 1, 15))::BIGINT % 100",
+        [doc_id],
+    ).fetchone()[0]
+    assert got == _md5_60(str(doc_id)) % 100
