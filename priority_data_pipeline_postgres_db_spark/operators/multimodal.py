@@ -14,19 +14,26 @@ Design for 100 TB of media:
 - heavy stages repartition first so media bytes spread evenly (a skewed
   asset-size distribution otherwise concentrates decode work).
 
-The image/audio codec libraries are NOT in this container, so the actual
-pixel/sample decoding is stubbed: ``decode_image`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, in which case a
-seeded fake decode (bytes → pseudo-pixel stats) exercises the full
-schema / partitioning / UDF-signature / batch path.  Swapping the stub for
-PIL/ffmpeg changes ONE function body, none of the Spark plumbing.
+Codec status in this container: **audio is decoded for real** — WAV/PCM
+parses with the stdlib ``wave`` module, so the audio path runs an actual
+sample decode (rate/channels/duration/RMS) on genuine WAV payloads.
+Image/video codecs (PIL/libvips/ffmpeg) are NOT installed, so pixel
+decoding and frame sampling are stubbed: they raise
+``NotImplementedError`` unless ``deterministic_fake=True``, in which case
+a seeded fake decode (bytes → pseudo-pixel stats) exercises the full
+schema / partitioning / UDF-signature / batch path.  Swapping a stub for
+PIL/ffmpeg changes ONE function body, none of the Spark plumbing — the
+real WAV path is the proof.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,17 +59,43 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_sha256", T.StringType(), True),
         T.StructField("mean_intensity", T.DoubleType(), True),
         T.StructField("n_frames_sampled", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),  # audio (real)
+        T.StructField("audio_rms", T.DoubleType(), True),  # audio (real)
     ]
 )
 
+_WAV_RATE = 8000
+
+
+def synth_wav(i: int) -> bytes:
+    """A real 8 kHz mono 16-bit PCM WAV: a deterministic sine whose
+    frequency/duration derive from the asset index."""
+    n = int(_WAV_RATE * 0.05 * (1 + i % 3))  # 50/100/150 ms
+    t = np.arange(n, dtype=np.float64)
+    freq = 200.0 + 25.0 * (i % 40)
+    samples = (np.sin(2 * np.pi * freq * t / _WAV_RATE) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table (payload = seeded bytes) — the test
-    stand-in for a real object-store-backed asset manifest."""
+    """Deterministic asset table — audio payloads are REAL WAV files;
+    image/video payloads are seeded opaque bytes (their codecs are the
+    stubbed ones). The test stand-in for an object-store asset manifest."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 7)
         mt = ("image", "audio", "video")[i % 3]
+        if mt == "audio":
+            payload = synth_wav(i)
+            duration = 50 * (1 + i % 3)
+        else:
+            payload = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 7)
+            duration = 1000 * (i + 1) if mt == "video" else None
         rows.append(
             (
                 i,
@@ -71,7 +104,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 bytearray(payload),
                 64 + i if mt == "image" else None,
                 48 + i if mt == "image" else None,
-                1000 * (i + 1) if mt != "image" else None,
+                duration,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -89,6 +122,30 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
         )
     digest = hashlib.sha256(payload).digest()
     return {"mean_intensity": digest[0] / 255.0, "n_frames": 1}
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL decode — WAV/PCM via the stdlib ``wave`` module (no external
+    codec): sample rate, channel count, sample count, duration, and RMS
+    amplitude of the normalized signal."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, n, width = w.getframerate(), w.getnframes(), w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+        "rms": rms,
+    }
 
 
 def sample_frames(payload: bytes, duration_ms: int | None, *, deterministic_fake: bool = False) -> int:
@@ -130,8 +187,18 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                 else (1 if b is not None else 0)
                 for mt, b, d in zip(pdf["media_type"], payloads, pdf["duration_ms"])
             ]
+            audio = [
+                decode_audio(bytes(b)) if mt == "audio" and b is not None else None
+                for mt, b in zip(pdf["media_type"], payloads)
+            ]
             out["mean_intensity"] = pd.array(stats, dtype="float64")
             out["n_frames_sampled"] = pd.array(frames, dtype="int32")
+            out["sample_rate"] = pd.array(
+                [a["sample_rate"] if a else None for a in audio], dtype="Int32"
+            )
+            out["audio_rms"] = pd.array(
+                [a["rms"] if a else None for a in audio], dtype="float64"
+            )
             yield out
 
     spread = media.repartition("asset_id")

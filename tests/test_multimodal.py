@@ -40,6 +40,29 @@ def test_extract_features_schema_and_counts(spark):
     assert all(r["n_frames_sampled"] >= 1 for r in rows if r["media_type"] == "video")
 
 
+def test_audio_wav_decode_is_real(spark):
+    """Audio payloads are genuine WAV/PCM and the decode is a REAL stdlib
+    wave parse: a sine of amplitude A has RMS ≈ A/√2."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        decode_audio,
+        synth_wav,
+    )
+
+    meta = decode_audio(synth_wav(1))
+    assert meta["sample_rate"] == 8000 and meta["channels"] == 1
+    assert meta["duration_ms"] == 100  # i=1 → 100 ms
+    expected_rms = (12000 / 32768.0) / 2**0.5
+    assert abs(meta["rms"] - expected_rms) < 0.01
+
+    feats = extract_features(synthetic_media(spark, n=32)).collect()
+    for r in feats:
+        if r["media_type"] == "audio":
+            assert r["sample_rate"] == 8000
+            assert abs(r["audio_rms"] - expected_rms) < 0.01
+        else:
+            assert r["sample_rate"] is None and r["audio_rms"] is None
+
+
 def test_extract_features_deterministic(spark):
     media = synthetic_media(spark, n=16)
     a = {r["asset_id"]: r["payload_sha256"] for r in extract_features(media).collect()}
