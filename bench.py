@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_connected_components",
     "corpus_hash_split",
     "corpus_pack_sequences",
+    "corpus_build_training_set",
 ]
 
 

@@ -158,6 +158,45 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# flagship composition: documents → deduped, quality-gated, split corpus
+# ---------------------------------------------------------------------------
+
+QUALITY_THRESHOLD = 0.5
+
+
+def corpus_build_training_set(
+    spark: SparkSession, sf_dir: str, quality_threshold: float = QUALITY_THRESHOLD
+) -> DataFrame:
+    """The end-to-end corpus build a training run consumes, as ONE composed
+    plan: near-dup clustering picks a canonical survivor per component
+    (component == doc_id, the min-id representative), the quality gate
+    drops low-score docs, and the deterministic hash split assigns
+    train/validation/test.  Each stage is the already-verified operator —
+    the composition is joins and filters, all Catalyst-visible."""
+    from ..functions.text import quality_score_expr, tokenized
+
+    docs = load(spark, sf_dir, "documents")
+    comp = dedup_connected_components(spark, sf_dir)
+    survivors = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
+    toks = tokenized(docs, "lang")
+    _, score = quality_score_expr(F.col("toks"), F.col("norm"))
+    scored = toks.filter(F.size("toks") > 0).select(
+        "doc_id", "lang", score.alias("quality_score")
+    )
+    bucket = hash_bucket_expr("doc_id")
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "validation")
+        .otherwise("test")
+    )
+    return (
+        scored.join(survivors, "doc_id")
+        .filter(F.col("quality_score") >= quality_threshold)
+        .withColumn("split", split)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -165,6 +204,7 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "corpus_hash_split": corpus_hash_split,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_build_training_set": corpus_build_training_set,
 }
 
 # import composes the ngram-pair SQL so the edge set stays definition-
@@ -218,3 +258,25 @@ ORACLE = {
         FROM s
     """,
 }
+
+# composed from the already-verified per-stage oracles (the CC subquery
+# carries its own WITH RECURSIVE; quality SQL is text.ORACLE's)
+from ..functions.text import ORACLE as _TEXT_ORACLE  # noqa: E402
+
+ORACLE["corpus_build_training_set"] = f"""
+    WITH cc AS (
+      SELECT * FROM ({ORACLE["dedup_connected_components"]}) c
+    ), q AS (
+      SELECT doc_id, quality_score FROM ({_TEXT_ORACLE["text_quality_score"]}) t
+    )
+    SELECT d.doc_id, d.lang, q.quality_score,
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN cc ON cc.doc_id = d.doc_id AND cc.component = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality_score >= {QUALITY_THRESHOLD}
+"""

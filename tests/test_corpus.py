@@ -75,6 +75,32 @@ def test_hash_split_deterministic_and_stable(spark, sf_dir):
     assert 0.8 * n <= n_train / 0.9 <= 1.2 * n
 
 
+def test_build_training_set_composition(spark, sf_dir):
+    """The flagship composition = exactly (CC survivors ∩ quality gate)
+    with the deterministic split — cross-checked against the stages run
+    separately."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_build_training_set,
+        dedup_connected_components,
+    )
+    from priority_data_pipeline_postgres_db_spark.functions.text import text_quality_score
+
+    out = corpus_build_training_set(spark, sf_dir).collect()
+    assert len(out) > 0
+    survivors = {
+        r["doc_id"]
+        for r in dedup_connected_components(spark, sf_dir).collect()
+        if r["component"] == r["doc_id"]
+    }
+    quality = {r["doc_id"]: r["quality_score"] for r in text_quality_score(spark, sf_dir).collect()}
+    expected_ids = {d for d in survivors if quality.get(d, -1.0) >= 0.5}
+    assert {r["doc_id"] for r in out} == expected_ids
+    splits = {r["split"] for r in out}
+    assert splits <= {"train", "validation", "test"}
+    for r in out:
+        assert r["quality_score"] == quality[r["doc_id"]]
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = pack_sequences(docs).orderBy("lang", "doc_id").collect()
