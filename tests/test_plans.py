@@ -63,3 +63,37 @@ def test_q3_customer_scan_pruned_and_filtered(spark):
 def test_limit_probe_is_pushed_limit(spark):
     plan = physical(Q.s4_limit_probe(spark, SF))
     assert "TakeOrderedAndProject" in plan or "Limit" in plan
+
+
+def test_hash_split_no_shuffle_pruned_scan(spark):
+    """The split is pure per-row expressions: zero exchanges, and the scan
+    reads only the two referenced columns."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import corpus_hash_split
+
+    df = corpus_hash_split(spark, SF)
+    plan = physical(df)
+    assert "Exchange" not in plan
+    schema_line = next(l for l in formatted_plan(df).splitlines() if "ReadSchema" in l)
+    assert "doc_id" in schema_line and "lang" in schema_line
+    assert "text" not in schema_line  # the wide column is pruned
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing costs exactly ONE shuffle (the per-lang window sort)."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_pack_sequences,
+    )
+
+    plan = physical(corpus_pack_sequences(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_cap_is_broadcast_anti_join(spark):
+    """The hot-block cap must not add a shuffled join: block counts
+    broadcast into a left-anti join."""
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    plan = physical(dedup_ngram_jaccard(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
