@@ -87,6 +87,7 @@ class StagingWarehouse:
         incremental: bool,
         entity_name: str | None = None,
         partition_by: list[str] | None = None,
+        batch_id: str | None = None,
     ) -> WriteReport:
         """Append (incremental) or overwrite (full refresh) — K1 — via the
         batch-commit protocol (module docstring).
@@ -98,10 +99,24 @@ class StagingWarehouse:
 
         ``partition_by`` lays each batch out hive-partitioned (typically a
         derived date column): downstream time-bounded scans prune whole
-        directories — the standard DWH layout for a 100 TB landing zone."""
+        directories — the standard DWH layout for a 100 TB landing zone.
+
+        ``batch_id`` makes the commit IDEMPOTENT: a caller that retries
+        with the same id (a streaming foreachBatch replay, a re-run
+        incremental) finds the batch already committed and no-ops with
+        ``records_written=0`` — exactly-once composed from deterministic
+        ids + the atomic rename, on plain parquet."""
         path = self._path(table_name)
         os.makedirs(path, exist_ok=True)
-        batch_id = uuid.uuid4().hex[:16]
+        if batch_id is not None:
+            safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in batch_id)
+            if os.path.isdir(os.path.join(path, f"{BATCH_COL}={safe}")):
+                return WriteReport(
+                    entity_name or table_name, STG_PREFIX + table_name.lower(), 0
+                )
+            batch_id = safe
+        else:
+            batch_id = uuid.uuid4().hex[:16]
         tmp = os.path.join(path, f".tmp-{batch_id}")
         writer = df.write.mode("overwrite")
         if partition_by:

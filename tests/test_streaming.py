@@ -51,6 +51,43 @@ def test_stream_to_staging_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n
 
 
+def test_stream_to_atomic_staging_replay_is_noop(spark, sf_dir, tmp_path):
+    """foreachBatch → StagingWarehouse with deterministic batch ids:
+    the run lands exactly the input; a checkpoint re-run appends nothing;
+    and a simulated foreachBatch REPLAY (same epoch id) is a no-op —
+    the gap a plain parquet streaming sink cannot close."""
+    from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWarehouse
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        incremental_to_staging_atomic,
+    )
+
+    src = os.path.join(tmp_path, "landing")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    wh = StagingWarehouse(spark, os.path.join(tmp_path, "wh"), account_id="st1")
+
+    batch = _events_schema(spark, sf_dir)
+    batch.write.mode("overwrite").parquet(src)
+    n = batch.count()
+
+    stamped = stamp_stream(read_stream(spark, src, batch.schema), ExtractionRun())
+    q = incremental_to_staging_atomic(stamped, wh, "EVENTS", ckpt)
+    q.awaitTermination(120)
+    assert wh.read("events").count() == n
+
+    # same checkpoint → no new batches → no new rows
+    q2 = incremental_to_staging_atomic(
+        stamp_stream(read_stream(spark, src, batch.schema), ExtractionRun()), wh, "EVENTS", ckpt
+    )
+    q2.awaitTermination(120)
+    assert wh.read("events").count() == n
+
+    # simulated replay of an already-committed epoch: idempotent no-op
+    some_rows = wh.read("events").limit(5)
+    r = wh.write(some_rows, "EVENTS", incremental=True, batch_id="stream-0")
+    assert r.records_written == 0
+    assert wh.read("events").count() == n
+
+
 def test_windowed_rollup_stream(spark, sf_dir, tmp_path):
     src = os.path.join(tmp_path, "landing")
     batch = _events_schema(spark, sf_dir)
