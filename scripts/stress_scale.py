@@ -1,0 +1,124 @@
+"""Scale-stress harness: build a ~10× documents/embeddings corpus in /tmp
+and time the operators whose cost curves bend at scale (LSH families,
+blocked quadratics, the CC loop, the embedding grid).
+
+The point is headroom evidence, not a benchmark: each operator's wall
+time at 1× (sf0.1) vs 10× shows whether the implementation tracks its
+designed cost curve (linear for signatures, bounded-quadratic per block,
+diameter-bounded rounds) or hides a super-linear term.
+
+Usage: python scripts/stress_scale.py [factor]   (default 10)
+Writes nothing outside /tmp; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/spark_graft_stress"
+
+
+def build_corpus(spark, factor: int) -> str:
+    """Replicate documents/embeddings `factor`× with remapped ids and a
+    per-replica text perturbation (so not everything is an exact dup)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(OUT, f"x{factor}")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    big_docs = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * (n_docs * 10))
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string"))
+            ),
+        )
+        .drop("rep")
+    )
+    big_docs.write.parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+    big_emb = (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * (n_emb * 10))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("rep").cast("float") * F.lit(0.001)),
+            ),
+        )
+        .drop("rep")
+    )
+    big_emb.write.parquet(f"{out}/embeddings.parquet")
+    # events table rides along unchanged (not the stress target)
+    spark.read.parquet(f"{BASE}/events.parquet").write.parquet(f"{out}/events.parquet")
+    return out
+
+
+STRESS = [
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "dedup_connected_components",
+    "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "corpus_hash_split",
+    "corpus_pack_sequences",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    import __spark_entry__ as e
+    from priority_data_pipeline_postgres_db_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+
+    big_dir = build_corpus(spark, factor)
+    results: dict[str, dict] = {}
+    for name in STRESS:
+        if name not in qs:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.time()
+        base_rows = qs[name](spark, BASE).count()
+        t_base = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        big_rows = qs[name](spark, big_dir).count()
+        t_big = time.time() - t0
+        results[name] = {
+            "t1x": round(t_base, 2),
+            f"t{factor}x": round(t_big, 2),
+            "ratio": round(t_big / max(t_base, 1e-9), 1),
+            "rows_1x": base_rows,
+            f"rows_{factor}x": big_rows,
+        }
+        print(f"{name:32s} {t_base:7.2f}s -> {t_big:8.2f}s  x{results[name]['ratio']}", file=sys.stderr)
+    print(json.dumps({"factor": factor, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
