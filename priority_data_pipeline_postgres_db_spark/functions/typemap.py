@@ -122,6 +122,44 @@ _SPARK_TO_PG = {
     "boolean": "BOOLEAN",
 }
 
+_SPARK_TO_MYSQL = {
+    "string": "TEXT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "timestamp": "DATETIME",
+    "date": "DATE",
+    "boolean": "TINYINT(1)",
+}
+
+
+def struct_to_mysql_ddl(schema: T.StructType, table: str) -> str:
+    """CREATE TABLE DDL for the MySQL legacy dialect (the reference's
+    mapping docs carry a MySQLDatatype column per type —
+    static/datatypesConvert.json:1-50; the engine keeps both dialects).
+
+    PK columns (keyFlag metadata) are VARCHAR(255) (MySQL TEXT can't be
+    an unprefixed primary key), mirroring sqlDwh.py:348-350's
+    force-to-string rule; everything else maps from the Spark type.
+    """
+    cols = []
+    pk = []
+    for f in schema.fields:
+        if f.metadata.get("keyFlag"):
+            cols.append(f"`{f.name}` VARCHAR(255) NOT NULL")
+            pk.append(f"`{f.name}`")
+            continue
+        simple = f.dataType.simpleString()
+        if simple.startswith("decimal"):
+            my = "DECIMAL(38,18)"
+        else:
+            my = _SPARK_TO_MYSQL.get(simple, "TEXT")
+        cols.append(f"`{f.name}` {my}")
+    pk_clause = f", PRIMARY KEY ({', '.join(pk)})" if pk else ""
+    return f"CREATE TABLE IF NOT EXISTS `{table}` ({', '.join(cols)}{pk_clause})"
+
 
 def struct_to_postgres_ddl(schema: T.StructType, table: str) -> str:
     """CREATE TABLE IF NOT EXISTS DDL for the JDBC-parity sink.

@@ -72,6 +72,22 @@ def test_unmatched_source_type_degrades_to_string_in_struct():
     assert st["x"].dataType == T.StringType()
 
 
+def test_mysql_ddl_pk_varchar255():
+    from priority_data_pipeline_postgres_db_spark.functions.typemap import struct_to_mysql_ddl
+
+    fields = [
+        {"fieldName": "ORD", "SourceDataType": "Edm.Int64", "KeyFlag": True},
+        {"fieldName": "QPRICE", "SourceDataType": "Edm.Decimal", "KeyFlag": False},
+        {"fieldName": "CURDATE", "SourceDataType": "Edm.DateTimeOffset", "KeyFlag": False},
+    ]
+    ddl = struct_to_mysql_ddl(entity_struct(fields), "stg_orders")
+    assert "`ord` VARCHAR(255) NOT NULL" in ddl
+    assert "`qprice` DECIMAL(38,18)" in ddl
+    assert "`curdate` DATETIME" in ddl
+    assert "PRIMARY KEY (`ord`)" in ddl
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS `stg_orders`")
+
+
 def test_postgres_ddl_pk_varchar255():
     fields = [
         {"fieldName": "ORD", "SourceDataType": "Edm.Int64", "KeyFlag": True},
