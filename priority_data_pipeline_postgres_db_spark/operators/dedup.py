@@ -315,6 +315,41 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, n=3)
 
 
+def minhash_verified_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_bucket: int = 64
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash LSH proposes candidates
+    (linear-scale), exact n-gram Jaccard verifies ONLY those pairs.
+
+    This is the scale-correct division of labor the blocked all-pairs
+    Jaccard can't give you on an unblocked corpus: the quadratic exact
+    kernel runs on |candidates| pairs (∝ true near-dup count), never on
+    n²/2.  Two joins hang the gram sets back onto the candidate edge
+    list; integer set sizes keep the jaccard bit-identical to the oracle.
+    """
+    cand = minhash_candidate_pairs(docs, n=n, max_bucket=max_bucket)
+    g = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", ngrams_expr(tokens_expr(), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    a = g.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    b = g.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    jac = inter / (F.size("grams_a") + F.size("grams_b") - inter)
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_verified_pairs(docs, n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -531,6 +566,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
 }
@@ -621,6 +657,26 @@ ORACLE["dedup_minhash_pairs"] = f"""
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
         FROM kept a JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
+"""
+
+ORACLE["dedup_minhash_verified"] = f"""
+        WITH cand AS (
+          SELECT * FROM ({ORACLE["dedup_minhash_pairs"]}) c
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - {_MH_N} + 2),
+                     i -> array_to_string(list_slice(toks, i, i + {_MH_N} - 1), ' '))) AS grams
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d
+          WHERE len(toks) >= {_MH_N}
+        )
+        SELECT cand.doc_id_a, cand.doc_id_b,
+               len(list_intersect(a.grams, b.grams))
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 AS jaccard
+        FROM cand JOIN g a ON a.doc_id = cand.doc_id_a
+                  JOIN g b ON b.doc_id = cand.doc_id_b
+        WHERE len(list_intersect(a.grams, b.grams))
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
 """
 
 ORACLE["dedup_simhash_pairs"] = f"""

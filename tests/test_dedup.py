@@ -82,6 +82,24 @@ def test_minhash_candidates_contain_near_dups(spark, planted_docs):
     assert not any(4 in p for p in got)
 
 
+def test_minhash_verified_pipeline(spark, planted_docs):
+    """Candidates from LSH, exact Jaccard verify on candidates only —
+    planted near-dups survive with their true similarity, unrelated docs
+    never reach the verify stage."""
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import minhash_verified_pairs
+
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_verified_pairs(
+            planted_docs.select("doc_id", "text"), n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical after normalization
+    assert out[(2, 5)] == 1.0 and out[(1, 5)] == 1.0  # same text, no blocking here
+    assert 0.8 < out[(1, 3)] < 1.0  # one word changed
+    assert not any(4 in p for p in out)  # unrelated doc filtered by LSH
+
+
 def test_simhash_identical_and_near(spark, planted_docs):
     pairs = simhash_pairs(planted_docs.select("doc_id", "text"), max_hamming=10)
     got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs.collect()}
