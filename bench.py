@@ -48,9 +48,12 @@ HEADLINE = [
     "multimodal_features",
     "text_tfidf_top_terms",
     "dedup_connected_components",
+    "dedup_minhash_verified",
     "corpus_hash_split",
     "corpus_pack_sequences",
     "corpus_build_training_set",
+    "corpus_decontaminate",
+    "corpus_redact_pii",
 ]
 
 

@@ -158,6 +158,88 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (cross-split n-gram leakage)
+# ---------------------------------------------------------------------------
+
+DECON_N = 13  # the customary "13-gram overlap" contamination test
+
+
+def decontaminate(docs_with_split: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Flag evaluation-split documents that share any word ``n``-gram with
+    the training split — the standard benchmark-decontamination check run
+    before shipping an eval set.  Input carries (doc_id, lang, split,
+    text); output is one row per contaminated non-train doc with its
+    shared-gram count.
+
+    Shape at scale: explode distinct n-grams (narrow), one shuffle to
+    distinct the train gram set, one equi-join on the gram — cost tracks
+    gram volume, not docs².  At 100 TB hash each gram to 64 bits first
+    (same join, 8-byte keys); here the raw string keeps the oracle exact.
+    Docs shorter than ``n`` tokens have no grams and can't be flagged.
+    """
+    from .dedup import ngrams_expr
+
+    grams = docs_with_split.select(
+        "doc_id", "split", F.explode(ngrams_expr(tokens_expr(), n)).alias("gram")
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    ev = grams.filter(F.col("split") != "train")
+    return (
+        ev.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .join(docs_with_split.select("doc_id", "lang", "split"), "doc_id")
+        .select("doc_id", "lang", "split", "n_shared_grams")
+    )
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str, n: int = DECON_N) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash_bucket_expr("doc_id")
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "validation")
+        .otherwise("test")
+    )
+    return decontaminate(docs.select("doc_id", "lang", split.alias("split"), "text"), n)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backslash-class shorthands beyond \b
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact PII-shaped spans (emails, IPv4s, phone-ish digit
+    runs) — pure JVM regexp expressions in codegen, scan-speed at any
+    scale.  Redaction order (email → ip → phone) is fixed and mirrored in
+    the oracle so overlapping matches resolve identically."""
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship composition: documents → deduped, quality-gated, split corpus
 # ---------------------------------------------------------------------------
 
@@ -205,6 +287,8 @@ QUERIES = {
     "corpus_hash_split": corpus_hash_split,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_build_training_set": corpus_build_training_set,
+    "corpus_decontaminate": corpus_decontaminate,
+    "corpus_redact_pii": corpus_redact_pii,
 }
 
 # import composes the ngram-pair SQL so the edge set stays definition-
@@ -262,6 +346,46 @@ ORACLE = {
 # composed from the already-verified per-stage oracles (the CC subquery
 # carries its own WITH RECURSIVE; quality SQL is text.ORACLE's)
 from ..functions.text import ORACLE as _TEXT_ORACLE  # noqa: E402
+
+_BUCKET_SQL = (
+    f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {_SPLIT_BUCKETS}"
+)
+_SPLIT_CASE = f"""CASE WHEN {_BUCKET_SQL} < {_TRAIN_LT} THEN 'train'
+                WHEN {_BUCKET_SQL} < {_VAL_LT} THEN 'validation'
+                ELSE 'test' END"""
+
+ORACLE["corpus_decontaminate"] = f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_SPLIT_CASE} AS split, {_TOKS} AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(range(1, len(toks) - {DECON_N} + 2),
+                 i -> array_to_string(list_slice(toks, i, i + {DECON_N} - 1), ' ')))) AS gram
+      FROM s WHERE len(toks) >= {DECON_N}
+    ), tg AS (
+      SELECT DISTINCT gram FROM g WHERE split = 'train'
+    ), ev AS (
+      SELECT doc_id, gram FROM g WHERE split <> 'train'
+    )
+    SELECT ev.doc_id, s.lang, s.split,
+           count(DISTINCT ev.gram) AS n_shared_grams
+    FROM ev JOIN tg USING (gram) JOIN s ON s.doc_id = ev.doc_id
+    GROUP BY ev.doc_id, s.lang, s.split
+"""
+
+ORACLE["corpus_redact_pii"] = f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IPV4}', '<IP>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+    FROM documents
+"""
 
 ORACLE["corpus_build_training_set"] = f"""
     WITH cc AS (

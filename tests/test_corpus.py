@@ -75,6 +75,48 @@ def test_hash_split_deterministic_and_stable(spark, sf_dir):
     assert 0.8 * n <= n_train / 0.9 <= 1.2 * n
 
 
+def test_decontaminate_flags_cross_split_overlap(spark):
+    """A test doc sharing a 5-gram with a train doc is flagged with the
+    right shared-gram count; clean and short docs are not."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import decontaminate
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        Row(doc_id=1, lang="en", split="train", text="intro words " + leak),
+        Row(doc_id=2, lang="en", split="test", text=leak + " trailing words here"),
+        Row(doc_id=3, lang="en", split="test", text="totally different text with many fresh words one two three four five"),
+        Row(doc_id=4, lang="en", split="validation", text="short doc"),  # < n tokens
+    ]
+    out = {r["doc_id"]: r for r in decontaminate(spark.createDataFrame(rows), n=5).collect()}
+    assert set(out) == {2}
+    # the 9-token leak inside doc 2 yields 5 overlapping 5-grams with doc 1
+    assert out[2]["n_shared_grams"] == 5
+    assert out[2]["split"] == "test"
+
+
+def test_redact_pii_counts_and_text(spark, sf_dir, tmp_path):
+    """Emails/IPs/phone-ish runs are counted and replaced; clean text
+    passes through byte-identical."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import corpus_redact_pii
+
+    rows = [
+        Row(doc_id=0, text="contact bob.smith+x@example.co.uk or 10.0.0.1 now", lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text="call +1 415-555-0199 today", lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="no pii here just words", lang="en", source="s", n_chars=1),
+    ]
+    d = os.path.join(tmp_path, "docs")
+    spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in corpus_redact_pii(spark, d).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 1
+    assert "<EMAIL>" in out[0]["redacted_text"] and "<IP>" in out[0]["redacted_text"]
+    assert "example.co.uk" not in out[0]["redacted_text"]
+    assert out[1]["n_phones"] == 1 and "<PHONE>" in out[1]["redacted_text"]
+    assert out[2]["n_emails"] == out[2]["n_ips"] == out[2]["n_phones"] == 0
+    assert out[2]["redacted_text"] == "no pii here just words"
+
+
 def test_build_training_set_composition(spark, sf_dir):
     """The flagship composition = exactly (CC survivors ∩ quality gate)
     with the deterministic split — cross-checked against the stages run
