@@ -340,6 +340,67 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str, z: float = 3.0) -> Data
     return ev.groupBy("user_id").applyInPandas(per_user, out_schema)
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    mass of the single most frequent bigram — the standard filters for
+    looping/boilerplate text.
+
+    Shape: token fractions are pure expressions; the bigram signal is one
+    explode → (doc, gram) count → per-doc max/sum — two partial-agg
+    shuffles on doc_id, no joins between docs.  All integer counts until
+    the final division (engine-identical doubles).
+    """
+    from ..operators.dedup import ngrams_expr, tokens_expr
+
+    docs = tokenized(load(spark, sf_dir, "documents")).filter(F.size("toks") >= 2)
+    tok_stats = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            (F.size("toks") - F.size("uniq")) / F.size("toks").cast("double")
+        ).alias("dup_token_frac"),
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(ngrams_expr(F.col("toks"), 2, distinct=False)).alias("g")
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top"), F.sum("count").alias("total"))
+        .select(
+            "doc_id", (F.col("top") / F.col("total").cast("double")).alias("top_bigram_frac")
+        )
+    )
+    return tok_stats.join(per_doc, "doc_id")
+
+
+QUERIES["text_repetition_score"] = text_repetition_score
+
+ORACLE["text_repetition_score"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 2
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+      FROM d
+    ), c AS (
+      SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g
+    ), p AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS top, CAST(sum(n) AS BIGINT) AS total
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE)
+             AS dup_token_frac,
+           p.top / CAST(p.total AS DOUBLE) AS top_bigram_frac
+    FROM d JOIN p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES["events_anomaly_mad"] = events_anomaly_mad
 
 ORACLE["events_anomaly_mad"] = """

@@ -47,8 +47,10 @@ def tokens_expr(col: str = "text") -> Column:
     return F.filter(toks, lambda x: x != "")
 
 
-def ngrams_expr(toks: Column, n: int) -> Column:
-    """Distinct word n-grams of a token array (space-joined).
+def ngrams_expr(toks: Column, n: int, *, distinct: bool = True) -> Column:
+    """Word n-grams of a token array (space-joined), distinct by default
+    (set ``distinct=False`` where frequency matters, e.g. repetition
+    scoring).
 
     ``toks`` is bound to a lambda variable via transform(array(toks), ...)
     so the tokenize subtree evaluates ONCE per row: referencing the raw
@@ -57,7 +59,7 @@ def ngrams_expr(toks: Column, n: int) -> Column:
     slowdown on the shingle stage).
     """
     if n == 1:
-        return F.array_distinct(toks)
+        return F.array_distinct(toks) if distinct else toks
 
     def grams_of(t: Column) -> Column:
         idx = F.sequence(F.lit(0), F.size(t) - n)
@@ -67,7 +69,8 @@ def ngrams_expr(toks: Column, n: int) -> Column:
         )
 
     bound = F.transform(F.array(toks), grams_of)
-    return F.array_distinct(F.element_at(bound, 1))
+    grams = F.element_at(bound, 1)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def normalized_text(col: str = "text") -> Column:

@@ -85,3 +85,27 @@ def test_events_anomaly_mad_invariants(spark, sf_dir):
     # flagged set is a small minority
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(rows) < total * 0.2
+
+
+def test_repetition_score_planted(spark, tmp_path):
+    """A doc that is one phrase looped scores near-1 on both signals; a
+    diverse doc scores near-0; a <2-token doc is excluded."""
+    import os
+
+    from pyspark.sql import Row
+    from priority_data_pipeline_postgres_db_spark.functions.text import text_repetition_score
+
+    rows = [
+        Row(doc_id=1, text="spam ham " * 20, lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="each word here appears exactly once in this sentence", lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="solo", lang="en", source="s", n_chars=1),
+    ]
+    d = os.path.join(tmp_path, "docs")
+    spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_repetition_score(spark, d).collect()}
+    assert set(out) == {1, 2}
+    # 40 tokens, 2 distinct -> dup 38/40; bigrams: 'spam ham' x20 of 39
+    assert abs(out[1]["dup_token_frac"] - 38 / 40) < 1e-12
+    assert abs(out[1]["top_bigram_frac"] - 20 / 39) < 1e-12
+    assert out[2]["dup_token_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 1 / 8) < 1e-12
