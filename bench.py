@@ -54,6 +54,8 @@ HEADLINE = [
     "corpus_build_training_set",
     "corpus_decontaminate",
     "corpus_redact_pii",
+    "corpus_quality_sample",
+    "text_repetition_score",
 ]
 
 

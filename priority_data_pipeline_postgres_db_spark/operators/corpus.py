@@ -158,6 +158,48 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# source-mix capping and quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 200
+
+
+def corpus_source_cap(
+    spark: SparkSession, sf_dir: str, max_per_source: int = SOURCE_CAP
+) -> DataFrame:
+    """Source-mix capping: at most ``max_per_source`` docs per source,
+    deterministically chosen (row_number by doc_id — stable under re-runs
+    and corpus growth for already-selected docs).  One shuffle on the
+    source key; the classic guard against one crawl dominating the mix."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= max_per_source)
+    )
+
+
+def corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling WITHOUT randomness: a doc survives
+    iff its md5-60 bucket (of 1000) falls below floor(quality × 1000) —
+    survival probability tracks the quality score, yet the decision is a
+    pure function of (doc_id, text), so re-runs and incremental rebuilds
+    keep identical docs.  All codegen expressions."""
+    from ..functions.text import quality_score_expr, tokenized
+
+    docs = tokenized(load(spark, sf_dir, "documents"), "lang")
+    _, score = quality_score_expr(F.col("toks"), F.col("norm"))
+    scored = docs.filter(F.size("toks") > 0).select(
+        "doc_id", "lang", score.alias("quality_score")
+    )
+    bucket = hash_bucket_expr("doc_id", buckets=1000)
+    return scored.filter(
+        bucket < F.floor(F.col("quality_score") * 1000)
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (cross-split n-gram leakage)
 # ---------------------------------------------------------------------------
 
@@ -289,6 +331,8 @@ QUERIES = {
     "corpus_build_training_set": corpus_build_training_set,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_redact_pii": corpus_redact_pii,
+    "corpus_source_cap": corpus_source_cap,
+    "corpus_quality_sample": corpus_quality_sample,
 }
 
 # import composes the ngram-pair SQL so the edge set stays definition-
@@ -372,6 +416,25 @@ ORACLE["corpus_decontaminate"] = f"""
            count(DISTINCT ev.gram) AS n_shared_grams
     FROM ev JOIN tg USING (gram) JOIN s ON s.doc_id = ev.doc_id
     GROUP BY ev.doc_id, s.lang, s.split
+"""
+
+ORACLE["corpus_source_cap"] = f"""
+    SELECT doc_id, lang, source, CAST(source_rank AS INTEGER) AS source_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS source_rank
+      FROM documents
+    ) WHERE source_rank <= {SOURCE_CAP}
+"""
+
+ORACLE["corpus_quality_sample"] = f"""
+    WITH q AS (
+      SELECT doc_id, quality_score
+      FROM ({_TEXT_ORACLE["text_quality_score"]}) t
+    )
+    SELECT q.doc_id, d.lang, q.quality_score
+    FROM q JOIN documents d ON d.doc_id = q.doc_id
+    WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+            < floor(q.quality_score * 1000)
 """
 
 ORACLE["corpus_redact_pii"] = f"""

@@ -117,6 +117,40 @@ def test_redact_pii_counts_and_text(spark, sf_dir, tmp_path):
     assert out[2]["redacted_text"] == "no pii here just words"
 
 
+def test_source_cap_and_quality_sample(spark, sf_dir):
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_quality_sample,
+        corpus_source_cap,
+    )
+    from priority_data_pipeline_postgres_db_spark.functions.text import text_quality_score
+
+    capped = corpus_source_cap(spark, sf_dir, max_per_source=5).collect()
+    per_source: dict = {}
+    for r in capped:
+        per_source.setdefault(r["source"], []).append(r["doc_id"])
+    for source, ids in per_source.items():
+        assert len(ids) <= 5
+    # deterministic: the lowest doc_ids per source survive
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for source, ids in per_source.items():
+        lowest = [
+            r["doc_id"]
+            for r in docs.filter(F.col("source") == source).orderBy("doc_id").limit(5).collect()
+        ]
+        assert sorted(ids) == lowest
+
+    sampled = {r["doc_id"]: r["quality_score"] for r in corpus_quality_sample(spark, sf_dir).collect()}
+    quality = {r["doc_id"]: r["quality_score"] for r in text_quality_score(spark, sf_dir).collect()}
+    assert 0 < len(sampled) <= len(quality)
+    # survival is the documented pure function of (doc_id, quality)
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import _md5_60
+    import math
+
+    for d, q in quality.items():
+        expected = (_md5_60(str(d)) % 1000) < math.floor(q * 1000)
+        assert (d in sampled) == expected
+
+
 def test_build_training_set_composition(spark, sf_dir):
     """The flagship composition = exactly (CC survivors ∩ quality gate)
     with the deterministic split — cross-checked against the stages run
