@@ -52,6 +52,12 @@ def connected_components(
     """(node, component) with component = min node id reachable — exact CC
     via min-label propagation.
 
+    Scale design: the loop runs ONLY over the edge-induced subgraph.  In a
+    near-dup graph almost every node is a singleton — those never enter the
+    iteration; they rejoin at the end with component = own id.  Labels are
+    seeded with ``min(self, min neighbor)``, so pair and star components
+    (the overwhelming shape of near-dup clusters) are already converged at
+    seed time and the loop only runs for chains/larger diameters.
     Convergence is detected by the (monotonically decreasing) global label
     sum; the loop is driver-side but touches one scalar per round, and the
     round count is the component diameter, not the data size.
@@ -63,8 +69,18 @@ def connected_components(
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = nodes.select(node_col, F.col(node_col).alias("component")).localCheckpoint()
-    prev_sum = None
+    # seed: component = min over {self} ∪ neighbors (symmetric edges mean
+    # grouping by src covers every edge endpoint)
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr_min"))
+        .select(
+            F.col("src").alias(node_col),
+            F.least(F.col("src"), F.col("_nbr_min")).alias("component"),
+        )
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["src"] == labels[node_col])
@@ -85,7 +101,12 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+    # singletons (no incident edge) are their own component — one left
+    # join against the (small) subgraph labels restores the full node set
+    return nodes.select(node_col).join(labels, node_col, "left").select(
+        node_col,
+        F.coalesce("component", F.col(node_col)).alias("component"),
+    )
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
