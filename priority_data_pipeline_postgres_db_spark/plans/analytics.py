@@ -366,3 +366,160 @@ ORACLE["set_intersect_buyers"] = """
     INTERSECT
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
 """
+
+
+# ---------------------------------------------------------------------------
+# Catalyst subquery-rewrite battery: correlated EXISTS (q4-shape), outer-join
+# distribution (q13-shape), correlated scalar subqueries (q17-shape), and a
+# scalar-subquery HAVING share (q11-shape).  These pin the decorrelation /
+# semi-join rewrites a BI user leans on; arithmetic stays engine-exact
+# (integer or decimal) per the cross-engine determinism rules in SCALE.md.
+# ---------------------------------------------------------------------------
+
+
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS shape (TPC-H q4): 1996 orders with at least one
+    line shipped after the order date, counted per priority.  The
+    DataFrame formulation is the rewrite Catalyst would produce from
+    EXISTS — a left-semi hash join on the equi key with the non-equi
+    predicate as a join residual (no row multiplication, one shuffle)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join distribution (TPC-H q13): orders-per-customer histogram
+    including zero-order customers.  The filter lives in the JOIN
+    CONDITION (not a WHERE, which would turn the outer join inner) —
+    the classic left-outer + double-aggregation shape."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q17_small_qty_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H q17): value of Brand#1
+    lines with below-half-average quantity for their part.
+
+    Spark-first plan: the naive correlated SQL (kept as the oracle)
+    decorrelates into TWO per-part aggregates over the FULL lineitem —
+    three scans (Catalyst's scalar-subquery merge doesn't combine
+    correlated twins).  Instead: broadcast the brand-filtered parts FIRST
+    (a part has one brand, so every line of a qualifying part survives),
+    then take per-part cnt/sum as window aggregates — ONE lineitem scan
+    and one shuffle sized by the brand's lines only, identical result.
+
+    The avg comparison is multiplied out to integer space
+    (2·q·cnt < sum) — quantities are integer-valued, so the filter is
+    bit-exact in both engines; the value sum uses the exact-decimal
+    money discipline."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    brand_lines = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.count("*").over(w).alias("_cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w).alias("_sum_qty"),
+    )
+    small = brand_lines.filter(
+        (F.col("l_quantity") * 2).cast("bigint") * F.col("_cnt") < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        as_double(F.sum(dec("l_extendedprice", precision=18))).alias("small_qty_value"),
+    )
+
+
+def q11_acctbal_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery HAVING shape (TPC-H q11): nations holding more
+    than 1/25 of global account balance.  The global total is a 1-row
+    broadcast cross join (what Catalyst rewrites an uncorrelated scalar
+    subquery into); the share test multiplies out (sum·25 > total) so
+    the comparison stays in exact decimals — no division."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("c_acctbal", precision=18)).alias("_bal"))
+    )
+    total = per_nation.agg(F.sum("_bal").alias("_total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_bal") * 25 > F.col("_total"))
+        .select("n_name", as_double(F.col("_bal")).alias("acctbal_sum"))
+    )
+
+
+QUERIES["q4_late_ship_priority"] = q4_late_ship_priority
+QUERIES["q13_order_distribution"] = q13_order_distribution
+QUERIES["q17_small_qty_value"] = q17_small_qty_value
+QUERIES["q11_acctbal_share"] = q11_acctbal_share
+
+ORACLE["q4_late_ship_priority"] = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+ORACLE["q13_order_distribution"] = """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+"""
+
+ORACLE["q17_small_qty_value"] = """
+    SELECT count(*) AS n_lines,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS small_qty_value
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity * 2 AS BIGINT) *
+          (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+ORACLE["q11_acctbal_share"] = """
+    WITH per_nation AS (
+      SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(CAST(ROUND(bal, 4) AS DECIMAL(18,4)) AS DOUBLE) AS acctbal_sum
+    FROM per_nation
+    WHERE bal * 25 > (SELECT SUM(bal) FROM per_nation)
+"""

@@ -97,3 +97,49 @@ def test_ngram_cap_is_broadcast_anti_join(spark):
 
     plan = physical(dedup_ngram_jaccard(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q4_exists_is_left_semi_join(spark):
+    """EXISTS must execute as a semi join (no row multiplication), with
+    the non-equi ship>order predicate as a join residual."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q4_late_ship_priority,
+    )
+
+    plan = physical(q4_late_ship_priority(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q17_single_lineitem_scan(spark):
+    """The window formulation must read lineitem ONCE (the correlated-SQL
+    form decorrelates into three scans) and broadcast the brand dim."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q17_small_qty_value,
+    )
+
+    plan = physical(q17_small_qty_value(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+
+
+def test_q13_outer_join_survives_condition_filter(spark):
+    """The status filter lives in the join condition — the join must stay
+    LeftOuter (a WHERE would silently turn it inner and drop zero-order
+    customers from the histogram)."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q13_order_distribution,
+    )
+
+    plan = physical(q13_order_distribution(spark, SF))
+    assert "LeftOuter" in plan
+
+
+def test_q11_total_is_broadcast(spark):
+    """The 1-row global total must reach the share filter via broadcast,
+    never a shuffled cross join."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q11_acctbal_share,
+    )
+
+    plan = physical(q11_acctbal_share(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
