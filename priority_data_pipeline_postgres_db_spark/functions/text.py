@@ -412,3 +412,71 @@ ORACLE["events_anomaly_mad"] = """
     FROM events e JOIN stats s USING (user_id)
     WHERE s.madv > 0 AND abs(e.value - s.med) > 3.0 * s.madv
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-doc mean unigram surprisal — the classic LM-based quality
+    filter (KenLM-perplexity stand-in), engine-exact.
+
+    Model: corpus unigram frequencies.  A token's surprisal is 1/p(tok) =
+    N/c(tok), kept in integer space as ``(1e6·N) div c`` (BIGINT floor
+    division — bit-exact in any engine; exact while N < 2^63/1e6 ≈ 9.2e12
+    tokens, beyond which split into ``(N div c)·1e6 + ((N mod c)·1e6) div
+    c``).  The doc score is the per-doc mean — ONE double division at the
+    end, deterministic.
+
+    Scale shape: two shuffles (global token counts; per-doc sum) plus the
+    token join.  The counts side is vocabulary-sized — AQE broadcasts it
+    when small; the probe-side join key is Zipf-skewed, which AQE's skew
+    join splits.  High-frequency heads dominate c, so no salting needed on
+    the counts aggregation (partial aggregation absorbs the hot keys
+    map-side)."""
+    from ..operators.dedup import tokens_expr
+
+    ex = docs.select("doc_id", F.explode(tokens_expr()).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    scored = (
+        ex.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr("(CAST(1000000 AS BIGINT) * n_total) div c").alias("surp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("surp").cast("double") / F.count("*").cast("double")).alias(
+            "surprisal"
+        ),
+    )
+
+
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_unigram_surprisal"] = text_unigram_surprisal
+
+ORACLE["text_unigram_surprisal"] = f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts
+    ), scored AS (
+      SELECT doc_id, (CAST(1000000 AS BIGINT) * n_total) // c AS surp
+      FROM ex JOIN counts USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(surp) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS surprisal
+    FROM scored GROUP BY doc_id
+"""

@@ -342,10 +342,46 @@ def corpus_build_training_set(
 
 
 # ---------------------------------------------------------------------------
+# length bucketing (batch-shape planning)
+# ---------------------------------------------------------------------------
+
+_BUCKET_BOUNDS = [16, 32, 64, 128, 256, 512, 1024, 2048]
+
+
+def length_buckets(docs: DataFrame) -> DataFrame:
+    """Token-length histogram over power-of-two padding buckets, with the
+    padding waste a fixed-shape batcher would pay (sum of bucket_size −
+    n_tokens).  The training-efficiency planning query: pick bucket
+    boundaries / pack-vs-pad strategy from real length mass, not guesses.
+
+    The bucket is a CASE ladder over integer token counts — no log2/float
+    (libm results differ across engines); pure codegen, one shuffle on
+    the (tiny) bucket key with map-side partial aggregation."""
+    n = F.size(tokens_expr()).cast("long")
+    bucket = F.when(n <= _BUCKET_BOUNDS[0], F.lit(_BUCKET_BOUNDS[0]))
+    for b in _BUCKET_BOUNDS[1:]:
+        bucket = bucket.when(n <= b, F.lit(b))
+    bucket = bucket.otherwise(F.lit(-1))  # overlong: truncate/split upstream
+    per_doc = docs.select(n.alias("n_tokens"), bucket.cast("long").alias("bucket"))
+    return per_doc.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(
+            F.when(F.col("bucket") > 0, F.col("bucket") - F.col("n_tokens")).otherwise(0)
+        ).alias("padding_waste"),
+    )
+
+
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_buckets(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "corpus_length_buckets": corpus_length_buckets,
     "dedup_connected_components": dedup_connected_components,
     "corpus_hash_split": corpus_hash_split,
     "corpus_pack_sequences": corpus_pack_sequences,
@@ -487,4 +523,27 @@ ORACLE["corpus_build_training_set"] = f"""
     JOIN cc ON cc.doc_id = d.doc_id AND cc.component = d.doc_id
     JOIN q ON q.doc_id = d.doc_id
     WHERE q.quality_score >= {QUALITY_THRESHOLD}
+"""
+
+
+_BUCKET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _BUCKET_BOUNDS
+    )
+    + " ELSE -1 END"
+)
+
+ORACLE["corpus_length_buckets"] = f"""
+    WITH per_doc AS (
+      SELECT CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ), bucketed AS (
+      SELECT n_tokens, CAST({_BUCKET_CASE} AS BIGINT) AS bucket FROM per_doc
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CASE WHEN bucket > 0 THEN bucket - n_tokens ELSE 0 END)
+                AS BIGINT) AS padding_waste
+    FROM bucketed GROUP BY bucket
 """

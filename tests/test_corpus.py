@@ -195,3 +195,18 @@ def test_pack_sequences_invariants(spark, sf_dir):
     for r in out:
         firsts.setdefault(r["lang"], r)
     assert all(r["seq_start"] == 0 for r in firsts.values())
+
+
+def test_length_buckets_padding_waste(spark):
+    """Bucket = smallest power-of-two bound ≥ n_tokens; waste = bound−n."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import length_buckets
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 16)),
+         (3, " ".join(["w"] * 17)), (4, " ".join(["w"] * 3000))],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: r for r in length_buckets(docs).collect()}
+    assert got[16]["n_docs"] == 2 and got[16]["padding_waste"] == (16 - 10) + (16 - 16)
+    assert got[32]["n_docs"] == 1 and got[32]["padding_waste"] == 32 - 17
+    assert got[-1]["n_docs"] == 1 and got[-1]["padding_waste"] == 0  # overlong

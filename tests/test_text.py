@@ -109,3 +109,22 @@ def test_repetition_score_planted(spark, tmp_path):
     assert abs(out[1]["top_bigram_frac"] - 20 / 39) < 1e-12
     assert out[2]["dup_token_frac"] == 0.0
     assert abs(out[2]["top_bigram_frac"] - 1 / 8) < 1e-12
+
+
+def test_unigram_surprisal_planted(spark):
+    """Rare tokens must score higher than common ones; the scaled-integer
+    math must equal the hand-computed value."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "the rare"), (3, "the the")],
+        "doc_id long, text string",
+    )
+    # counts: the=6, rare=1, N=7
+    got = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    surp_the = (1_000_000 * 7) // 6
+    surp_rare = (1_000_000 * 7) // 1
+    assert got[1]["surprisal"] == surp_the
+    assert got[2]["surprisal"] == (surp_the + surp_rare) / 2.0
+    assert got[2]["surprisal"] > got[1]["surprisal"]
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
