@@ -56,6 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_cp.QUERIES)
     except ImportError:
         pass
+    try:
+        from priority_data_pipeline_postgres_db_spark.streaming import incremental as _st
+
+        catalog.update(_st.QUERIES)
+    except ImportError:
+        pass
     return catalog
 
 
@@ -70,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
         ("priority_data_pipeline_postgres_db_spark.operators.similarity", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.functions.text", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.operators.corpus", "ORACLE"),
+        ("priority_data_pipeline_postgres_db_spark.streaming.incremental", "ORACLE"),
     ):
         try:
             import importlib

@@ -56,6 +56,13 @@ HEADLINE = [
     "corpus_redact_pii",
     "corpus_quality_sample",
     "text_repetition_score",
+    "q4_late_ship_priority",
+    "q13_order_distribution",
+    "q17_small_qty_value",
+    "q11_acctbal_share",
+    "text_unigram_surprisal",
+    "corpus_length_buckets",
+    "stream_event_rollup",
 ]
 
 

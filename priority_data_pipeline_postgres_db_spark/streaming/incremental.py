@@ -196,3 +196,85 @@ def running_user_totals(
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked streaming query (driver contract)
+# ---------------------------------------------------------------------------
+
+_STREAM_SERIAL = [0]
+
+
+def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed streaming rollup as an ORACLE-CHECKED query: readStream
+    over the events landing dir → 1-day tumbling window × event_type with a
+    bounded-lateness watermark → Trigger.AvailableNow ("drain the backlog,
+    then stop" — the reference's incremental poll, managed).  Complete-mode
+    memory sink so the terminal watermark doesn't withhold trailing windows;
+    the sink is the harness adapter — production uses the atomic-staging
+    foreachBatch sink (``incremental_to_staging_atomic``).
+
+    Determinism discipline: value sums are exact decimals reduced to scale
+    4 then double (same as the batch q_events_rollup); 1-day windows in the
+    pinned-UTC session align with the oracle's date_trunc('day').
+    """
+    import tempfile
+
+    from ..plans.tables import ensure_session_confs
+    from ..plans.queries import as_double, dec
+
+    ensure_session_confs(spark)
+    # batch footer read supplies the stream schema (nanosAsLong → ts:long)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            as_double(
+                F.round(F.sum(dec("value", scale=6, precision=18)), 4).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_event_rollup_{_STREAM_SERIAL[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_rollup_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES = {"stream_event_rollup": stream_event_rollup}
+
+ORACLE = {
+    "stream_event_rollup": """
+        SELECT date_trunc('day', ts) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               count(*) AS n_events,
+               CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+    """
+}

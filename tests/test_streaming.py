@@ -158,3 +158,17 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     merged = got.join(expect, "user_id")
     assert merged.filter(F.col("n_events") != F.col("count")).count() == 0
     assert got.count() == expect.count()
+
+
+def test_stream_event_rollup_is_reinvocable(spark, sf_dir):
+    """The driver calls each query more than once (gate + bench warm-up):
+    every invocation must stand up its own memory sink and agree."""
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        stream_event_rollup,
+    )
+
+    a = stream_event_rollup(spark, sf_dir)
+    b = stream_event_rollup(spark, sf_dir)
+    ra = {tuple(r) for r in a.collect()}
+    rb = {tuple(r) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
