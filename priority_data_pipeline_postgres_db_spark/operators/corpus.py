@@ -66,9 +66,16 @@ def connected_components(
     # materialize the symmetrized edge set ONCE — every propagation round
     # joins against it, and recomputing an expensive upstream pair plan
     # (e.g. the blocked Jaccard self-join) per round would dominate
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # repartition on the join key before materializing: AQE sizes the
+    # shuffle output (a near-dup edge set is tiny relative to the corpus —
+    # often ONE partition locally), so every propagation round runs a
+    # handful of tasks instead of one per upstream file split, and the
+    # per-round join is already clustered on src
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
     # seed: component = min over {self} ∪ neighbors (symmetric edges mean
     # grouping by src covers every edge endpoint)
     labels = (
