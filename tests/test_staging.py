@@ -109,3 +109,25 @@ def test_partitioned_staging_layout_and_pruning(spark, tmp_path, sf_dir):
     # partition filter prunes directories at planning time
     assert "PartitionFilters: [isnotnull(event_day" in plan
     assert scan.count() == ev.filter(F.col("event_day") == "2024-01-05").count()
+
+
+def test_compact_newest_wins_merge(spark, tmp_path):
+    """compact() collapses batches to latest-per-pk through the atomic
+    protocol; read() then returns upsert semantics with no window."""
+    from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWarehouse
+
+    wh = StagingWarehouse(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")], "id long, v string, ts string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", "2024-01-02"), (3, "c", "2024-01-02")], "id long, v string, ts string"
+    )
+    wh.write(b1, "t", incremental=True)
+    wh.write(b2, "t", incremental=True)
+    rep = wh.compact("t", ["id"], "ts")
+    assert rep.records_written == 3
+    got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # exactly one committed batch remains
+    assert len(wh._batches(wh._path("t"))) == 1
