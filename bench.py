@@ -63,6 +63,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "corpus_length_buckets",
     "stream_event_rollup",
+    "q_profile_orders",
 ]
 
 

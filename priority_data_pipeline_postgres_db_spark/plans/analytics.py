@@ -10,7 +10,7 @@ deterministic algorithm instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -523,3 +523,80 @@ ORACLE["q11_acctbal_share"] = """
     FROM per_nation
     WHERE bal * 25 > (SELECT SUM(bal) FROM per_nation)
 """
+
+
+# ---------------------------------------------------------------------------
+# column profiling (data-quality report)
+# ---------------------------------------------------------------------------
+
+
+def profile(df: DataFrame, cols: list[tuple[str, Column]]) -> DataFrame:
+    """Per-column data-quality profile in ONE scan: non-null count, exact
+    distinct count, min/max (stringified via the caller's normalizing
+    expression so the report schema is column-type-agnostic).
+
+    Multiple exact COUNT(DISTINCT) in one agg go through Catalyst's
+    Expand (one duplicated stream per distinct aggregate) — a deliberate
+    single-pass/shuffle-volume trade; at petabyte scale swap the exact
+    distincts for approx_count_distinct and keep the same report shape."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, norm in cols:
+        aggs += [
+            F.count(F.col(name)).alias(f"{name}__nn"),
+            F.countDistinct(F.col(name)).alias(f"{name}__nd"),
+            F.min(norm).alias(f"{name}__mn"),
+            F.max(norm).alias(f"{name}__mx"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nn, {name}__nd, {name}__mn, {name}__mx"
+        for name, _ in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nonnull, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders-table profile: the pre-load sanity report an ELT run
+    emits before staging (null rate, key cardinality, value ranges)."""
+    orders = load(spark, sf_dir, "orders")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    return profile(
+        orders,
+        [
+            ("o_orderkey", s("o_orderkey")),
+            ("o_custkey", s("o_custkey")),
+            ("o_orderstatus", s("o_orderstatus")),
+            ("o_totalprice", F.col("o_totalprice").cast("decimal(18,4)").cast("string")),
+            ("o_orderdate", s("o_orderdate")),
+            ("o_orderpriority", s("o_orderpriority")),
+        ],
+    )
+
+
+QUERIES["q_profile_orders"] = q_profile_orders
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "CAST({c} AS VARCHAR)"),
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"),
+    ("o_orderdate", "CAST({c} AS VARCHAR)"),
+    ("o_orderpriority", "CAST({c} AS VARCHAR)"),
+]
+
+ORACLE["q_profile_orders"] = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS col_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           CAST(count({name}) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           min({expr.format(c=name)}) AS min_val,
+           max({expr.format(c=name)}) AS max_val
+    FROM orders
+    """
+    for name, expr in _PROFILE_COLS
+)
