@@ -84,6 +84,9 @@ STRESS = [
     "corpus_hash_split",
     "corpus_pack_sequences",
     "text_quality_score",
+    "text_unigram_surprisal",
+    "corpus_length_buckets",
+    "corpus_build_training_set",
 ]
 
 
