@@ -261,7 +261,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     terms = docs.repartition(par).select(
         "doc_id", F.explode(tokens_expr()).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # cache barrier: tf feeds BOTH the df rollup and the scored join —
+    # without it the explode+groupBy subtree executes twice (Catalyst
+    # doesn't share subplans across actions).  At warehouse scale use
+    # persist(MEMORY_AND_DISK) — (doc, term) can exceed executor memory.
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
         "score", F.col("tf") * (F.lit(n_docs) / F.col("df"))
