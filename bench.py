@@ -64,6 +64,8 @@ HEADLINE = [
     "corpus_length_buckets",
     "stream_event_rollup",
     "q_profile_orders",
+    "q_event_funnel",
+    "q_cohort_retention",
 ]
 
 

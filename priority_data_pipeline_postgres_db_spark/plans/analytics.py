@@ -614,3 +614,126 @@ ORACLE["q_profile_orders"] = " UNION ALL ".join(
     """
     for name, expr in _PROFILE_COLS
 )
+
+
+# ---------------------------------------------------------------------------
+# event analytics: funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup → click → purchase): users who
+    completed each stage strictly AFTER the previous one.
+
+    Single-shuffle shape: all three stage timestamps are unordered-frame
+    window minima over the SAME user partition (each referencing the
+    previous stage's column), so Catalyst plans ONE exchange on user_id
+    and the per-user rollup after it reuses that partitioning — no join
+    chain of per-stage tables (the naive formulation shuffles three
+    times and re-joins)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("signup"),
+        F.count("t2").alias("click"),
+        F.count("t3").alias("purchase"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'signup', signup, 'click', click, 'purchase', purchase)"
+        " AS (stage, n_users)"
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week; for each later week, how many were active.  Two aggregations
+    on user_id (first-seen, distinct active weeks) co-partition, then one
+    small shuffle on the (cohort, week) matrix — the standard growth-
+    analytics rollup, exact integer/date math end to end."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .withColumn(
+            "week_no",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+QUERIES["q_event_funnel"] = q_event_funnel
+QUERIES["q_cohort_retention"] = q_cohort_retention
+
+ORACLE["q_event_funnel"] = """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+        min(CASE WHEN event_type = 'signup' THEN ts END)
+          OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+          OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ), per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT 'signup' AS stage, CAST(count(t1) AS BIGINT) AS n_users FROM per_user
+    UNION ALL
+    SELECT 'click', CAST(count(t2) AS BIGINT) FROM per_user
+    UNION ALL
+    SELECT 'purchase', CAST(count(t3) AS BIGINT) FROM per_user
+"""
+
+ORACLE["q_cohort_retention"] = """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, active_week) // 7 AS INTEGER)
+             AS week_no,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+"""

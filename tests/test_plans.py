@@ -143,3 +143,12 @@ def test_q11_total_is_broadcast(spark):
 
     plan = physical(q11_acctbal_share(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_single_exchange(spark):
+    """All three stage windows and the per-user rollup share ONE shuffle
+    on user_id (the join-chain formulation would shuffle three times)."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import q_event_funnel
+
+    plan = physical(q_event_funnel(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
