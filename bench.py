@@ -66,6 +66,8 @@ HEADLINE = [
     "q_profile_orders",
     "q_event_funnel",
     "q_cohort_retention",
+    "q_salted_segment_revenue",
+    "q_rollup_orderdate",
 ]
 
 

@@ -737,3 +737,66 @@ ORACLE["q_cohort_retention"] = """
     FROM active JOIN firsts USING (user_id)
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# skew tooling under the gate + time-hierarchy rollup
+# ---------------------------------------------------------------------------
+
+
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through ``salted_join`` — the skew tool
+    itself under the hash-match gate (its unit tests prove equivalence on
+    a planted 90%-hot-key fixture; this proves it on the driver's data
+    against plain-SQL semantics).  The build side replicates ×8, the fact
+    side salts; result is bit-identical to the unsalted join."""
+    from ..operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, ["c_custkey"], salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        as_double(F.sum(dec("o_totalprice", precision=18))).alias("revenue"),
+    )
+
+
+def q_rollup_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the year ⊃ quarter time hierarchy (CUBE's sibling —
+    only prefix grouping sets, half the expansion)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            "o_totalprice",
+        )
+        .rollup("yr", "qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_double(F.sum(dec("o_totalprice", precision=18))).alias("revenue"),
+        )
+    )
+
+
+QUERIES["q_salted_segment_revenue"] = q_salted_segment_revenue
+QUERIES["q_rollup_orderdate"] = q_rollup_orderdate
+
+ORACLE["q_salted_segment_revenue"] = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+ORACLE["q_rollup_orderdate"] = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           count(*) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ROLLUP (yr, qtr)
+"""
