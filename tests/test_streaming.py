@@ -172,3 +172,36 @@ def test_stream_event_rollup_is_reinvocable(spark, sf_dir):
     ra = {tuple(r) for r in a.collect()}
     rb = {tuple(r) for r in b.collect()}
     assert ra == rb and len(ra) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exactly-once dedup on event_id: re-delivered rows inside
+    the watermark lateness drop; state evicts past it (the managed form
+    of the batch PK anti-join guard)."""
+    import pyspark.sql.functions as F
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # duplicate every row, then dedup on the event id within the watermark
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_probe")
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_src  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == n_src
