@@ -68,6 +68,7 @@ HEADLINE = [
     "q_cohort_retention",
     "q_salted_segment_revenue",
     "q_rollup_orderdate",
+    "corpus_chunk_documents",
 ]
 
 

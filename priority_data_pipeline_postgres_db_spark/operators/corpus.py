@@ -554,3 +554,74 @@ ORACLE["corpus_length_buckets"] = f"""
                 AS BIGINT) AS padding_waste
     FROM bucketed GROUP BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (overlapping)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # size - overlap
+
+
+def chunk_documents(
+    docs: DataFrame, *, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each doc into overlapping token windows (chunk c covers
+    tokens [c·stride, c·stride + size)) — the retrieval/context-window
+    chunking step.  Whole pipeline is array expressions on the tokenized
+    column: sequence → transform(slice) → posexplode, no Python, no
+    shuffle at all (chunking is embarrassingly row-local; downstream
+    consumers repartition as they need).  The final chunk starts at the
+    last offset with any token, so every token lands in ≥1 chunk."""
+    toks = tokens_expr()
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - size, 0) / stride) + 1 for non-empty
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(F.floor((n - size + stride - 1) / stride) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.slice(toks, c * stride + 1, size),
+    )
+    out = docs.filter(n > 0).select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_id", "chunk_toks"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk_toks").cast("long").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_chunk_documents"] = corpus_chunk_documents
+
+ORACLE["corpus_chunk_documents"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM documents
+    ), sized AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                  ELSE CAST(floor((n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                       / {CHUNK_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+      FROM toks WHERE n > 0
+    ), exploded AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM sized
+    ), sliced AS (
+      SELECT doc_id, chunk_id,
+             t[(chunk_id * {CHUNK_STRIDE} + 1):(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})] AS ct
+      FROM exploded
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(ct) AS BIGINT) AS n_tokens,
+           list_aggregate(ct, 'string_agg', ' ') AS chunk_text
+    FROM sliced
+"""

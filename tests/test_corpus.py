@@ -210,3 +210,30 @@ def test_length_buckets_padding_waste(spark):
     assert got[16]["n_docs"] == 2 and got[16]["padding_waste"] == (16 - 10) + (16 - 16)
     assert got[32]["n_docs"] == 1 and got[32]["padding_waste"] == 32 - 17
     assert got[-1]["n_docs"] == 1 and got[-1]["padding_waste"] == 0  # overlong
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunks stride by 24 with size 32: every token covered, overlap = 8,
+    short docs yield exactly one chunk."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(80))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: single chunk, all 3 tokens
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    # doc 1: 80 tokens -> ceil((80-32)/24)+1 = 3 chunks at offsets 0,24,48
+    # (the last covers tokens 48..79, so no tail chunk is needed)
+    c = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c] == [32, 32, 32]
+    assert c[1]["chunk_text"].split()[0] == "t24"  # stride 24
+    # coverage: union of chunk tokens == all tokens
+    seen = set()
+    for r in c:
+        seen.update(r["chunk_text"].split())
+    assert seen == {f"t{i}" for i in range(80)}
