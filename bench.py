@@ -90,8 +90,13 @@ def main() -> None:
         # steady-state measurement: one warm-up execution absorbs python
         # worker spin-up / codegen / operator-internal cache population,
         # then the timed run reflects per-query cost. clearCache first so
-        # queries don't interfere through leftover cached plans.
+        # queries don't interfere through leftover cached plans.  Also
+        # drop leaked RDD blocks (localCheckpoint barriers aren't SQL
+        # cache entries): across ~100 executions they otherwise fill the
+        # old gen and full-GC pauses land on random later queries.
         spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         t0 = time.time()
