@@ -69,6 +69,7 @@ HEADLINE = [
     "q_salted_segment_revenue",
     "q_rollup_orderdate",
     "corpus_chunk_documents",
+    "q_value_percentiles",
 ]
 
 

@@ -800,3 +800,30 @@ ORACLE["q_rollup_orderdate"] = """
              AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM orders GROUP BY ROLLUP (yr, qtr)
 """
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order value per status.  Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation formula on doubles — verified bit-identical.  Exact
+    percentile buffers each group's values; at warehouse scale switch to
+    ``approx_percentile`` (t-digest, mergeable partial aggregation) and
+    accept the rows-only check — this entry pins the exact semantics."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+QUERIES["q_value_percentiles"] = q_value_percentiles
+
+ORACLE["q_value_percentiles"] = """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus
+"""

@@ -81,6 +81,11 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # drop leaked cache/checkpoint blocks between queries (same GC
+        # hygiene as bench.py — see its comment)
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
