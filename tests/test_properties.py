@@ -194,3 +194,23 @@ def test_hash_split_bucket_matches_duckdb(doc_id):
         [doc_id],
     ).fetchone()[0]
     assert got == _md5_60(str(doc_id)) % 100
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=30, deadline=None)
+def test_chunk_count_formula_covers_every_token(n, size, overlap_frac):
+    """Driver-side model of chunk_documents' chunk-count expression: for
+    any (n, size, stride) the windows [c*stride, c*stride+size) cover
+    [0, n) with no gap, and the formula never emits an empty chunk."""
+    stride = max(1, int(size * (1 - overlap_frac)))
+    n_chunks = 1 if n <= size else (n - size + stride - 1) // stride + 1
+    covered = set()
+    for c in range(n_chunks):
+        lo = c * stride
+        assert lo < n  # no empty chunk
+        covered.update(range(lo, min(lo + size, n)))
+    assert covered == set(range(n))
