@@ -70,6 +70,7 @@ HEADLINE = [
     "q_rollup_orderdate",
     "corpus_chunk_documents",
     "q_value_percentiles",
+    "stream_sessionize",
 ]
 
 

@@ -265,9 +265,65 @@ def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-QUERIES = {"stream_event_rollup": stream_event_rollup}
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows under the hash gate: the managed
+    ``session_window`` (state merges adjacent sessions as events arrive;
+    the watermark closes and evicts them) drained by AvailableNow, checked
+    bit-exact against the batch islands algorithm.  Session end = last
+    event + gap, and the window is half-open — an event at exactly
+    prev_end starts a NEW session, hence the oracle's ``>= gap`` island
+    boundary."""
+    import tempfile
+
+    from ..plans.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = sessionized_stream(ev)
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_sessionize_{_STREAM_SERIAL[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sess_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES = {
+    "stream_event_rollup": stream_event_rollup,
+    "stream_sessionize": stream_sessionize,
+}
 
 ORACLE = {
+    "stream_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
     "stream_event_rollup": """
         SELECT date_trunc('day', ts) AS window_start,
                date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
