@@ -9,13 +9,19 @@ Two paths:
   right baseline for recall evaluation, and the quantized integer math
   makes every cosine bit-identical to the DuckDB oracle (see
   operators.dedup.QUANT).
-- **LSH-bucketed ANN** — random-hyperplane signatures (hyperplanes derived
-  from a splitmix-style mix, no RNG state), 16 tables × 6 sign bits;
-  candidate generation is an equi-join on (table, bucket) so the quadratic
-  term is per-bucket.  The 100 TB path: probes × occupancy ≪ n².
+- **LSH-bucketed ANN** — random-hyperplane signatures (integer Rademacher-
+  style planes derived from the engine-portable md5-60 hash, no RNG
+  state), 16 tables × 6 sign bits; candidate generation is an equi-join on
+  (table, bucket) so the quadratic term is per-bucket.  The 100 TB path:
+  probes × occupancy ≪ n².
 
-The ANN result is approximate by construction → no SQL oracle (driver does
-rows-only); recall vs the exact baseline is asserted in tests.
+The ANN result is approximate w.r.t. the TRUE top-k (recall vs the exact
+baseline is asserted in tests) but exactly deterministic for fixed planes
+— and because the planes come from md5-60, the DuckDB oracle replays the
+whole path (plane lists → sign buckets → bucket join → exact cosine
+re-rank) bit-for-bit: even the approximate operator runs under the
+hash-match gate.  IVF stays rows-only (float k-means centroids aren't
+engine-portable).
 """
 
 from __future__ import annotations
@@ -104,17 +110,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplane_matrix(dim: int) -> np.ndarray:
-    """(N_TABLES*N_PLANES, dim) deterministic pseudo-random integer planes
-    (splitmix64 over (t, p, i) — reproducible with no RNG state)."""
+    """(N_TABLES*N_PLANES, dim) deterministic pseudo-random integer planes.
+
+    Coefficients derive from the engine-portable md5-60 contract
+    (int(md5("t_p_i")[:15], 16) — the same hash every LSH family uses), so
+    the WHOLE ANN path is expressible in the DuckDB oracle: this operator
+    is approximate with respect to the true top-k, but exactly
+    deterministic for fixed planes, and the oracle replays it bit-for-bit
+    (plane lists → list_dot_product signs → bucket join → exact cosine
+    re-rank)."""
+    import hashlib
+
     planes = np.empty((N_TABLES * N_PLANES, dim), dtype=np.int64)
     for t in range(N_TABLES):
         for p in range(N_PLANES):
             for i in range(dim):
-                x = (t * 1_000_003 + p * 10_007 + i * 101 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
-                x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
-                x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
-                x = x ^ (x >> 31)
-                planes[t * N_PLANES + p, i] = (x % 2001) - 1000
+                h = int(hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()[:15], 16)
+                planes[t * N_PLANES + p, i] = (h % 2001) - 1000
     return planes
 
 
@@ -208,8 +220,50 @@ ORACLE = {
           FROM scored
         ) WHERE rank <= {TOP_K}
     """,
-    # sim_ann_lsh_topk: approximate → rows-only driver check; recall vs
-    # brute force asserted in unit tests.
+    "sim_ann_lsh_topk": f'''
+        WITH dims AS (
+          SELECT len(embedding) AS d FROM embeddings LIMIT 1
+        ), pl AS (
+          SELECT t.generate_series AS t, p.generate_series AS p,
+                 list_transform(range(0, (SELECT d FROM dims)),
+                   i -> ((('0x' || substr(md5(
+                       CAST(t.generate_series AS VARCHAR) || '_'
+                       || CAST(p.generate_series AS VARCHAR) || '_'
+                       || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                     % 2001) - 1000)) AS pl
+          FROM generate_series(0, {N_TABLES - 1}) t,
+               generate_series(0, {N_PLANES - 1}) p
+        ), qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ), dots AS (
+          SELECT q.vec_id, pl.t, pl.p, list_dot_product(q.qv, pl.pl) AS dot
+          FROM qv q CROSS JOIN pl
+        ), buckets AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, t
+        ), cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+          WHERE qb.vec_id < {N_QUERIES} AND cb.vec_id <> qb.vec_id
+        ), n AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+        ), scored AS (
+          SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                 list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+          FROM cand
+          JOIN n a ON a.vec_id = cand.query_id
+          JOIN n b ON b.vec_id = cand.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+    ''',
 }
 
 
