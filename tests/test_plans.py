@@ -152,3 +152,25 @@ def test_funnel_single_exchange(spark):
 
     plan = physical(q_event_funnel(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_null_handling(spark):
+    """The profiler's null paths (testdata has no nulls): null rows count
+    in n_rows but not n_nonnull/n_distinct/min/max; an all-null column
+    reports zeros and null bounds."""
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a"), (None, None)],
+        "x int, s string",
+    ).withColumn("z", F.lit(None).cast("int"))
+    got = {r["col_name"]: r for r in profile(
+        df, [(c, F.col(c).cast("string")) for c in ["x", "s", "z"]]
+    ).collect()}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got["x"]["n_nonnull"] == 2 and got["x"]["n_distinct"] == 2
+    assert got["x"]["min_val"] == "1" and got["x"]["max_val"] == "2"
+    assert got["s"]["n_nonnull"] == 2 and got["s"]["n_distinct"] == 1
+    assert got["z"]["n_nonnull"] == 0 and got["z"]["n_distinct"] == 0
+    assert got["z"]["min_val"] is None and got["z"]["max_val"] is None
