@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_chunk_documents",
     "q_value_percentiles",
     "stream_sessionize",
+    "j_range_join_binned",
 ]
 
 

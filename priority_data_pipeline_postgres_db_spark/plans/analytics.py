@@ -827,3 +827,52 @@ ORACLE["q_value_percentiles"] = """
            quantile_cont(o_totalprice, 0.99) AS p99
     FROM orders GROUP BY o_orderstatus
 """
+
+
+def j_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time binning: for each 'error' event, the 'click'
+    events by the same user in the preceding hour.
+
+    The bin trick: a 1-hour range predicate can only match across two
+    adjacent 1-hour bins, so the error side explodes to (bin-1, bin) and
+    the join becomes a pure EQUI-join on (user, bin) with the exact range
+    as a residual filter.  With an equi key present Spark already avoids
+    a cross product, but binning is what bounds the work when the key is
+    HOT: a user with k clicks and m errors costs min(k,m)·2-bins per
+    window, not k·m — the standard interval-join scaling move (and the
+    shape to reach for when there is NO equi key at all)."""
+    ev = load(spark, sf_dir, "events")
+    # second-truncated epochs: Spark's ts→long cast truncates, matching
+    # the oracle's floor(epoch(ts))::BIGINT
+    epoch = F.col("ts").cast("long")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("error_id"), epoch.alias("te"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), epoch.alias("tc"))
+    )
+    binned_err = errors.withColumn(
+        "bin", F.explode(F.array((F.col("te") / 3600).cast("long") - 1,
+                                 (F.col("te") / 3600).cast("long")))
+    )
+    binned_clk = clicks.withColumn("bin", (F.col("tc") / 3600).cast("long"))
+    pairs = binned_err.join(binned_clk, ["user_id", "bin"]).filter(
+        (F.col("tc") >= F.col("te") - 3600) & (F.col("tc") < F.col("te"))
+    )
+    return pairs.select("user_id", "error_id", "click_id")
+
+
+QUERIES["j_range_join_binned"] = j_range_join_binned
+
+ORACLE["j_range_join_binned"] = """
+    SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND CAST(floor(epoch(c.ts)) AS BIGINT)
+         >= CAST(floor(epoch(e.ts)) AS BIGINT) - 3600
+     AND CAST(floor(epoch(c.ts)) AS BIGINT)
+         < CAST(floor(epoch(e.ts)) AS BIGINT)
+"""

@@ -174,3 +174,15 @@ def test_profile_null_handling(spark):
     assert got["s"]["n_nonnull"] == 2 and got["s"]["n_distinct"] == 1
     assert got["z"]["n_nonnull"] == 0 and got["z"]["n_distinct"] == 0
     assert got["z"]["min_val"] is None and got["z"]["max_val"] is None
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The binned range join must execute as a hash equi-join on
+    (user, bin) — never a nested-loop/cartesian plan."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        j_range_join_binned,
+    )
+
+    plan = physical(j_range_join_binned(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
