@@ -72,6 +72,9 @@ HEADLINE = [
     "q_value_percentiles",
     "stream_sessionize",
     "j_range_join_binned",
+    "j_full_outer_reconcile",
+    "q_sliding_event_rate",
+    "corpus_sample_stratified",
 ]
 
 

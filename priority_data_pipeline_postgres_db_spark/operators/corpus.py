@@ -625,3 +625,45 @@ ORACLE["corpus_chunk_documents"] = f"""
            list_aggregate(ct, 'string_agg', ' ') AS chunk_text
     FROM sliced
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (RNG-free)
+# ---------------------------------------------------------------------------
+
+STRATUM_QUOTA = 20
+
+
+def sample_stratified(docs: DataFrame, quota: int = STRATUM_QUOTA) -> DataFrame:
+    """Fixed quota per (lang, source) stratum, chosen by md5-60 hash order
+    — the RNG-free stratified sample: deterministic, stable under corpus
+    growth (a doc's hash never changes, so adding data only displaces the
+    quota boundary), and balanced across strata regardless of their raw
+    mix.  One window shuffle on the stratum key."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .select("doc_id", "lang", "source", F.col("_rn").cast("long").alias("sample_rank"))
+    )
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_stratified(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_sample_stratified"] = corpus_sample_stratified
+
+ORACLE["corpus_sample_stratified"] = f"""
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {STRATUM_QUOTA}
+"""

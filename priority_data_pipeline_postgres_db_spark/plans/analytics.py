@@ -876,3 +876,81 @@ ORACLE["j_range_join_binned"] = """
      AND CAST(floor(epoch(c.ts)) AS BIGINT)
          < CAST(floor(epoch(e.ts)) AS BIGINT)
 """
+
+
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation (the join type the rest of the catalog
+    doesn't cover): per-key order counts vs event counts, keeping keys
+    that exist on either side only — the classic two-system audit query.
+    Both sides pre-aggregate BEFORE the join (shuffle carries one row per
+    key, not raw facts), then one full-outer sort-merge on the key."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    events = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        orders.join(events, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+QUERIES["j_full_outer_reconcile"] = j_full_outer_reconcile
+
+ORACLE["j_full_outer_reconcile"] = """
+    WITH o AS (
+      SELECT o_custkey AS id, count(*) AS n_orders FROM orders GROUP BY 1
+    ), ev AS (
+      SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.id, ev.id) AS id,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN ev ON o.id = ev.id
+"""
+
+
+def q_sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rate: 1-hour windows every 15 minutes (each
+    event lands in exactly 4 windows — Spark's window() expands them
+    map-side before one shuffle on (window, type)).  The smoothed-rate
+    view a monitoring dashboard reads; tumbling and session windows are
+    covered elsewhere, this pins the overlapping kind."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+QUERIES["q_sliding_event_rate"] = q_sliding_event_rate
+
+ORACLE["q_sliding_event_rate"] = """
+    WITH slid AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                            - k.generate_series * 900000000) AS window_start
+      FROM events, generate_series(0, 3) k
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n_events
+    FROM slid GROUP BY 1, 2, 3
+"""
