@@ -75,6 +75,7 @@ HEADLINE = [
     "j_full_outer_reconcile",
     "q_sliding_event_rate",
     "corpus_sample_stratified",
+    "text_ngram_novelty",
 ]
 
 

@@ -484,3 +484,67 @@ ORACLE["text_unigram_surprisal"] = f"""
              / CAST(count(*) AS DOUBLE) AS surprisal
     FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (incremental-crawl dedup signal)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-doc novelty: the fraction of its distinct word n-grams whose
+    FIRST corpus occurrence (min doc_id) is this doc — the signal an
+    incremental crawl uses to drop near-copies of already-ingested
+    content without pairwise comparison.
+
+    Two shuffles: distinct (doc, gram) pairs, then min-doc per gram joined
+    back (gram-keyed — Zipf-skewed, AQE splits); the score is one integer
+    ratio → a single double division."""
+    from ..operators.dedup import ngrams_expr, tokens_expr
+
+    grams = docs.select(
+        "doc_id", F.explode(ngrams_expr(tokens_expr(), n)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+
+ORACLE["text_ngram_novelty"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(t) - {NOVELTY_N - 1}),
+                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram
+        FROM toks WHERE len(t) >= {NOVELTY_N}
+      )
+    ), first AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty
+    FROM grams g JOIN first f USING (gram)
+    GROUP BY g.doc_id
+"""
