@@ -76,6 +76,7 @@ HEADLINE = [
     "q_sliding_event_rate",
     "corpus_sample_stratified",
     "text_ngram_novelty",
+    "q_gapfill_daily",
 ]
 
 

@@ -954,3 +954,46 @@ ORACLE["q_sliding_event_rate"] = """
            event_type, count(*) AS n_events
     FROM slid GROUP BY 1, 2, 3
 """
+
+
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: the complete (day × event_type) grid over the
+    observed range with zero-filled counts — the spine a charting/alerting
+    layer needs (a day with no 'error' events must surface as 0, not as a
+    missing row).  Spark has no native spine operator; the idiom is
+    sequence() + explode of the 1-row min/max bounds, cross-joined with
+    the (tiny, broadcast) type dim, left-joined to the real counts."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    spine = (
+        ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return grid.join(daily, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+QUERIES["q_gapfill_daily"] = q_gapfill_daily
+
+ORACLE["q_gapfill_daily"] = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT unnest(generate_series(
+        (SELECT min(date_trunc('day', ts)) FROM events),
+        (SELECT max(date_trunc('day', ts)) FROM events),
+        INTERVAL 1 DAY)) AS day
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    )
+    SELECT s.day, t.event_type, COALESCE(d.n_events, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+"""
