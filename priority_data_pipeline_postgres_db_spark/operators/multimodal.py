@@ -83,19 +83,57 @@ def synth_wav(i: int) -> bytes:
     return buf.getvalue()
 
 
+def synth_png(i: int, width: int, height: int) -> bytes:
+    """A REAL minimal PNG (8-bit RGB, filter 0) from stdlib zlib/struct —
+    deterministic pixels seeded from sha256, valid for any PNG reader."""
+    import struct
+    import zlib
+
+    need = width * 3
+    rows = []
+    seed = hashlib.sha256(f"png-{i}".encode()).digest()
+    for y in range(height):
+        row = bytearray()
+        while len(row) < need:
+            seed = hashlib.sha256(seed + bytes([y & 0xFF])).digest()
+            row.extend(seed)
+        rows.append(b"\x00" + bytes(row[:need]))  # filter type 0 per row
+    idat = zlib.compress(b"".join(rows))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic asset table — audio payloads are REAL WAV files;
-    image/video payloads are seeded opaque bytes (their codecs are the
-    stubbed ones). The test stand-in for an object-store asset manifest."""
+    """Deterministic asset table — audio payloads are REAL WAV files and
+    image payloads are REAL PNGs (both stdlib-generated); only video stays
+    opaque seeded bytes (no container codec in the image). The test
+    stand-in for an object-store asset manifest."""
     rows = []
     for i in range(n):
         mt = ("image", "audio", "video")[i % 3]
         if mt == "audio":
             payload = synth_wav(i)
             duration = 50 * (1 + i % 3)
+        elif mt == "image":
+            payload = synth_png(i, 64 + i, 48 + i)
+            duration = None
         else:
             payload = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 7)
-            duration = 1000 * (i + 1) if mt == "video" else None
+            duration = 1000 * (i + 1)
         rows.append(
             (
                 i,
@@ -110,15 +148,51 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
-    """STUB — pixel decoding needs PIL/libvips (not in this container).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    The fake derives stable pseudo-stats from the payload bytes so the
-    distributed pipeline around it is fully exercised."""
+
+def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
+    """REAL decode for filter-0 8-bit PNGs — pure stdlib (struct header
+    parse + zlib inflate + filter reconstruction), no PIL: width, height,
+    bit depth, and mean pixel intensity.  Other formats/filters need a
+    codec library: they raise unless ``deterministic_fake`` (which derives
+    stable pseudo-stats so the distributed plumbing is still exercised)."""
+    import struct
+    import zlib
+
+    if payload[:8] == _PNG_SIG:
+        width, height, bit_depth, color = struct.unpack(">IIBB", payload[16:26])
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        idat, pos = bytearray(), 8
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat.extend(payload[pos + 8 : pos + 8 + length])
+            pos += 12 + length
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels * (bit_depth // 8) + 1
+        total = n_bytes = 0
+        for y in range(height):
+            row = raw[y * stride : (y + 1) * stride]
+            if row[0] != 0:  # only filter 0 without a full codec
+                if deterministic_fake:
+                    break
+                raise NotImplementedError("non-zero PNG row filters need PIL")
+            total += sum(row[1:])
+            n_bytes += len(row) - 1
+        mean = (total / n_bytes / 255.0) if n_bytes else 0.0
+        return {
+            "width": int(width),
+            "height": int(height),
+            "bit_depth": int(bit_depth),
+            "mean_intensity": mean,
+            "n_frames": 1,
+        }
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires PIL/libvips; run with deterministic_fake=True "
-            "or install a codec and replace this body"
+            "non-PNG image decoding requires PIL/libvips; run with "
+            "deterministic_fake=True or install a codec"
         )
     digest = hashlib.sha256(payload).digest()
     return {"mean_intensity": digest[0] / 255.0, "n_frames": 1}
