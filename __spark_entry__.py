@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_st.QUERIES)
     except ImportError:
         pass
+    try:
+        from priority_data_pipeline_postgres_db_spark.plans import reporting as _rp
+
+        catalog.update(_rp.QUERIES)
+    except ImportError:
+        pass
     return catalog
 
 
@@ -77,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         ("priority_data_pipeline_postgres_db_spark.functions.text", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.operators.corpus", "ORACLE"),
         ("priority_data_pipeline_postgres_db_spark.streaming.incremental", "ORACLE"),
+        ("priority_data_pipeline_postgres_db_spark.plans.reporting", "ORACLE"),
     ):
         try:
             import importlib

@@ -1,0 +1,551 @@
+"""TPC-H reporting/subquery battery 2 — the remaining classic plan shapes
+not yet covered by plans.queries (q1/q3/q5/q9) or plans.analytics
+(q4/q11/q13/q17): cross-nation volume (q7), market share (q8), returned
+items top-k (q10), late-shipment mix (q12), promo share (q14), top
+supplier by scalar-max (q15), large orders via HAVING-IN (q18),
+disjunctive OR-of-ANDs pushdown (q19), sole-late-supplier semi/anti
+combo (q21), and idle-customer scalar-avg + anti-join (q22).
+
+Queries are adapted to the synthetic schema (no partsupp/commitdate/
+receiptdate/phone columns): "late" means shipped >N days after the order
+date, and q22's country code becomes the trailing digit of c_name.  Every
+query keeps the exact-decimal money discipline from plans.queries so the
+DuckDB oracle hash-matches bit-for-bit.
+
+Scale notes per query live in the docstrings; the common rules: dims
+(nation/region/supplier/part at dim-scale) broadcast, fact-fact joins
+shuffle once on their equi key, aggregates are partial-before-shuffle,
+and every date filter is a pushable parquet predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import as_double, dec, money
+from .tables import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_REVENUE = lambda: (money("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - money("l_discount")))  # noqa: E731
+
+# The oracle twin of _REVENUE (plans.queries uses the same formulation).
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: cross-border shipping volume by direction and
+    year (adapted to two nation blocs — WEST = nationkey < 12, EAST =
+    the rest — because a single nation pair is empty at the smallest
+    test scale: sf0.001 has suppliers in only 10 of 25 nations).
+
+    Plan: lineitem⋈orders is the one real shuffle (both fact-sized at
+    scale → sort-merge on l_orderkey); customer→bloc and supplier→bloc
+    are broadcast maps, and the cross-bloc test is a residual filter on
+    two tiny broadcast-joined columns."""
+    bloc = F.when(F.col("n_nationkey") < 12, "WEST").otherwise("EAST")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", bloc.alias("bloc"))
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("bloc").alias("cust_bloc"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("bloc").alias("supp_bloc"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_bloc") != F.col("cust_bloc"))
+    )
+    return joined.groupBy(
+        "supp_bloc", "cust_bloc", F.year("l_shipdate").alias("l_year")
+    ).agg(as_double(F.sum(_REVENUE())).alias("revenue"))
+
+
+ORACLE["q7_nation_volume"] = f"""
+    SELECT supp_bloc, cust_bloc, l_year,
+           CAST(CAST(ROUND(SUM(volume), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM (
+      SELECT CASE WHEN n1.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END AS supp_bloc,
+             CASE WHEN n2.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END AS cust_bloc,
+             year(l_shipdate) AS l_year, {_REV_SQL} AS volume
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND (CASE WHEN n1.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END)
+         <> (CASE WHEN n2.n_nationkey < 12 THEN 'WEST' ELSE 'EAST' END)
+    ) GROUP BY supp_bloc, cust_bloc, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: NATION_5's share of PROMO-part order volume
+    delivered into ASIA, per order year — the ratio-of-conditional-sums
+    pattern.
+
+    Both the numerator and denominator come out of ONE aggregation pass
+    (sum + sum(CASE)), so the plan is: broadcast part filter → fact
+    shuffle join → broadcast dims → single groupBy.  The division
+    happens after each exact-decimal sum is reduced to a double, which
+    is the same two-step both engines perform (IEEE division of
+    identical operands → bit-identical quotient)."""
+    part = (
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust_asia = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _REVENUE().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    per_year = vol.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(25,8)")
+        )).alias("_nation_vol"),
+        F.sum("volume").alias("_total_vol"),
+    )
+    return per_year.select(
+        "o_year",
+        (as_double(F.col("_nation_vol")) / as_double(F.col("_total_vol"))).alias(
+            "mkt_share"
+        ),
+    )
+
+
+ORACLE["q8_market_share"] = f"""
+    SELECT o_year,
+           CAST(CAST(ROUND(nation_vol, 4) AS DECIMAL(18,4)) AS DOUBLE)
+             / CAST(CAST(ROUND(total_vol, 4) AS DECIMAL(18,4)) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(25,8)) END) AS nation_vol,
+             SUM({_REV_SQL}) AS total_vol
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY year(o_orderdate)
+    )
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: top 20 customers by revenue lost to returns in
+    one quarter.
+
+    Plan: quarter filter pushes into the orders scan, the 'R' flag into
+    the lineitem scan; the fact join shuffles once on l_orderkey; the
+    customer dim joins broadcast AFTER the per-customer aggregate (agg
+    first → the join input is |customers-with-returns|, not |lines|).
+    Ordering ties broken by custkey so LIMIT 20 is deterministic."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_REVENUE()).alias("_rev"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        per_cust.join(F.broadcast(dim), per_cust.o_custkey == dim.c_custkey)
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            as_double(F.col("_rev")).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+ORACLE["q10_returned_items"] = f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(ROUND(rev, 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, n_name, SUM({_REV_SQL}) AS rev
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ) ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
+def q12_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (adapted: no shipmode/receiptdate columns —
+    lateness is shipdate > orderdate + 90 days, grouping by returnflag):
+    counts of critical- vs normal-priority orders among late shipments.
+
+    The CASE-sum pair rides the single fact-fact shuffle; the year
+    filter pushes into the lineitem scan."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+ORACLE["q12_late_priority_mix"] = """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: percentage of one month's revenue from PROMO
+    parts.  Part is a broadcast map onto the lineitem scan; numerator
+    and denominator share one aggregation; final scalar division in
+    doubles (identical operands in both engines)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _REVENUE()).otherwise(
+                F.lit(0).cast("decimal(25,8)")
+            )
+        ).alias("_promo"),
+        F.sum(_REVENUE()).alias("_total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * as_double(F.col("_promo")) / as_double(F.col("_total"))).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+ORACLE["q14_promo_share"] = f"""
+    SELECT 100.0 * CAST(CAST(ROUND(promo, 4) AS DECIMAL(18,4)) AS DOUBLE)
+                 / CAST(CAST(ROUND(total, 4) AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue_pct
+    FROM (
+      SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(25,8)) END) AS promo,
+             SUM({_REV_SQL}) AS total
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    )
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — the scalar-max-subquery pattern.
+
+    The per-supplier aggregate is computed ONCE and reused for both the
+    max and the filter (Spark: a cached-free crossJoin of the 1-row max,
+    which is what Catalyst rewrites `= (SELECT max …)` into; revenue
+    equality is tested on the EXACT decimal, not the double, so ties are
+    bit-stable)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_REVENUE()).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_max_rev"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", as_double(F.col("_rev")).alias("total_revenue"))
+    )
+
+
+ORACLE["q15_top_supplier"] = f"""
+    WITH revenue AS (
+      SELECT l_suppkey, SUM({_REV_SQL}) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(ROUND(rev, 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM revenue)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total quantity exceeds 200 — the
+    HAVING-subquery-IN pattern.
+
+    Spark-first: aggregate lineitem by l_orderkey FIRST (HAVING filter
+    right after the partial agg — the surviving set is tiny), then join
+    orders on the same key (AQE converts to broadcast once the filtered
+    agg is observed to be small) and broadcast the customer dim.
+    Quantities are integral doubles → bigint sums are exact."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dec("o_totalprice", 4, 12).cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+ORACLE["q18_large_orders"] = """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice,
+           sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+    )
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue under an OR of conjunctive
+    brand/size/quantity envelopes (adapted: no container column).
+
+    The part side is pre-filtered to the UNION of the three brand×size
+    envelopes before broadcasting, so the broadcast table only carries
+    candidate parts; the residual per-branch quantity predicate applies
+    post-join.  Catalyst keeps the whole disjunction inside one
+    codegen'd filter — no union-of-three-scans blowup."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    b1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+    b2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+    b3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+    cand = part.filter(b1 | b2 | b3)
+    j = li.join(F.broadcast(cand), li.l_partkey == cand.p_partkey)
+    hit = j.filter(
+        (b1 & F.col("l_quantity").between(1, 15))
+        | (b2 & F.col("l_quantity").between(10, 25))
+        | (b3 & F.col("l_quantity").between(20, 35))
+    )
+    return hit.agg(
+        F.count("*").alias("n_lines"),
+        as_double(F.sum(_REVENUE())).alias("revenue"),
+    )
+
+
+ORACLE["q19_disjunctive_revenue"] = f"""
+    SELECT count(*) AS n_lines,
+           CAST(CAST(ROUND(SUM({_REV_SQL}), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (adapted: late = shipped >60 days after the order
+    date): suppliers who were the ONLY late shipper in a multi-supplier
+    order — the EXISTS + NOT-EXISTS double-correlation pattern.
+
+    Spark-first plan: instead of the oracle's two correlated self-joins
+    (which decorrelate into two extra shuffles of lineitem), compute
+    per-order supplier counts in ONE aggregation — n_supp = distinct
+    suppliers, n_late = distinct late suppliers — then rejoin to the
+    late lines on the same key (co-partitioned, no extra exchange) and
+    keep orders with n_supp > 1 AND n_late = 1.  Set-semantics identical
+    to EXISTS(other supplier) ∧ ¬EXISTS(other late supplier)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    sole = (
+        lines.filter(F.col("_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+ORACLE["q21_sole_late_supplier"] = """
+    SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+      JOIN orders   ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (adapted: the 'country code' is the trailing
+    digit of c_name, and 'idle' means no order since 2000-01-01 — the
+    all-time anti-join is empty at this order density): per even-digit
+    segment, the count and balance of above-average-balance customers
+    with no recent orders.
+
+    The scalar avg is a 1-row broadcast; the comparison is multiplied
+    out (bal·n > total) so it stays in exact decimals; 'no recent
+    orders' is a left-anti join against the date-filtered orders (the
+    date filter pushes into the orders scan BEFORE the shuffle, so the
+    anti-join side shrinks to the recent slice, not all history)."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "segment", F.expr("right(c_name, 1)")
+    )
+    seg = cust.filter(F.col("segment").isin("0", "2", "4", "6", "8"))
+    pos = seg.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("_n_pos"),
+        F.sum(dec("c_acctbal", 4, 18)).alias("_sum_pos"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    idle = (
+        seg.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal", 4, 18) * F.col("_n_pos") > F.col("_sum_pos"))
+        .join(orders, seg.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return idle.groupBy("segment").agg(
+        F.count("*").alias("numcust"),
+        as_double(F.sum(dec("c_acctbal", 4, 18))).alias("totacctbal"),
+    )
+
+
+ORACLE["q22_idle_customers"] = """
+    WITH seg AS (
+      SELECT c_custkey, c_acctbal, right(c_name, 1) AS segment
+      FROM customer
+      WHERE right(c_name, 1) IN ('0','2','4','6','8')
+    ), pos AS (
+      SELECT count(*) AS n_pos,
+             SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos
+      FROM seg WHERE c_acctbal > 0
+    )
+    SELECT segment, count(*) AS numcust,
+           CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS totacctbal
+    FROM seg, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY segment
+"""
+
+
+QUERIES["q7_nation_volume"] = q7_nation_volume
+QUERIES["q8_market_share"] = q8_market_share
+QUERIES["q10_returned_items"] = q10_returned_items
+QUERIES["q12_late_priority_mix"] = q12_late_priority_mix
+QUERIES["q14_promo_share"] = q14_promo_share
+QUERIES["q15_top_supplier"] = q15_top_supplier
+QUERIES["q18_large_orders"] = q18_large_orders
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+QUERIES["q21_sole_late_supplier"] = q21_sole_late_supplier
+QUERIES["q22_idle_customers"] = q22_idle_customers
