@@ -195,9 +195,114 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), dim, k=TOP_K)
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.35  # same cosine bar as operators.dedup.embedding_near_dup
+SEM_MAX_BUCKET = 256  # hot-bucket cap, same discipline as minhash/ngram
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = SEM_THRESHOLD,
+    max_bucket: int = SEM_MAX_BUCKET,
+) -> DataFrame:
+    """Semantic near-dup candidate pairs: same SRP bucket in ≥1 of the
+    N_TABLES hash tables, then EXACT integer-cosine verify ≥ threshold.
+
+    This is the SemDeDup recipe (cluster the embedding space, compare
+    only within clusters) with the deterministic md5-60 SRP quantizer
+    standing in for k-means, so the whole path replays in the DuckDB
+    oracle.  Scale: the corpus is hashed in one narrow Arrow pass; the
+    quadratic term is per-(table, bucket) and capped at ``max_bucket``
+    (oversized buckets are skipped, as in minhash_candidate_pairs — at
+    production scale raise N_PLANES so occupancy stays bounded instead);
+    the verify joins carry only ids through the shuffle and fetch the
+    two vectors by key afterwards, so the candidate exchange never
+    carries array payloads."""
+    buckets = bucket_ids_udf(dim)
+    hashed = (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .withColumn("buckets", buckets(F.col("q")))
+        .select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
+    )
+    wb = Window.partitionBy("table_id", "bucket")
+    capped = (
+        hashed.withColumn("_bn", F.count("*").over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b")
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    n = emb.select("vec_id", quantize_expr().alias("q")).withColumn(
+        "norm2", dot_expr(F.col("q"), F.col("q"))
+    )
+    cos = dot_expr(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("q").alias("qa"),
+                F.col("norm2").alias("na"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("q").alias("qb"),
+                F.col("norm2").alias("nb"),
+            ),
+            "vec_id_b",
+        )
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component, survivor) over the semantic near-dup graph:
+    connected components of ``semantic_pairs`` with the min-id member as
+    the surviving representative — the full SemDeDup pipeline (cluster →
+    within-cluster cosine → drop all but one per duplicate group)."""
+    from .corpus import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = semantic_pairs(emb, dim)
+    comp = connected_components(
+        emb.select("vec_id"),
+        pairs,
+        node_col="vec_id",
+        src_col="vec_id_a",
+        dst_col="vec_id_b",
+    )
+    return comp.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("survivor"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLE = {
@@ -263,6 +368,61 @@ ORACLE = {
                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM scored
         ) WHERE rank <= {TOP_K}
+    ''',
+    "dedup_semantic": f'''
+        WITH RECURSIVE dims AS (
+          SELECT len(embedding) AS d FROM embeddings LIMIT 1
+        ), pl AS (
+          SELECT t.generate_series AS t, p.generate_series AS p,
+                 list_transform(range(0, (SELECT d FROM dims)),
+                   i -> ((('0x' || substr(md5(
+                       CAST(t.generate_series AS VARCHAR) || '_'
+                       || CAST(p.generate_series AS VARCHAR) || '_'
+                       || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                     % 2001) - 1000)) AS pl
+          FROM generate_series(0, {N_TABLES - 1}) t,
+               generate_series(0, {N_PLANES - 1}) p
+        ), qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ), dots AS (
+          SELECT q.vec_id, pl.t, pl.p, list_dot_product(q.qv, pl.pl) AS dot
+          FROM qv q CROSS JOIN pl
+        ), buckets AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, t
+        ), capped AS (
+          SELECT vec_id, t, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY t, bucket) AS bn FROM buckets
+          ) WHERE bn <= {SEM_MAX_BUCKET}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id
+        ), n AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+        ), pairs AS (
+          SELECT va, vb
+          FROM cand
+          JOIN n a ON a.vec_id = cand.va
+          JOIN n b ON b.vec_id = cand.vb
+          WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                  >= {SEM_THRESHOLD}
+        ), edges AS (
+          SELECT va AS src, vb AS dst FROM pairs
+          UNION ALL
+          SELECT vb AS src, va AS dst FROM pairs
+        ), reach(root, node) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT root AS vec_id, CAST(min(node) AS BIGINT) AS component,
+               (root = CAST(min(node) AS BIGINT)) AS survivor
+        FROM reach GROUP BY root
     ''',
 }
 

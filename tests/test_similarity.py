@@ -73,3 +73,61 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     for r in approx_rows:
         assert r["neighbor_id"] != r["query_id"]
         assert 1 <= r["rank"] <= 5
+
+
+def test_semantic_pairs_subset_of_bruteforce(spark, sf_dir):
+    """Every semantic pair passes the exact cosine verify, so the pair set
+    must be a subset of the brute-force near-dup pairs at the same
+    threshold — and non-empty on the fixture (recall sanity)."""
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        SEM_THRESHOLD,
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    sem = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs(emb, dim).collect()
+    }
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=SEM_THRESHOLD).collect()
+    }
+    assert sem, "no semantic pairs found on the fixture"
+    assert sem <= exact
+    # SRP recall on this fixture is deterministic; keep a floor so plane
+    # changes that silently destroy recall fail loudly
+    assert len(sem) >= 0.5 * len(exact)
+
+
+def test_dedup_semantic_planted_duplicates(spark):
+    """Two near-identical vectors end in one component with exactly one
+    survivor; an orthogonal vector stays a singleton."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        connected_components,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        semantic_pairs,
+    )
+
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    a2 = [0.999] + [0.01] * (dim - 1)
+    b = [0.0] * (dim - 1) + [1.0]
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=a), Row(vec_id=1, embedding=a2), Row(vec_id=2, embedding=b)]
+    )
+    pairs = semantic_pairs(emb, dim, threshold=0.9)
+    comp = connected_components(
+        emb.select("vec_id"), pairs,
+        node_col="vec_id", src_col="vec_id_a", dst_col="vec_id_b",
+    )
+    got = {r["vec_id"]: r["component"] for r in comp.collect()}
+    assert got[0] == got[1] == 0
+    assert got[2] == 2
