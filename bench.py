@@ -77,6 +77,10 @@ HEADLINE = [
     "corpus_sample_stratified",
     "text_ngram_novelty",
     "q_gapfill_daily",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q16_supplier_part_count",
+    "q20_dominant_shippers",
 ]
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .queries import as_double, dec, money
 from .tables import load
@@ -539,6 +540,242 @@ ORACLE["q22_idle_customers"] = """
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at the minimum cost — the correlated-scalar-subquery
+    (`= (SELECT MIN …)`) pattern.
+
+    Adapted to the synthetic schema (no partsupp table): the supply cost
+    of a (part, supplier) pair is the minimum l_extendedprice at which
+    that supplier ever shipped that part.  The correlated subquery is
+    expressed as a window MIN over the per-part partition — one extra
+    sort within the already-shuffled partition instead of a second
+    aggregate + self-join, which is exactly how a modern optimizer
+    decorrelates this query.
+
+    Scale shape: lineitem is pre-filtered by two broadcast semi-joins
+    (qualifying parts, EUROPE suppliers) BEFORE its one shuffle on
+    (l_partkey, l_suppkey); the window rides the same hash partitioning
+    (partitionBy is a prefix of the agg keys → no second exchange).
+    Cost is the exact decimal(12,4); equality against the window MIN is
+    decimal equality, so ties are bit-stable."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 40)
+    ).select("p_partkey", "p_type", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(money("l_extendedprice")).alias("_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("_min_cost", F.min("_cost").over(w)).filter(
+        F.col("_cost") == F.col("_min_cost")
+    )
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "l_partkey", "l_suppkey"
+        )
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_type",
+            "p_size",
+            as_double(F.col("_cost")).alias("supply_cost"),
+        )
+    )
+
+
+ORACLE["q2_min_cost_supplier"] = """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,4))) AS c
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+      WHERE p_type = 'STANDARD' AND p_size >= 40 AND r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_type, p_size,
+           CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS supply_cost
+    FROM cost
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+    WHERE c = (SELECT MIN(c) FROM cost c2 WHERE c2.l_partkey = cost.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, l_partkey, l_suppkey LIMIT 100
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6: the pure scan-filter-aggregate — revenue delta from
+    discounted small-quantity lines in one year.
+
+    Every predicate (shipdate range, discount band, quantity cap) is a
+    pushable parquet filter on the SAME scan; `.explain` shows all three
+    in PushedFilters and a two-column ReadSchema
+    (l_extendedprice, l_discount survive pruning plus the filter cols).
+    The aggregate is a single partial→final sum of the exact
+    decimal(12,4)×decimal(8,4) product — the canonical 'the engine should
+    be I/O-bound here' query."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        as_double(F.sum(money("l_extendedprice") * dec("l_discount", 4, 8))).alias(
+            "revenue"
+        ),
+    )
+
+
+ORACLE["q6_forecast_revenue"] = """
+    SELECT count(*) AS n_lines,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                               * CAST(l_discount AS DECIMAL(8,4))), 4)
+                     AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+"""
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding a blocklisted supplier set —
+    the NOT-IN-subquery + COUNT(DISTINCT) pattern.
+
+    Adapted: the part↔supplier relation is the distinct (l_partkey,
+    l_suppkey) projection of lineitem (no partsupp table), and the
+    'complaints' blocklist is suppliers with s_acctbal < 1000.
+
+    Scale shape: the distinct pair-set is ONE shuffle on the composite
+    key (map-side combine collapses the ~4× lineitem fan-in first); the
+    blocklist NOT IN is a broadcast anti-join (never a shuffle); part is
+    a broadcast map; the final COUNT(DISTINCT suppkey) per bucket
+    re-shuffles only the deduplicated pair-set, which is dim-scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(5, 15, 25, 35, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE["q16_supplier_part_count"] = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (5, 15, 25, 35, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: WEST-bloc suppliers who shipped more than half of
+    some 'large…' part's total 1997 volume — the nested-aggregate-
+    subquery (`> 0.5 * (SELECT SUM …)`) pattern.
+
+    Adapted: availqty becomes the supplier's own shipped quantity, and
+    the forest% part filter becomes p_name LIKE 'large%'.
+
+    Scale shape: one shuffle aggregates (part, supplier) quantity; the
+    correlated total-per-part subquery is the window SUM over the same
+    partitioning (no second exchange, no self-join); the half-share test
+    is 2·pair > total in exact decimals (no 0.5 rounding hazard).  The
+    supplier dim joins broadcast AFTER the dominance filter, when the
+    row set is near-empty."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("large")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity", 4, 18)).alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pair.withColumn("_total", F.sum("_qty").over(w))
+        .filter(F.lit(2).cast("decimal(2,0)") * F.col("_qty") > F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 12).select(
+        "n_nationkey", "n_name"
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        dominant.join(F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey)
+        .orderBy("s_name", "s_suppkey")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+ORACLE["q20_dominant_shippers"] = """
+    WITH pair AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'large%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_nationkey < 12
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM pair p1
+        WHERE CAST(2 AS DECIMAL(2,0)) * qty >
+              (SELECT SUM(qty) FROM pair p2 WHERE p2.l_partkey = p1.l_partkey)
+      )
+    ORDER BY s_name, s_suppkey
+"""
+
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+QUERIES["q16_supplier_part_count"] = q16_supplier_part_count
+QUERIES["q20_dominant_shippers"] = q20_dominant_shippers
 QUERIES["q7_nation_volume"] = q7_nation_volume
 QUERIES["q8_market_share"] = q8_market_share
 QUERIES["q10_returned_items"] = q10_returned_items
