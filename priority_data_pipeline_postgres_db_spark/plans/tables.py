@@ -39,15 +39,32 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to session-TZ TIMESTAMP regardless of
+    the parquet physical type the driver generated this round.  Works on both
+    batch and streaming DataFrames (schema-only dispatch)."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong); truncate
+        # to micros with INTEGER division — double division loses
+        # precision at 1e18 ns and rounds the last microsecond,
+        # diverging from the DuckDB oracle's truncation.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # timestamp[us] with isAdjustedToUTC=false reads as
+        # TIMESTAMP_NTZ; the engine (and the DuckDB oracle, whose
+        # session is UTC) treats wall-clock == UTC, so the NTZ→LTZ cast
+        # under the UTC session timezone is value-preserving.  LTZ keeps
+        # the ts→long epoch casts the queries rely on legal.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong); truncate to
-        # micros with INTEGER division — double division loses precision at
-        # 1e18 ns and rounds the last microsecond, diverging from the
-        # DuckDB oracle's truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

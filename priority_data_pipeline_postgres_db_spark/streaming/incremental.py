@@ -220,7 +220,7 @@ def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from ..plans.tables import ensure_session_confs
+    from ..plans.tables import ensure_session_confs, normalize_events_ts
     from ..plans.queries import as_double, dec
 
     ensure_session_confs(spark)
@@ -231,7 +231,7 @@ def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_events_ts(src)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -275,7 +275,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     import tempfile
 
-    from ..plans.tables import ensure_session_confs
+    from ..plans.tables import ensure_session_confs, normalize_events_ts
 
     ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -284,7 +284,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_events_ts(src)
     agg = sessionized_stream(ev)
     _STREAM_SERIAL[0] += 1
     name = f"stream_sessionize_{_STREAM_SERIAL[0]}"

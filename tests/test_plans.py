@@ -186,3 +186,32 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = physical(j_range_join_binned(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_load_normalizes_events_ts_across_parquet_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (round 1) and
+    as timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ (round 2);
+    load() must yield identical session-TZ TIMESTAMP values for both."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    stamps = [
+        dt.datetime(2024, 1, 5, 12, 0, 0, 123456),
+        dt.datetime(2024, 1, 6, 23, 59, 59, 999999),
+    ]
+    for unit, sub in (("ns", "nanos"), ("us", "ntz")):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table({"ts": pa.array(stamps, type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+    a = load(spark, str(tmp_path / "nanos"), "events")
+    b = load(spark, str(tmp_path / "ntz"), "events")
+    assert a.schema["ts"].dataType.simpleString() == "timestamp"
+    assert b.schema["ts"].dataType.simpleString() == "timestamp"
+    got_a = sorted(r["ts"] for r in a.collect())
+    got_b = sorted(r["ts"] for r in b.collect())
+    assert got_a == got_b == stamps

@@ -186,7 +186,11 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from priority_data_pipeline_postgres_db_spark.plans.tables import (
+        normalize_events_ts,
+    )
+
+    ev = normalize_events_ts(src)
     # duplicate every row, then dedup on the event id within the watermark
     doubled = ev.unionByName(ev)
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
