@@ -548,3 +548,114 @@ ORACLE["text_ngram_novelty"] = f"""
     FROM grams g JOIN first f USING (gram)
     GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (fixed-query top-k)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["hash", "join", "table"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str] = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 document scoring against a fixed query-term set, global top-k.
+
+    Lucene-flavored idf: ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+    positive, so stopword-frequent terms can't flip document ranks with
+    negative contributions.  Shape at scale: tokenize → filter to the
+    query-term rows BEFORE the (doc, term) shuffle (only matching-term
+    rows ever shuffle, a vocabulary-sized fraction of the corpus), tiny
+    per-term df table broadcast, document length from the tokenized
+    scan, global top-k as TakeOrderedAndProject (no full sort).  The
+    score is rounded at 4 decimals — ln() may differ in the last ulp
+    across engines — and ties break on doc_id, so the top-k cut is
+    deterministic and oracle-stable.
+    """
+    toks = tokenized(docs)
+    # dl/avgdl from exact integer token counts; int->double conversion and
+    # one division are bit-identical across IEEE engines.
+    dl = toks.select("doc_id", F.size("toks").alias("dl")).cache()
+    tot, n_docs = dl.agg(
+        F.sum("dl").cast("long"), F.count("*").cast("long")
+    ).first()
+    avgdl = tot / n_docs
+    matches = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = matches.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("term_score", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_matched_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.round(F.sum("term_score"), 4)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("bm25_score"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_score"), F.asc("doc_id")).limit(k)
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE["text_bm25_topk"] = f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+    ), stats AS (
+      SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS BIGINT) AS avgdl,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+      ) WHERE term IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT * FROM (
+      SELECT tf.doc_id AS doc_id,
+             CAST(count(*) AS INTEGER) AS n_matched_terms,
+             CAST(sum(tf.tf) AS BIGINT) AS total_tf,
+             CAST(CAST(round(sum(
+               ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - tf.df + 0.5)
+                          / (tf.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0!r}) / (tf.tf + {BM25_K1!r}
+                  * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / (SELECT avgdl FROM stats))))
+             ), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bm25_score
+      FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term)) tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    )
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT {BM25_TOPK}
+"""

@@ -667,3 +667,86 @@ ORACLE["corpus_sample_stratified"] = f"""
       FROM documents
     ) WHERE rn <= {STRATUM_QUOTA}
 """
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (greedy quality prefix)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 8000
+
+
+def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Greedy token-budget selection: walk documents in (quality desc,
+    doc_id) order and keep the prefix whose running token total stays
+    within ``budget`` — "fill the training budget with the best tokens
+    first".  Prefix semantics (not knapsack): once the budget is crossed,
+    everything after the boundary is dropped.
+
+    A naive global running sum is a single-partition window sort — the
+    classic scale-killer.  Instead: bucket docs by floor(quality × 1000)
+    (ordering by bucket is EXACT — floor is monotone in quality), roll up
+    per-bucket token totals (≤ 1001 rows at any corpus size — driver-safe
+    by construction), compute bucket prefix offsets once on the driver,
+    prune whole buckets past the budget BEFORE any sort, then run the
+    running sum per-bucket (parallel windows) and add the broadcast
+    offset.  Exactly the histogram prefix-sum trick; bit-identical to the
+    oracle's global window.  Zero-token docs are excluded (they'd make
+    the running total non-strictly-monotone and survive arbitrarily deep
+    past the boundary)."""
+    from ..functions.text import quality_score_expr, tokenized
+
+    toks = tokenized(docs)
+    _, score = quality_score_expr(F.col("toks"), F.col("norm"))
+    scored = (
+        toks.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            score.alias("quality_score"),
+        )
+        .withColumn(
+            "qb", F.floor(F.col("quality_score") * F.lit(1000.0)).cast("int")
+        )
+        .cache()  # barrier: feeds the histogram AND the selection pass
+    )
+    hist = scored.groupBy("qb").agg(F.sum("n_tokens").alias("btok")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(hist, key=lambda r: -r["qb"]):
+        offsets[r["qb"]] = run
+        run += r["btok"]
+    keep = [qb for qb, off in offsets.items() if off < budget]
+    off_map = F.create_map(
+        *[
+            lit
+            for qb in keep
+            for lit in (F.lit(qb), F.lit(int(offsets[qb])).cast("long"))
+        ]
+    )
+    w = Window.partitionBy("qb").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        scored.filter(F.col("qb").isin(keep))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + off_map[F.col("qb")])
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_select(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_token_budget"] = corpus_token_budget
+
+ORACLE["corpus_token_budget"] = f"""
+    SELECT doc_id, n_tokens, quality_score, cum_tokens FROM (
+      SELECT doc_id,
+             CAST(n_tokens AS INTEGER) AS n_tokens,
+             quality_score,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id ASC
+             ) AS BIGINT) AS cum_tokens
+      FROM ({_TEXT_ORACLE["text_quality_score"]}) t
+    ) WHERE cum_tokens <= {TOKEN_BUDGET}
+"""

@@ -237,3 +237,33 @@ def test_chunk_documents_overlap_and_coverage(spark):
     for r in c:
         seen.update(r["chunk_text"].split())
     assert seen == {f"t{i}" for i in range(80)}
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    """Selection is the greedy quality-ordered prefix: running total stays
+    within budget, the highest-quality docs survive, and the first doc
+    past the boundary (and everything after) is dropped."""
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    # quality ~ stopword density; doc_id 1..4 descending quality by design
+    mk = lambda stops, pads: ("the a of and to in is it " * stops + "zq " * pads).strip()  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, mk(5 - i, 6 * i)) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    all_rows = {
+        r["doc_id"]: r
+        for r in token_budget_select(docs, budget=10**9).collect()
+    }
+    assert len(all_rows) == 4
+    order = sorted(all_rows.values(), key=lambda r: r["cum_tokens"])
+    qualities = [r["quality_score"] for r in order]
+    assert qualities == sorted(qualities, reverse=True)
+    # budget that cuts after the second doc in quality order
+    cut = order[1]["cum_tokens"]
+    got = token_budget_select(docs, budget=cut).collect()
+    assert {r["doc_id"] for r in got} == {order[0]["doc_id"], order[1]["doc_id"]}
+    assert max(r["cum_tokens"] for r in got) <= cut

@@ -128,3 +128,25 @@ def test_unigram_surprisal_planted(spark):
     assert got[2]["surprisal"] == (surp_the + surp_rare) / 2.0
     assert got[2]["surprisal"] > got[1]["surprisal"]
     assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+
+
+def test_bm25_ranks_term_density_and_length(spark):
+    """A doc stuffed with query terms outranks a sparse one; between two
+    docs with identical tf, the shorter doc wins (length normalization);
+    docs with no query term never appear."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import bm25_topk
+
+    filler = " ".join(["pad"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join table hash join table"),   # dense, short
+            (2, "hash join table " + filler),          # same tf, longer
+            (3, "hash " + filler),                     # one term
+            (4, filler),                               # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_topk(docs, k=10).collect()}
+    assert 4 not in got
+    assert got[1]["bm25_score"] > got[2]["bm25_score"] > got[3]["bm25_score"]
+    assert got[1]["n_matched_terms"] == 3 and got[3]["n_matched_terms"] == 1
