@@ -81,6 +81,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q16_supplier_part_count",
     "q20_dominant_shippers",
+    "text_bm25_topk",
+    "corpus_token_budget",
 ]
 
 

@@ -659,3 +659,105 @@ ORACLE["text_bm25_topk"] = f"""
     ORDER BY bm25_score DESC, doc_id ASC
     LIMIT {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI collocations (corpus-level)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK) -> DataFrame:
+    """Corpus-level collocation extraction: top-k adjacent-token bigrams
+    by PMI lift, with a minimum-support filter.
+
+    The reported ``lift`` is the raw probability ratio
+    p(xy) / (p(x)·p(y)) rather than its log (= PMI): ln is monotone, so
+    the ranking is identical, and the ratio is pure int→double divisions
+    in a fixed order — bit-exact across engines where libm log is not
+    (the tf-idf operator makes the same trade, text.py:245).
+
+    Shape at scale: two corpus-wide counts (unigram, bigram — each one
+    partial-agg shuffle on the gram), the two scalar totals ride the same
+    aggregations, and the unigram table joins in twice via broadcast
+    (vocabulary-sized ≪ corpus; at web scale with unbounded vocab swap to
+    a shuffle join on the term — same plan shape, still no doc×doc work).
+    Top-k is TakeOrderedAndProject with a (lift, bigram) tie-break."""
+    from ..operators.dedup import ngrams_expr
+
+    toks = tokenized(docs)
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .cache()  # barrier: feeds the N scalar and both join sides
+    )
+    n_uni = uni.agg(F.sum("c")).first()[0]
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(F.explode(ngrams_expr(F.col("toks"), 2, distinct=False)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c_xy"))
+        .cache()  # barrier: feeds the M scalar and the scored join
+    )
+    n_bi = bi.agg(F.sum("c_xy")).first()[0]
+    w12 = F.split(F.col("g"), " ")
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .withColumn("w1", w12.getItem(0))
+        .withColumn("w2", w12.getItem(1))
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))), "w2")
+        .withColumn(
+            "lift",
+            (F.col("c_xy").cast("double") / F.lit(float(n_bi)))
+            / (
+                (F.col("c_x").cast("double") / F.lit(float(n_uni)))
+                * (F.col("c_y").cast("double") / F.lit(float(n_uni)))
+            ),
+        )
+        .select(F.col("g").alias("bigram"), "c_xy", "c_x", "c_y", "lift")
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_pmi(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_bigram_pmi"] = text_bigram_pmi
+
+ORACLE["text_bigram_pmi"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(toks) AS w FROM d
+      ) GROUP BY w
+    ), totals AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni
+    ), b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+      FROM d WHERE len(toks) >= 2
+    ), cxy AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c_xy FROM b GROUP BY g
+    ), btot AS (
+      SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM cxy
+    )
+    SELECT * FROM (
+      SELECT cxy.g AS bigram, cxy.c_xy, u1.c AS c_x, u2.c AS c_y,
+             (CAST(cxy.c_xy AS DOUBLE) / CAST((SELECT n_bi FROM btot) AS DOUBLE))
+             / ((CAST(u1.c AS DOUBLE) / CAST((SELECT n_uni FROM totals) AS DOUBLE))
+                * (CAST(u2.c AS DOUBLE) / CAST((SELECT n_uni FROM totals) AS DOUBLE)))
+               AS lift
+      FROM cxy
+      JOIN uni u1 ON u1.w = string_split(cxy.g, ' ')[1]
+      JOIN uni u2 ON u2.w = string_split(cxy.g, ' ')[2]
+      WHERE cxy.c_xy >= {PMI_MIN_COUNT}
+    )
+    ORDER BY lift DESC, bigram ASC
+    LIMIT {PMI_TOPK}
+"""

@@ -150,3 +150,18 @@ def test_bm25_ranks_term_density_and_length(spark):
     assert 4 not in got
     assert got[1]["bm25_score"] > got[2]["bm25_score"] > got[3]["bm25_score"]
     assert got[1]["n_matched_terms"] == 3 and got[3]["n_matched_terms"] == 1
+
+
+def test_bigram_pmi_planted_collocation(spark):
+    """A pair of tokens that only ever occur together tops the lift
+    ranking; a pair of independently-frequent tokens scores near 1."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import bigram_pmi
+
+    # "zq vx" always adjacent (perfect collocation); "aa bb" co-occur but
+    # aa and bb also appear independently everywhere else
+    rows = [(i, "zq vx aa bb aa cc bb dd aa ee bb ff") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bigram_pmi(docs, min_count=5, k=20).collect()
+    assert got[0]["bigram"] == "zq vx"
+    by_g = {r["bigram"]: r["lift"] for r in got}
+    assert by_g["zq vx"] > by_g["aa bb"] > 0.0
