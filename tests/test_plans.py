@@ -215,3 +215,43 @@ def test_load_normalizes_events_ts_across_parquet_encodings(spark, tmp_path):
     got_a = sorted(r["ts"] for r in a.collect())
     got_b = sorted(r["ts"] for r in b.collect())
     assert got_a == got_b == stamps
+
+
+def test_bm25_plan_broadcasts_df_and_takes_topk(spark):
+    """BM25's df table rides a broadcast join and the global top-k is
+    TakeOrderedAndProject — never a full sort of the scored set."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import text_bm25_topk
+
+    plan = physical(text_bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_plan_has_no_global_window(spark):
+    """The running sum must be the per-bucket window (partitionBy qb) plus
+    a broadcast offset — a global ORDER BY window would collapse the
+    corpus onto one partition.  The Window spec must carry a partition
+    key, and whole buckets past the budget are pruned by an isin filter
+    before the sort."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_token_budget,
+    )
+
+    plan = physical(corpus_token_budget(spark, SF))
+    assert "Window" in plan
+    # Spark prints a global window as 'Window [...], [col ORDER BY]' with
+    # an empty partition spec; the bucketed form partitions by qb
+    assert "partitionspec" not in plan.lower() or "qb" in plan
+    import re
+
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "sum" in ln.lower()]
+    assert win and all("qb" in ln for ln in win)
+
+
+def test_bigram_pmi_plan_broadcasts_unigrams(spark):
+    """Both unigram join sides broadcast; top-k is TakeOrderedAndProject."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import text_bigram_pmi
+
+    plan = physical(text_bigram_pmi(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
