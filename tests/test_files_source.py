@@ -1,0 +1,99 @@
+"""JSONL/CSV corpus-drop readers: schema-first parse, quarantine path,
+identifier lowercasing, derived n_chars."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_jsonl_reader_good_and_quarantine(spark, tmp_path):
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}),
+        json.dumps({"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1"}),
+        "{not valid json",                                   # parse-corrupt
+        json.dumps({"doc_id": None, "text": "orphan"}),      # null key
+        json.dumps({"doc_id": 5, "lang": "en"}),             # missing text
+    ]
+    p = tmp_path / "drop.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    from priority_data_pipeline_postgres_db_spark.sources.files import (
+        read_documents_jsonl,
+    )
+
+    good, bad = read_documents_jsonl(spark, str(p), quarantine=True)
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_chars"] == len("hello world")
+    assert good.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert bad.count() == 3
+    raws = [r["raw_record"] for r in bad.collect()]
+    assert any("not valid json" in r for r in raws)
+
+
+def test_jsonl_reader_lowercases_identifiers(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(json.dumps({"Doc_ID": 7, "Text": "MiXeD", "Lang": "en", "Source": "x"}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("Doc_ID", T.LongType()),
+            T.StructField("Text", T.StringType()),
+            T.StructField("Lang", T.StringType()),
+            T.StructField("Source", T.StringType()),
+        ]
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.files import (
+        read_documents_jsonl,
+    )
+
+    got = read_documents_jsonl(spark, str(p), schema)
+    assert got.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert got.first()["doc_id"] == 7
+
+
+def test_csv_reader_good_and_quarantine(spark, tmp_path):
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "doc_id,text,lang,source\n"
+        "1,alpha beta,en,s1\n"
+        "2,gamma,en,s2\n"
+        "notanumber,oops,en,s3\n"   # doc_id fails the long parse
+        ",missing key,en,s4\n"
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.files import (
+        read_documents_csv,
+    )
+
+    good, bad = read_documents_csv(spark, str(p), quarantine=True)
+    ids = sorted(r["doc_id"] for r in good.collect())
+    assert ids == [1, 2]
+    assert bad.count() == 2
+
+
+def test_readers_feed_text_operators(spark, tmp_path):
+    """The normalized output drops straight into the text/corpus operator
+    family (same shape as the documents table)."""
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps(
+                {"doc_id": i, "text": "the a of and to spark table", "lang": "en", "source": "s"}
+            )
+            for i in range(4)
+        )
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.files import (
+        read_documents_jsonl,
+    )
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        exact_dedup,
+        normalized_text,
+    )
+
+    docs = read_documents_jsonl(spark, str(p))
+    # identical texts: exact dedup keeps one survivor
+    got = exact_dedup(docs, F.md5(normalized_text()), "doc_id", ["doc_id"])
+    assert got.count() == 1 and got.first()["doc_id"] == 0
