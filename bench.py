@@ -83,6 +83,7 @@ HEADLINE = [
     "q20_dominant_shippers",
     "text_bm25_topk",
     "corpus_token_budget",
+    "stream_click_attribution",
 ]
 
 

@@ -300,12 +300,105 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _event_stream(spark: SparkSession, sf_dir: str):
+    from ..plans.tables import ensure_session_confs, normalize_events_ts
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events_ts(src)
+
+
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks
+    the same user made in the preceding ``ATTRIBUTION_WINDOW_MIN``
+    minutes.  Both sides carry watermarks and the join predicate carries
+    the time bound — that pair is what lets the engine EVICT click state
+    once the watermark passes click.ts + window (an unbounded-state
+    stream-stream join is the classic production OOM).  Append mode:
+    matches emit as soon as both sides are sealed.
+
+    Under Trigger.AvailableNow over a static landing dir, every row
+    arrives in the first micro-batch (watermark still at -inf), so no
+    late rows are dropped and the result is EXACTLY the batch interval
+    join — which is what the oracle checks, making this the rare
+    stream-stream operator that hash-matches a SQL oracle."""
+    import tempfile
+
+    ev = _event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES
+            """
+        ),
+    ).select(
+        "click_event_id",
+        "purchase_event_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_click_attribution_{_STREAM_SERIAL[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_attr_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_event_rollup": stream_event_rollup,
     "stream_sessionize": stream_sessionize,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLE = {
+    "stream_click_attribution": f"""
+        SELECT c.event_id AS click_event_id,
+               p.event_id AS purchase_event_id,
+               c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
     "stream_sessionize": """
         WITH flagged AS (
           SELECT user_id, ts,

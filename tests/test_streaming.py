@@ -209,3 +209,35 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got.count() == n_src  # every duplicate dropped
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_stream_click_attribution_equals_batch_join(spark, sf_dir):
+    """Under AvailableNow over a static dir nothing is late, so the
+    stream-stream interval join must equal the batch interval join."""
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        ATTRIBUTION_WINDOW_MIN,
+        stream_click_attribution,
+    )
+
+    got = {
+        (r["click_event_id"], r["purchase_event_id"], r["lag_us"])
+        for r in stream_click_attribution(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    batch = c.join(
+        p,
+        F.expr(
+            f"user_id = pu AND pts >= cts AND "
+            f"pts <= cts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES"
+        ),
+    ).select("cid", "pid", (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag"))
+    want = {(r["cid"], r["pid"], r["lag"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
