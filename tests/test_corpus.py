@@ -267,3 +267,30 @@ def test_token_budget_select_greedy_prefix(spark):
     got = token_budget_select(docs, budget=cut).collect()
     assert {r["doc_id"] for r in got} == {order[0]["doc_id"], order[1]["doc_id"]}
     assert max(r["cum_tokens"] for r in got) <= cut
+
+
+def test_token_budget_selections_nest_across_budgets(spark):
+    """Prefix semantics ⇒ selections are nested: the budget-b selection is
+    exactly the full quality-ordered prefix cut at b, for every b.  Also
+    exercises whole-bucket pruning (tiny budgets keep only top buckets)."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    mk = lambda stops, pads: ("the a of and to in is it " * stops + f"w{pads} " * (3 * pads + 1)).strip()  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, mk(1 + (i % 7), i)) for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    full = sorted(
+        token_budget_select(docs, budget=10**9).collect(),
+        key=lambda r: r["cum_tokens"],
+    )
+    assert [r["cum_tokens"] for r in full] == [
+        sum(x["n_tokens"] for x in full[: i + 1]) for i in range(len(full))
+    ]
+    for budget in (full[0]["cum_tokens"] - 1, full[3]["cum_tokens"],
+                   full[20]["cum_tokens"] + 1, full[-1]["cum_tokens"]):
+        got = token_budget_select(docs, budget=budget).collect()
+        want = [r for r in full if r["cum_tokens"] <= budget]
+        assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in want)
