@@ -87,6 +87,9 @@ STRESS = [
     "text_unigram_surprisal",
     "corpus_length_buckets",
     "corpus_build_training_set",
+    "text_bm25_topk",
+    "corpus_token_budget",
+    "text_bigram_pmi",
 ]
 
 
