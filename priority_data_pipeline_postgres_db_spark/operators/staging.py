@@ -207,3 +207,45 @@ class StagingWarehouse:
         if os.path.isdir(acc):
             shutil.rmtree(acc)
         return dropped
+
+    def vacuum(
+        self, table_name: str | None = None, *, min_age_sec: float = 3600.0
+    ) -> list[str]:
+        """Remove orphan ``.tmp-*`` scratch dirs left by writes that died
+        before their commit rename.  Readers and reports already ignore
+        them (only ``ingest_batch=`` dirs are data), so vacuum is pure
+        space reclamation and can run on any maintenance cadence.
+
+        ``min_age_sec`` guards the race with an IN-FLIGHT write: a scratch
+        dir younger than the threshold may still be filling, so it is
+        skipped.  One hour is far past any sane write duration for a
+        single batch; tests pass 0 to reap immediately.  Returns the
+        removed paths."""
+        import time
+
+        if table_name is not None:
+            tables = [table_name]
+        else:
+            # all stg_ dirs, including ones with ONLY orphans (a first
+            # write that crashed leaves no committed batch, so tables()
+            # wouldn't list it)
+            acc = os.path.join(self.root, f"acc_{self.account_id}")
+            tables = (
+                sorted(d for d in os.listdir(acc) if d.startswith(STG_PREFIX))
+                if os.path.isdir(acc)
+                else []
+            )
+        removed: list[str] = []
+        now = time.time()
+        for t in tables:
+            path = self._path(t.removeprefix(STG_PREFIX))
+            if not os.path.isdir(path):
+                continue
+            for d in os.listdir(path):
+                if not d.startswith(".tmp-"):
+                    continue
+                full = os.path.join(path, d)
+                if now - os.path.getmtime(full) >= min_age_sec:
+                    shutil.rmtree(full)
+                    removed.append(full)
+        return removed

@@ -131,3 +131,46 @@ def test_compact_newest_wins_merge(spark, tmp_path):
     assert got == {1: "a", 2: "b2", 3: "c"}
     # exactly one committed batch remains
     assert len(wh._batches(wh._path("t"))) == 1
+
+
+def test_vacuum_reaps_old_orphans_only(spark, orders, tmp_path):
+    """vacuum() removes crash-orphaned scratch dirs past the age guard and
+    leaves fresh (possibly in-flight) ones plus committed data alone."""
+    import os
+    import shutil
+    import time
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t6")
+    wh.write(orders.limit(8), "ORDERS", incremental=False)
+
+    base = os.path.join(str(tmp_path), "acc_t6", "stg_orders")
+    committed = next(d for d in os.listdir(base) if d.startswith("ingest_batch="))
+    old = os.path.join(base, ".tmp-dead")
+    fresh = os.path.join(base, ".tmp-inflight")
+    shutil.copytree(os.path.join(base, committed), old)
+    shutil.copytree(os.path.join(base, committed), fresh)
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    removed = wh.vacuum(min_age_sec=3600)
+    assert removed == [old]
+    assert not os.path.isdir(old) and os.path.isdir(fresh)
+    assert wh.read("orders").count() == 8
+
+    # age 0 reaps the rest; committed batch survives
+    assert wh.vacuum("ORDERS", min_age_sec=0) == [fresh]
+    assert wh.read("orders").count() == 8
+
+
+def test_vacuum_covers_tables_with_no_committed_batch(spark, orders, tmp_path):
+    """A FIRST write that crashes leaves a table dir holding only a
+    scratch orphan; the no-arg vacuum must still find it."""
+    import os
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t7")
+    base = os.path.join(str(tmp_path), "acc_t7", "stg_ghost")
+    orphan = os.path.join(base, ".tmp-dead")
+    os.makedirs(orphan)
+    assert wh.tables() == []  # no committed batch -> not a table
+    assert wh.vacuum(min_age_sec=0) == [orphan]
+    assert not os.path.isdir(orphan)
