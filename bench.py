@@ -84,6 +84,7 @@ HEADLINE = [
     "text_bm25_topk",
     "corpus_token_budget",
     "stream_click_attribution",
+    "corpus_interleave_sources",
 ]
 
 

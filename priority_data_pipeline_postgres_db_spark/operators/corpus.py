@@ -750,3 +750,63 @@ ORACLE["corpus_token_budget"] = f"""
       FROM ({_TEXT_ORACLE["text_quality_score"]}) t
     ) WHERE cum_tokens <= {TOKEN_BUDGET}
 """
+
+
+# ---------------------------------------------------------------------------
+# source interleaving (training-order mixing)
+# ---------------------------------------------------------------------------
+
+
+def interleave_sources(docs: DataFrame) -> DataFrame:
+    """Deterministic round-robin training order across sources: reading in
+    ``interleave_key`` order visits source A's 1st doc, B's 1st, C's 1st,
+    then A's 2nd, ... — the standard guard against source-ordered training
+    (a model that sees one crawl for its first N steps).
+
+    No global sort is materialized: the key is
+    ``(src_rank − 1) × n_sources + src_idx`` — per-source windows (one
+    shuffle on source, parallel across sources) plus a broadcast join of
+    the tiny distinct-source index.  Gaps appear once short sources
+    exhaust; the key stays strictly ordering-correct.  All integer math,
+    bit-exact against the oracle."""
+    srcs = docs.select("source").distinct()
+    n_src = srcs.count()
+    idx = srcs.withColumn(
+        "src_idx",
+        F.row_number().over(Window.partitionBy().orderBy("source")),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(idx), "source")
+        .withColumn(
+            "interleave_key",
+            ((F.col("src_rank") - 1) * n_src + F.col("src_idx")).cast("long"),
+        )
+        .select("doc_id", "source", "src_rank", "interleave_key")
+    )
+
+
+def corpus_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interleave_sources(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_interleave_sources"] = corpus_interleave_sources
+
+ORACLE["corpus_interleave_sources"] = """
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS src_rank
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx,
+             CAST(count(*) OVER () AS BIGINT) AS n_src
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT doc_id, r.source, src_rank,
+           CAST((src_rank - 1) * n_src + src_idx AS BIGINT) AS interleave_key
+    FROM r JOIN s USING (source)
+"""

@@ -294,3 +294,22 @@ def test_token_budget_selections_nest_across_budgets(spark):
         got = token_budget_select(docs, budget=budget).collect()
         want = [r for r in full if r["cum_tokens"] <= budget]
         assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in want)
+
+
+def test_interleave_sources_round_robin(spark):
+    """Reading in interleave_key order alternates sources until the short
+    one exhausts; keys are unique and strictly ordering-correct."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        interleave_sources,
+    )
+
+    rows = [(i, "a") for i in range(4)] + [(10 + i, "b") for i in range(2)]
+    docs = spark.createDataFrame(
+        [(i, s, "x") for i, s in rows], "doc_id long, source string, text string"
+    )
+    got = sorted(interleave_sources(docs).collect(), key=lambda r: r["interleave_key"])
+    assert [r["source"] for r in got] == ["a", "b", "a", "b", "a", "a"]
+    keys = [r["interleave_key"] for r in got]
+    assert len(set(keys)) == len(keys) == 6
+    # per-source doc order preserved
+    assert [r["doc_id"] for r in got if r["source"] == "a"] == [0, 1, 2, 3]
