@@ -353,6 +353,51 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(docs, n=3, threshold=0.5)
 
 
+def incremental_minhash_pairs(
+    old_docs: DataFrame, new_docs: DataFrame, n: int = 3, max_bucket: int = 64
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs that INVOLVE a new-batch doc
+    — (new, old) and (new, new) — without ever materializing the old×old
+    self-join.  THE production shape for a growing corpus: per batch, work
+    tracks |new| × bucket occupancy, not |corpus|².
+
+    Bucket caps are computed over the UNION of both sides (a bucket can
+    only be judged hot with the old docs counted), so the result is
+    EXACTLY the full self-join's pairs minus the old×old ones — the unit
+    test pins that identity.  At warehouse scale the old side's bands
+    come from a persisted signature store (StagingWarehouse) rather than
+    being re-hashed; only the new batch runs the signature UDF."""
+    bands = minhash_bands(old_docs, n).withColumn(
+        "is_new", F.lit(0)
+    ).unionByName(minhash_bands(new_docs, n).withColumn("is_new", F.lit(1)))
+    counts = bands.groupBy("band_id", "band_key").count()
+    kept = bands.join(
+        F.broadcast(counts.filter(F.col("count") > max_bucket)),
+        ["band_id", "band_key"],
+        "left_anti",
+    )
+    a = kept.filter(F.col("is_new") == 1).alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture split: docs with doc_id % 10 < 8 are the standing corpus,
+    the rest are the incoming batch (mirrored verbatim in the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    return incremental_minhash_pairs(old, new, n=3)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -569,6 +614,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -660,6 +706,11 @@ ORACLE["dedup_minhash_pairs"] = f"""
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
         FROM kept a JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
+"""
+
+ORACLE["dedup_minhash_incremental"] = f"""
+        SELECT doc_id_a, doc_id_b FROM ({ORACLE["dedup_minhash_pairs"]}) p
+        WHERE NOT (doc_id_a % 10 < 8 AND doc_id_b % 10 < 8)
 """
 
 ORACLE["dedup_minhash_verified"] = f"""

@@ -152,3 +152,28 @@ def test_embedding_near_dup_no_driver_collect(spark, monkeypatch):
     # pair coverage is independent of the grid granularity
     monkeypatch.undo()
     assert embedding_near_dup_pairs(emb, threshold=0.9, n_blocks=1).count() == expected
+
+
+def test_incremental_minhash_equals_full_minus_old_old(spark, sf_dir):
+    """The incremental candidate set must be EXACTLY the full self-join's
+    pairs minus the old×old ones (caps judged over the union)."""
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+    )
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in incremental_minhash_pairs(old, new).collect()
+    }
+    full = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    want = {p for p in full if not (p[0] % 10 < 8 and p[1] % 10 < 8)}
+    assert got == want and len(want) > 0
