@@ -85,6 +85,7 @@ HEADLINE = [
     "corpus_token_budget",
     "stream_click_attribution",
     "corpus_interleave_sources",
+    "dedup_minhash_incremental",
 ]
 
 

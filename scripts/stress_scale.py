@@ -90,6 +90,7 @@ STRESS = [
     "text_bm25_topk",
     "corpus_token_budget",
     "text_bigram_pmi",
+    "dedup_minhash_incremental",
 ]
 
 
