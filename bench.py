@@ -86,6 +86,7 @@ HEADLINE = [
     "stream_click_attribution",
     "corpus_interleave_sources",
     "dedup_minhash_incremental",
+    "q_top_parts_per_nation",
 ]
 
 

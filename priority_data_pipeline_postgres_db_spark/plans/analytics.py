@@ -997,3 +997,57 @@ ORACLE["q_gapfill_daily"] = """
     FROM spine s CROSS JOIN types t
     LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
 """
+
+
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Grouped top-k over the star schema: the 3 highest-revenue parts per
+    supplier nation.  Revenue aggregates in exact decimals on the one
+    fact shuffle (lineitem grouped by (nation, part) — partial agg
+    map-side), then the rank window partitions by nation, so the sort is
+    per-group and parallel — no global ordering anywhere.  Dims
+    broadcast.  Ties break on p_partkey for a deterministic cut."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice", 4, 12) * (
+        F.lit(1).cast("decimal(8,4)") - dec("l_discount", 4, 8)
+    )
+    per = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), "p_partkey", "p_name")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("nation", "p_partkey", "p_name", "revenue", "rank")
+    )
+
+
+QUERIES["q_top_parts_per_nation"] = q_top_parts_per_nation
+
+ORACLE["q_top_parts_per_nation"] = """
+    SELECT nation, p_partkey, p_name, revenue, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT n_name AS nation, p_partkey, p_name,
+             CAST(CAST(ROUND(SUM(
+               CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+             ), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             row_number() OVER (
+               PARTITION BY n_name
+               ORDER BY CAST(CAST(ROUND(SUM(
+                 CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+               ), 4) AS DECIMAL(18,4)) AS DOUBLE) DESC, p_partkey ASC
+             ) AS rank
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY n_name, p_partkey, p_name
+    ) WHERE rank <= 3
+"""
