@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_interleave_sources",
     "dedup_minhash_incremental",
     "q_top_parts_per_nation",
+    "stream_category_rollup",
 ]
 
 

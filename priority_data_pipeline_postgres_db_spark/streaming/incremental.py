@@ -409,13 +409,86 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+
+def stream_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrich: the event stream broadcast-joins a static
+    category dim, then rolls up per (day, category) under a watermark —
+    the other half of the streaming-join matrix next to the
+    stream-stream interval join.  Stream-static joins keep NO join
+    state (the static side is just a broadcast table each micro-batch),
+    so this costs the same as the plain rollup at any scale.  Exact
+    decimals + complete-mode AvailableNow make it oracle hash-matchable
+    like stream_event_rollup."""
+    import tempfile
+
+    from ..plans.queries import as_double, dec
+
+    ev = _event_stream(spark, sf_dir)
+    cat = ev.sparkSession.createDataFrame(
+        EVENT_CATEGORIES, "event_type string, category string"
+    )
+    agg = (
+        ev.join(F.broadcast(cat), "event_type")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "category")
+        .agg(
+            F.count("*").alias("n_events"),
+            as_double(
+                F.round(F.sum(dec("value", scale=6, precision=18)), 4).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "category",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_category_rollup_{_STREAM_SERIAL[0]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="stream_cat_ckpt_")
+            )
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_event_rollup": stream_event_rollup,
+    "stream_category_rollup": stream_category_rollup,
     "stream_sessionize": stream_sessionize,
     "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLE = {
+    "stream_category_rollup": """
+        SELECT date_trunc('day', ts) AS window_start,
+               category,
+               count(*) AS n_events,
+               CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+        FROM events
+        JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'), ('purchase', 'conversion'), ('signup', 'conversion'), ('error', 'ops')) cat(event_type, category) USING (event_type)
+        GROUP BY 1, 2
+    """,
     "stream_click_attribution": f"""
         SELECT c.event_id AS click_event_id,
                p.event_id AS purchase_event_id,

@@ -241,3 +241,23 @@ def test_stream_click_attribution_equals_batch_join(spark, sf_dir):
     ).select("cid", "pid", (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag"))
     want = {(r["cid"], r["pid"], r["lag"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_category_rollup_partitions_events(spark, sf_dir):
+    """Every event lands in exactly one category: per-category counts sum
+    to the full event count, and the dim's categories all appear."""
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        stream_category_rollup,
+    )
+
+    got = stream_category_rollup(spark, sf_dir)
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    n = load(spark, sf_dir, "events").count()
+    assert got.agg(F.sum("n_events")).first()[0] == n
+    assert {r["category"] for r in got.select("category").distinct().collect()} == {
+        "engagement",
+        "conversion",
+        "ops",
+    }
