@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
-from .dedup import _TOKS, ngram_jaccard_pairs, tokens_expr
+from .dedup import _TOKS, minhash_verified_pairs, tokens_expr
 
 # ---------------------------------------------------------------------------
 # connected components over near-dup pairs
@@ -117,11 +117,19 @@ def connected_components(
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster id per document from the blocked ngram-Jaccard near-dup
-    graph (same parameters as ``dedup_ngram_jaccard``); singleton docs are
-    their own cluster."""
+    """Cluster id per document from the MinHash-LSH-verified near-dup
+    graph (same parameters as ``dedup_minhash_verified``); singleton docs
+    are their own cluster.
+
+    Edge source (VERDICT r2 #1): candidates come from the LSH band join —
+    linear in the corpus — then exact n-gram Jaccard verifies only those
+    pairs.  The previous source, blocked all-pairs Jaccard, was quadratic
+    within each (lang, source) block (STRESS_x30: 55.8× wall growth at
+    30× data); the CC iteration itself was always linear in the edge set,
+    so swapping the edge source is the whole fix.
+    """
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, ["lang", "source"], n=1, threshold=0.5)
+    pairs = minhash_verified_pairs(docs, n=3, threshold=0.5)
     return connected_components(docs.select("doc_id"), pairs)
 
 
@@ -399,14 +407,14 @@ QUERIES = {
     "corpus_quality_sample": corpus_quality_sample,
 }
 
-# import composes the ngram-pair SQL so the edge set stays definition-
-# identical with dedup_ngram_jaccard's oracle
+# import composes the LSH-verified pair SQL so the edge set stays
+# definition-identical with dedup_minhash_verified's oracle
 from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
 
 ORACLE = {
     "dedup_connected_components": f"""
         WITH RECURSIVE pairs AS (
-          SELECT * FROM ({_DEDUP_ORACLE["dedup_ngram_jaccard"]}) t
+          SELECT * FROM ({_DEDUP_ORACLE["dedup_minhash_verified"]}) t
         ), edges AS (
           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
           UNION ALL

@@ -275,6 +275,20 @@ def semantic_pairs(
     )
 
 
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, production path (VERDICT r2 #2): SRP
+    bucket prefilter → exact integer cosine ≥ threshold on candidates
+    only.  Replaces the exact all-pairs grid as the default registry
+    entry — all-pairs is n²/2 work however distributed (STRESS_x30
+    showed 66× wall at 30× data); the SRP gate bounds the quadratic per
+    (table, bucket), trading recall for candidates that never shared a
+    bucket.  The exact kernel stays registered as ``dedup_embedding_exact``
+    for the verify-stage/small-table role."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_pairs(emb, dim, threshold=SEM_THRESHOLD)
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, component, survivor) over the semantic near-dup graph:
     connected components of ``semantic_pairs`` with the min-id member as
@@ -303,6 +317,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "dedup_semantic": dedup_semantic,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 
 ORACLE = {
@@ -369,8 +384,12 @@ ORACLE = {
           FROM scored
         ) WHERE rank <= {TOP_K}
     ''',
-    "dedup_semantic": f'''
-        WITH RECURSIVE dims AS (
+}
+
+# shared SRP-gated pair CTE chain: dedup_embedding_pairs stops at `pairs`,
+# dedup_semantic continues into the recursive CC — ONE definition so the
+# two oracles can never drift
+_SRP_PAIR_CTES = f'''dims AS (
           SELECT len(embedding) AS d FROM embeddings LIMIT 1
         ), pl AS (
           SELECT t.generate_series AS t, p.generate_series AS p,
@@ -405,13 +424,23 @@ ORACLE = {
         ), n AS (
           SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
         ), pairs AS (
-          SELECT va, vb
+          SELECT va, vb,
+                 list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                   AS cosine
           FROM cand
           JOIN n a ON a.vec_id = cand.va
           JOIN n b ON b.vec_id = cand.vb
           WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
                   >= {SEM_THRESHOLD}
-        ), edges AS (
+        )'''
+
+ORACLE["dedup_embedding_pairs"] = f'''
+        WITH {_SRP_PAIR_CTES}
+        SELECT va AS vec_id_a, vb AS vec_id_b, cosine FROM pairs
+'''
+
+ORACLE["dedup_semantic"] = f'''
+        WITH RECURSIVE {_SRP_PAIR_CTES}, edges AS (
           SELECT va AS src, vb AS dst FROM pairs
           UNION ALL
           SELECT vb AS src, va AS dst FROM pairs
@@ -423,8 +452,7 @@ ORACLE = {
         SELECT root AS vec_id, CAST(min(node) AS BIGINT) AS component,
                (root = CAST(min(node) AS BIGINT)) AS survivor
         FROM reach GROUP BY root
-    ''',
-}
+'''
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,8 @@ time at 1× (sf0.1) vs 10× shows whether the implementation tracks its
 designed cost curve (linear for signatures, bounded-quadratic per block,
 diameter-bounded rounds) or hides a super-linear term.
 
-Usage: python scripts/stress_scale.py [factor]   (default 10)
+Usage: python scripts/stress_scale.py [factor] [query ...]
+(default factor 10, default queries = the full STRESS list)
 Writes nothing outside /tmp; prints one JSON line.
 """
 
@@ -96,6 +97,7 @@ STRESS = [
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    targets = sys.argv[2:] or STRESS
     import __spark_entry__ as e
     from priority_data_pipeline_postgres_db_spark.session import get_spark
 
@@ -105,7 +107,7 @@ def main() -> None:
 
     big_dir = build_corpus(spark, factor)
     results: dict[str, dict] = {}
-    for name in STRESS:
+    for name in targets:
         if name not in qs:
             continue
         spark.catalog.clearCache()
