@@ -31,6 +31,7 @@ duplicated — the same at-worst-empty contract as the reference's
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -40,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 STG_PREFIX = "stg_"
 BATCH_COL = "ingest_batch"
+UPSERT_META = ".upsert.json"  # dot-prefixed: invisible to Spark's listing
 
 
 @dataclass
@@ -143,8 +145,8 @@ class StagingWarehouse:
     def compact(
         self,
         table_name: str,
-        pk: list[str],
-        order_col: str,
+        pk: list[str] | None = None,
+        order_col: str | None = None,
         *,
         partition_by: list[str] | None = None,
     ) -> WriteReport:
@@ -161,9 +163,22 @@ class StagingWarehouse:
         (what MERGE costs without a delta log): ONE shuffle on pk.  At
         warehouse scale run it per hive partition (``partition_by`` time
         columns bound each rewrite) on a maintenance cadence, amortized
-        across the reads that drop their window step."""
+        across the reads that drop their window step.
+
+        ``pk``/``order_col`` default to the table's registered upsert
+        contract (``set_upsert_keys``) so maintenance jobs can call
+        ``compact(table)`` without re-stating keys."""
         from pyspark.sql import Window, functions as F
 
+        if pk is None or order_col is None:
+            meta = self.upsert_keys(table_name)
+            if meta is None:
+                raise ValueError(
+                    f"compact({table_name!r}) needs pk/order_col — the table "
+                    "has no registered upsert contract"
+                )
+            pk = pk or meta["pk"]
+            order_col = order_col or meta["order_col"]
         cur = self.spark.read.parquet(self._path(table_name))
         w = Window.partitionBy(*pk).orderBy(
             F.col(order_col).desc(), F.col(BATCH_COL).desc()
@@ -180,10 +195,47 @@ class StagingWarehouse:
             partition_by=partition_by,
         )
 
-    def read(self, table_name: str) -> DataFrame:
+    # -- upsert metadata: compact-on-read wiring (VERDICT r2 #4) ----------
+    def set_upsert_keys(self, table_name: str, pk: list[str], order_col: str) -> None:
+        """Declare the table's upsert contract: latest row per ``pk`` by
+        ``order_col`` IS the logical table.  Persisted as a dot-prefixed
+        sidecar inside the table dir (invisible to Spark's file listing),
+        so the contract travels with the data, not the session."""
+        path = self._path(table_name)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, UPSERT_META), "w") as f:
+            json.dump({"pk": pk, "order_col": order_col}, f)
+
+    def upsert_keys(self, table_name: str) -> dict | None:
+        meta = os.path.join(self._path(table_name), UPSERT_META)
+        if not os.path.isfile(meta):
+            return None
+        with open(meta) as f:
+            return json.load(f)
+
+    def read(self, table_name: str, *, raw: bool = False) -> DataFrame:
+        """Logical table view.  If the table carries an upsert contract
+        (``set_upsert_keys``), the DEFAULT read is newest-wins per PK —
+        the compact-on-read half of MERGE on plain parquet: an updated
+        source row re-appended by an incremental run shadows its stale
+        staged copy at read time, and ``compact()`` materializes the same
+        view on a maintenance cadence so reads between compactions pay
+        one bounded window, not unbounded history.  ``raw=True`` bypasses
+        (all physical rows, e.g. for the append guard or audits)."""
         # partition discovery surfaces the protocol's batch key; readers
         # see the logical table without it
-        return self.spark.read.parquet(self._path(table_name)).drop(BATCH_COL)
+        df = self.spark.read.parquet(self._path(table_name))
+        meta = None if raw else self.upsert_keys(table_name)
+        if meta and all(c in df.columns for c in meta["pk"]) and meta["order_col"] in df.columns:
+            from pyspark.sql import Window, functions as F
+
+            w = Window.partitionBy(*meta["pk"]).orderBy(
+                F.col(meta["order_col"]).desc(), F.col(BATCH_COL).desc()
+            )
+            df = df.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+        return df.drop(BATCH_COL)
 
     def exists(self, table_name: str) -> bool:
         """A table exists once it has at least one COMMITTED batch —
@@ -245,7 +297,14 @@ class StagingWarehouse:
                 if not d.startswith(".tmp-"):
                     continue
                 full = os.path.join(path, d)
-                if now - os.path.getmtime(full) >= min_age_sec:
-                    shutil.rmtree(full)
-                    removed.append(full)
+                # a scratch dir can legitimately vanish between listdir and
+                # here (committed via rename, or reaped by a concurrent
+                # vacuum) — skip vanished entries instead of aborting the
+                # whole pass
+                try:
+                    if now - os.path.getmtime(full) >= min_age_sec:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed.append(full)
+                except FileNotFoundError:
+                    continue
         return removed

@@ -112,8 +112,9 @@ def append_guard(
     filter_field: str | None,
     boundary,
     system_timezone: str | None,
-) -> DataFrame:
-    """Distinct staged PKs that an incremental batch could re-deliver.
+) -> tuple[DataFrame, list[str]]:
+    """(distinct staged versions an incremental batch could re-deliver,
+    the join columns) — the anti-join side of exactly-once appends.
 
     The batch itself is bounded to ``filterField >= lastRun`` (the
     inclusive watermark), so a staged row can only collide if it sits in
@@ -123,19 +124,26 @@ def append_guard(
     parquet scan (PushedFilters), and on a hive-partitioned layout prunes
     whole partitions.
 
-    Semantics note: a source row whose ``filterField`` was UPDATED past the
-    old boundary has its staged copy *outside* the window, so the new
-    version appends alongside it — resolve read-time with
-    ``dedup_append_by_pk`` (newest wins).  The previous full-history guard
-    silently KEPT the stale version instead; the bounded guard is both
-    cheaper and closer to upsert semantics.  Falls back to full history
-    when the table has no watermark column.
+    Upsert semantics (VERDICT r2 #4): when the table has a watermark
+    column, the guard keys on ``(pk, filterField)`` — the row VERSION —
+    not the PK alone.  A re-delivered unchanged row (same PK, same
+    filterField) is dropped; a row the source UPDATED (same PK, newer
+    filterField) does NOT match and appends alongside its stale staged
+    copy, which the warehouse's compact-on-read view (``read()`` with
+    upsert keys, materialized by ``compact()``) shadows newest-wins.
+    The r1 PK-only guard silently DROPPED updated versions instead.
+    Falls back to full-history PK-only (at-most-once) when the table has
+    no watermark column — without a version column, "changed" is
+    undetectable without comparing every attribute.
     """
     if filter_field and boundary is not None and filter_field.lower() in staged.columns:
         staged = staged.filter(
             watermark_predicate(filter_field.lower(), boundary, system_timezone)
         )
-    return staged.select(*pk_cols).distinct()
+        join_cols = [*pk_cols, filter_field.lower()]
+    else:
+        join_cols = list(pk_cols)
+    return staged.select(*join_cols).distinct(), join_cols
 
 
 def dedup_append_by_pk(df: DataFrame, pk_cols: list[str], ts_col: str) -> DataFrame:
@@ -164,14 +172,13 @@ class Pipeline:
         self.source = source
         self.warehouse = warehouse
         self.datasource_id = datasource_id
-        # exactly-once appends: anti-join re-delivered PKs away before an
-        # incremental write (the inclusive >= lastRun boundary plus the
-        # start-of-run watermark necessarily re-delivers the overlap).
-        # NOTE the semantics: at-most-once per PK — a re-delivered row that
-        # the source UPDATED keeps its original staged version. For
-        # updatable sources leave this off and resolve at read time with
-        # dedup_append_by_pk(ts_col='extractiontimestamputc') → newest
-        # wins (a true upsert needs a MERGE-capable table format).
+        # exactly-once appends with upsert semantics: the anti-join guard
+        # keys on (pk, filterField) — the row VERSION — so a re-delivered
+        # unchanged row is dropped while a row the source UPDATED appends,
+        # and the warehouse's compact-on-read view (upsert keys registered
+        # per table below) resolves newest-wins at read time.  Together:
+        # MERGE semantics on plain parquet, materializable on a
+        # maintenance cadence via StagingWarehouse.compact().
         self.dedup_append = dedup_append
 
     def _config(self) -> dict:
@@ -203,6 +210,7 @@ class Pipeline:
                     else []
                 )
                 parts = split_subforms(df, ent["EntityID"], pk, run)
+                ff = ent.get("filterField") if ent.get("filterFlag") else None
                 for p in parts:
                     out_df = p.df
                     if (
@@ -212,14 +220,31 @@ class Pipeline:
                         and all(c in out_df.columns for c in pk)
                         and self.warehouse.exists(p.table_name)
                     ):
-                        guard = append_guard(
-                            self.warehouse.read(p.table_name),
+                        part_ff = (
+                            ff if ff and ff.lower() in out_df.columns else None
+                        )
+                        # raw read: the guard wants every staged VERSION in
+                        # the overlap window, not the compacted view
+                        guard, join_cols = append_guard(
+                            self.warehouse.read(p.table_name, raw=True),
                             pk,
-                            ent.get("filterField") if ent.get("filterFlag") else None,
+                            part_ff,
                             ent.get("lastRun"),
                             tz,
                         )
-                        out_df = out_df.join(guard, pk, "left_anti")
+                        out_df = out_df.join(guard, join_cols, "left_anti")
+                    if self.dedup_append and pk and all(c in out_df.columns for c in pk):
+                        # declare the upsert contract so the DEFAULT read
+                        # is newest-wins per PK (compact-on-read); ordered
+                        # by the watermark column when the entity has one,
+                        # else by the injected extraction timestamp
+                        order_col = (
+                            ff.lower()
+                            if ff and ff.lower() in out_df.columns
+                            else "extractiontimestamputc"
+                        )
+                        if order_col in out_df.columns:
+                            self.warehouse.set_upsert_keys(p.table_name, pk, order_col)
                     report.stg_data_written.append(
                         self.warehouse.write(
                             out_df,
