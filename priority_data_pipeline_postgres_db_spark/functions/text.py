@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import normalized_text, tokens_expr
 from ..plans.tables import load
+from ..util import bounded_cache
 
 # Deliberately ASCII-simple patterns: identical semantics in Java regex
 # (Spark) and RE2 (DuckDB oracle).
@@ -54,7 +55,7 @@ def tokenized(docs: DataFrame, *extra: str) -> DataFrame:
     base = docs.repartition(par).select(
         "doc_id", *extra, tokens_expr().alias("toks"), normalized_text().alias("norm")
     )
-    return base.withColumn("uniq", F.array_distinct(F.col("toks"))).cache()
+    return bounded_cache(base.withColumn("uniq", F.array_distinct(F.col("toks"))))
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +266,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     # without it the explode+groupBy subtree executes twice (Catalyst
     # doesn't share subplans across actions).  At warehouse scale use
     # persist(MEMORY_AND_DISK) — (doc, term) can exceed executor memory.
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    tf = bounded_cache(terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
         "score", F.col("tf") * (F.lit(n_docs) / F.col("df"))
@@ -578,12 +579,17 @@ def bm25_topk(
     scan, global top-k as TakeOrderedAndProject (no full sort).  The
     score is rounded at 4 decimals — ln() may differ in the last ulp
     across engines — and ties break on doc_id, so the top-k cut is
-    deterministic and oracle-stable.
+    deterministic and oracle-stable.  The per-document reduction folds
+    the term scores in SORTED order (array_sort → left fold, mirrored as
+    list_sort → list_aggregate in the oracle) instead of F.sum's
+    partition-dependent order, so the pre-rounding double is bit-stable
+    however Spark schedules the rows (ADVICE r2: an unordered sum within
+    an ulp of a rounding boundary could flip the top-k cut).
     """
     toks = tokenized(docs)
     # dl/avgdl from exact integer token counts; int->double conversion and
     # one division are bit-identical across IEEE engines.
-    dl = toks.select("doc_id", F.size("toks").alias("dl")).cache()
+    dl = bounded_cache(toks.select("doc_id", F.size("toks").alias("dl")))
     tot, n_docs = dl.agg(
         F.sum("dl").cast("long"), F.count("*").cast("long")
     ).first()
@@ -609,7 +615,14 @@ def bm25_topk(
         .agg(
             F.count("*").cast("int").alias("n_matched_terms"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.round(F.sum("term_score"), 4)
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("term_score")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            )
             .cast("decimal(18,4)")
             .cast("double")
             .alias("bm25_score"),
@@ -646,12 +659,12 @@ ORACLE["text_bm25_topk"] = f"""
       SELECT tf.doc_id AS doc_id,
              CAST(count(*) AS INTEGER) AS n_matched_terms,
              CAST(sum(tf.tf) AS BIGINT) AS total_tf,
-             CAST(CAST(round(sum(
+             CAST(CAST(round(list_aggregate(list_sort(list(
                ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - tf.df + 0.5)
                           / (tf.df + 0.5))
                * ((tf.tf * {BM25_K1 + 1.0!r}) / (tf.tf + {BM25_K1!r}
                   * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / (SELECT avgdl FROM stats))))
-             ), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bm25_score
+             )), 'sum'), 4) AS DECIMAL(18,4)) AS DOUBLE) AS bm25_score
       FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term)) tf
       JOIN dl ON tf.doc_id = dl.doc_id
       GROUP BY tf.doc_id
@@ -692,16 +705,16 @@ def bigram_pmi(docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .cache()  # barrier: feeds the N scalar and both join sides
     )
+    uni = bounded_cache(uni)  # barrier: feeds the N scalar and both join sides
     n_uni = uni.agg(F.sum("c")).first()[0]
     bi = (
         toks.filter(F.size("toks") >= 2)
         .select(F.explode(ngrams_expr(F.col("toks"), 2, distinct=False)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("c_xy"))
-        .cache()  # barrier: feeds the M scalar and the scored join
     )
+    bi = bounded_cache(bi)  # barrier: feeds the M scalar and the scored join
     n_bi = bi.agg(F.sum("c_xy")).first()[0]
     w12 = F.split(F.col("g"), " ")
     scored = (

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
+from ..util import bounded_cache
 from .dedup import _TOKS, minhash_verified_pairs, tokens_expr
 
 # ---------------------------------------------------------------------------
@@ -716,8 +717,10 @@ def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
         .withColumn(
             "qb", F.floor(F.col("quality_score") * F.lit(1000.0)).cast("int")
         )
-        .cache()  # barrier: feeds the histogram AND the selection pass
     )
+    # barrier: feeds the histogram AND the selection pass (rotated out by
+    # later invocations instead of accumulating — ADVICE r2)
+    scored = bounded_cache(scored)
     hist = scored.groupBy("qb").agg(F.sum("n_tokens").alias("btok")).collect()
     offsets: dict[int, int] = {}
     run = 0

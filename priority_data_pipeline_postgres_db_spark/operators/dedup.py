@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
+from ..util import bounded_cache
 
 # ---------------------------------------------------------------------------
 # shared text kernels (all JVM expressions — no Python in the hot path)
@@ -264,7 +265,7 @@ def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
     # band hashes (16× recompute), and again into both sides of the LSH
     # self-join.  At cluster scale this is persist(MEMORY_AND_DISK) on the
     # signature table — hash the corpus once, reuse everywhere.
-    sig = sig.cache()
+    sig = bounded_cache(sig)
     n_bands = _N_HASHES // _BAND_ROWS
     # band key = the raw band slice joined as a string (NOT F.hash, whose
     # murmur has no DuckDB twin): engine-portable, and an equi-join on a
@@ -449,8 +450,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     sh = (
         docs.select("doc_id", sim(F.col("text")).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
-        .cache()
     )
+    sh = bounded_cache(sh)
     chunks = F.array(
         *[
             F.struct(

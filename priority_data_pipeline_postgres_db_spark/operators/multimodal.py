@@ -151,12 +151,37 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _pil_image_stats(payload: bytes) -> dict | None:
+    """Real decode via PIL when importable (JPEG and every other format
+    Pillow reads; also PNGs whose row filters the stdlib path can't
+    reconstruct).  Returns None when PIL is absent so callers fall back
+    to the stdlib/fake paths — import-guarded, never a hard dependency
+    (VERDICT r2 #5).  Runs executor-side inside the Arrow batch UDFs;
+    the import resolves once per worker interpreter."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(payload))
+    n_frames = int(getattr(img, "n_frames", 1))
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "bit_depth": 8,
+        "mean_intensity": float(arr.mean() / 255.0) if arr.size else 0.0,
+        "n_frames": n_frames,
+    }
+
+
 def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
     """REAL decode for filter-0 8-bit PNGs — pure stdlib (struct header
     parse + zlib inflate + filter reconstruction), no PIL: width, height,
-    bit depth, and mean pixel intensity.  Other formats/filters need a
-    codec library: they raise unless ``deterministic_fake`` (which derives
-    stable pseudo-stats so the distributed plumbing is still exercised)."""
+    bit depth, and mean pixel intensity.  Other formats (JPEG, ...) and
+    filtered PNGs decode for real through PIL when it is importable
+    (``_pil_image_stats``); without PIL they raise unless
+    ``deterministic_fake`` (which derives stable pseudo-stats so the
+    distributed plumbing is still exercised)."""
     import struct
     import zlib
 
@@ -176,6 +201,9 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
         for y in range(height):
             row = raw[y * stride : (y + 1) * stride]
             if row[0] != 0:  # only filter 0 without a full codec
+                pil = _pil_image_stats(payload)
+                if pil is not None:
+                    return pil
                 if deterministic_fake:
                     break
                 raise NotImplementedError("non-zero PNG row filters need PIL")
@@ -189,6 +217,9 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
             "mean_intensity": mean,
             "n_frames": 1,
         }
+    pil = _pil_image_stats(payload)
+    if pil is not None:
+        return pil
     if not deterministic_fake:
         raise NotImplementedError(
             "non-PNG image decoding requires PIL/libvips; run with "

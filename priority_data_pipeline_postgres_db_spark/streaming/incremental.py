@@ -435,8 +435,13 @@ def stream_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = ev.sparkSession.createDataFrame(
         EVENT_CATEGORIES, "event_type string, category string"
     )
+    # LEFT join + default bucket: an event_type missing from the dim must
+    # not silently vanish from the rollup (it lands in 'uncategorized' and
+    # stays visible/countable) — an inner join here masks data loss the
+    # moment the source grows a new event_type
     agg = (
-        ev.join(F.broadcast(cat), "event_type")
+        ev.join(F.broadcast(cat), "event_type", "left")
+        .withColumn("category", F.coalesce("category", F.lit("uncategorized")))
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "category")
         .agg(
@@ -481,12 +486,12 @@ QUERIES = {
 ORACLE = {
     "stream_category_rollup": """
         SELECT date_trunc('day', ts) AS window_start,
-               category,
+               COALESCE(category, 'uncategorized') AS category,
                count(*) AS n_events,
                CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
                  AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
         FROM events
-        JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'), ('purchase', 'conversion'), ('signup', 'conversion'), ('error', 'ops')) cat(event_type, category) USING (event_type)
+        LEFT JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'), ('purchase', 'conversion'), ('signup', 'conversion'), ('error', 'ops')) cat(event_type, category) USING (event_type)
         GROUP BY 1, 2
     """,
     "stream_click_attribution": f"""

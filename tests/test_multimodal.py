@@ -19,6 +19,35 @@ def test_decode_stub_raises_without_fake():
         decode_image(b"xx")
 
 
+def test_decode_uses_pil_when_importable(monkeypatch):
+    """JPEG (non-PNG) payloads route through PIL when it is importable —
+    wiring exercised with a stub PIL module (the container ships no
+    Pillow; any environment that has it gets real JPEG decode with no
+    code change)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeImg:
+        width, height, n_frames = 8, 6, 1
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((6, 8), 127.5)
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: FakeImg()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    out = decode_image(b"\xff\xd8\xff\xe0 not-really-a-jpeg")
+    assert (out["width"], out["height"], out["n_frames"]) == (8, 6, 1)
+    assert abs(out["mean_intensity"] - 0.5) < 1e-9
+
+
 def test_extract_features_schema_and_counts(spark):
     media = synthetic_media(spark, n=64)
     feats = extract_features(media)
