@@ -67,8 +67,27 @@ def build_corpus(spark, factor: int) -> str:
         .drop("rep")
     )
     big_emb.write.parquet(f"{out}/embeddings.parquet")
-    # events table rides along unchanged (not the stress target)
-    spark.read.parquet(f"{BASE}/events.parquet").write.parquet(f"{out}/events.parquet")
+    # events replicate too (streaming state stress): ids remapped, ts
+    # shifted a week per replica so sessions/windows/join-state GROW with
+    # the factor instead of piling onto the same day
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.count()
+    ts_col = ev.schema["ts"].dataType.simpleString()
+    shifted = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * (n_ev * 10))
+        .withColumn(
+            "ts",
+            F.col("ts") + (F.col("rep") * (604800 * 10**9)).cast("long")
+            if ts_col == "bigint"  # nanos-as-long encoding: shift in NANOS
+            else F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.col("rep") * (604800 * 10**6)  # micros
+            ).cast(ev.schema["ts"].dataType),
+        )
+        .drop("rep")
+    )
+    shifted.write.parquet(f"{out}/events.parquet")
     return out
 
 
@@ -92,6 +111,8 @@ STRESS = [
     "corpus_token_budget",
     "text_bigram_pmi",
     "dedup_minhash_incremental",
+    "stream_sessionize",
+    "stream_click_attribution",
 ]
 
 
@@ -107,6 +128,10 @@ def main() -> None:
 
     big_dir = build_corpus(spark, factor)
     results: dict[str, dict] = {}
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        LAST_STREAM_PROGRESS,
+    )
+
     for name in targets:
         if name not in qs:
             continue
@@ -114,10 +139,12 @@ def main() -> None:
         t0 = time.time()
         base_rows = qs[name](spark, BASE).count()
         t_base = time.time() - t0
+        state_1x = LAST_STREAM_PROGRESS.pop(name, None)
         spark.catalog.clearCache()
         t0 = time.time()
         big_rows = qs[name](spark, big_dir).count()
         t_big = time.time() - t0
+        state_big = LAST_STREAM_PROGRESS.pop(name, None)
         results[name] = {
             "t1x": round(t_base, 2),
             f"t{factor}x": round(t_big, 2),
@@ -125,6 +152,10 @@ def main() -> None:
             "rows_1x": base_rows,
             f"rows_{factor}x": big_rows,
         }
+        if state_1x or state_big:
+            # state-store evidence: peak rows/bytes across micro-batches
+            results[name]["state_1x"] = state_1x
+            results[name][f"state_{factor}x"] = state_big
         print(f"{name:32s} {t_base:7.2f}s -> {t_big:8.2f}s  x{results[name]['ratio']}", file=sys.stderr)
     print(json.dumps({"factor": factor, "results": results}))
 
