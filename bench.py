@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
+    "dedup_embedding_exact",
+    "dedup_semantic",
     "text_quality_score",
     "text_lang_id",
     "sim_cosine_topk",
