@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "q_top_parts_per_nation",
     "stream_category_rollup",
+    "stream_user_totals",
 ]
 
 

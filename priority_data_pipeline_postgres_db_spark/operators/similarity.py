@@ -234,6 +234,12 @@ def semantic_pairs(
         .filter(F.col("_bn") <= max_bucket)
         .drop("_bn")
     )
+    # cache barrier: the self-join consumes `capped` on BOTH sides, and
+    # without it each side re-runs the SRP bucket UDF over the corpus
+    # (same rule as the minhash signature cache)
+    from ..util import bounded_cache
+
+    capped = bounded_cache(capped)
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from ..operators.ingest import ExtractionRun
 from ..functions.typemap import AUDIT_ID_COL, AUDIT_TS_COL
@@ -193,7 +194,16 @@ def running_user_totals(
     State is one tiny row per user key; with a real timeout config
     (``ProcessingTimeTimeout``) idle users are evicted, bounding state at
     100 TB stream scale.
+
+    Determinism: the value sum accumulates as 1e6-QUANTIZED int64
+    (``floor(v*1e6+0.5)`` per event), not floats — integer addition is
+    order-insensitive, so the result is bit-identical however rows land
+    in micro-batches/partitions, and the final ``int/1e6`` division
+    produces the same double in any IEEE engine.  That is what lets a
+    CUSTOM stateful operator sit under the oracle hash gate
+    (``stream_user_totals``).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
@@ -207,20 +217,58 @@ def running_user_totals(
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
-            T.StructField("s", T.DoubleType()),
+            T.StructField("s", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            s += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
         state.update((n, s))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 1e6]}
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
+    )
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState accumulator as an ORACLE-CHECKED query —
+    rare for a custom stateful operator: quantized-integer state (see
+    ``running_user_totals``) makes the totals bit-deterministic, so the
+    DuckDB oracle replays them exactly.  Update-mode memory sink; under
+    AvailableNow each user emits once per micro-batch that touched it,
+    and the LAST emission per user is the final total (single static
+    landing dir → typically one batch)."""
+    import tempfile
+
+    ev = _event_stream(spark, sf_dir)
+    totals = running_user_totals(ev)
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_user_totals_{_STREAM_SERIAL[0]}"
+    with _state_partitions(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_tot_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_user_totals", q)
+    # keep the LAST emission per user (a multi-batch run re-emits keys)
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -498,9 +546,17 @@ QUERIES = {
     "stream_category_rollup": stream_category_rollup,
     "stream_sessionize": stream_sessionize,
     "stream_click_attribution": stream_click_attribution,
+    "stream_user_totals": stream_user_totals,
 }
 
 ORACLE = {
+    "stream_user_totals": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 AS sum_value
+        FROM events GROUP BY user_id
+    """,
     "stream_category_rollup": """
         SELECT date_trunc('day', ts) AS window_start,
                COALESCE(category, 'uncategorized') AS category,

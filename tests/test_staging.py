@@ -133,6 +133,37 @@ def test_compact_newest_wins_merge(spark, tmp_path):
     assert len(wh._batches(wh._path("t"))) == 1
 
 
+def test_upsert_contract_read_view_and_plan(spark, tmp_path):
+    """A table with a registered upsert contract reads newest-wins by
+    default; the compact-on-read window partitions by the PK (never a
+    global-order window), and raw=True bypasses the view."""
+    import contextlib
+    import io
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWarehouse
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t7")
+    b1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")], "id long, v string, ts string"
+    )
+    b2 = spark.createDataFrame([(2, "b2", "2024-01-02")], "id long, v string, ts string")
+    wh.write(b1, "t", incremental=True)
+    wh.write(b2, "t", incremental=True)
+    wh.set_upsert_keys("t", ["id"], "ts")
+
+    got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: "a", 2: "b2"}
+    assert wh.read("t", raw=True).count() == 3  # all physical versions
+
+    view = wh.read("t")
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    # every window spec partitions by the pk — never a global-order window
+    specs = [seg for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs and all(seg.startswith("id#") for seg in specs), plan
+    # and Spark pushes the rn=1 filter down as a per-group limit
+    assert "WindowGroupLimit [id#" in plan, plan
+
+
 def test_vacuum_reaps_old_orphans_only(spark, orders, tmp_path):
     """vacuum() removes crash-orphaned scratch dirs past the age guard and
     leaves fresh (possibly in-flight) ones plus committed data alone."""

@@ -261,3 +261,68 @@ def test_stream_category_rollup_partitions_events(spark, sf_dir):
         "conversion",
         "ops",
     }
+
+
+def test_stream_user_totals_matches_batch_and_is_multibatch_stable(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState accumulator: totals equal the batch
+    groupBy regardless of how many micro-batches delivered the rows
+    (quantized-integer state is order-insensitive), and the final
+    emission per user wins."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        running_user_totals,
+        stream_user_totals,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")) / 1e6).alias("s"),
+        )
+        .collect()
+    }
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in stream_user_totals(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # multi-batch delivery: split the events into 3 files, 1 per trigger —
+    # state must accumulate across micro-batches to the same totals
+    landing = os.path.join(tmp_path, "landing")
+    ev.repartition(3).write.parquet(landing)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    import tempfile
+
+    totals = running_user_totals(src)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tot_mb_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("user_totals_mb")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+    got_mb = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in final.collect()
+    }
+    assert got_mb == expected
