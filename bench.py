@@ -91,6 +91,7 @@ HEADLINE = [
     "q_top_parts_per_nation",
     "stream_category_rollup",
     "stream_user_totals",
+    "dedup_embedding_incremental",
 ]
 
 

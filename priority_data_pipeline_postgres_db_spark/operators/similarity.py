@@ -281,6 +281,102 @@ def semantic_pairs(
     )
 
 
+def incremental_semantic_pairs(
+    old_emb: DataFrame,
+    new_emb: DataFrame,
+    dim: int,
+    threshold: float = SEM_THRESHOLD,
+    max_bucket: int = SEM_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental embedding near-dup: verified pairs that INVOLVE a
+    new-batch vector — (new, old) and (new, new) — without materializing
+    the old×old join.  The embedding twin of
+    ``dedup.incremental_minhash_pairs``: per batch, candidate work tracks
+    |new| × bucket occupancy, not |corpus|².
+
+    Bucket caps are judged over the UNION of both sides, so the result
+    is EXACTLY the full ``semantic_pairs`` minus old×old pairs (the unit
+    test pins that identity).  At warehouse scale the old side's bucket
+    table comes from a persisted index (the SRP bucket ids are
+    deterministic, so they never need re-hashing); only the new batch
+    runs the bucket UDF."""
+    from ..util import bounded_cache
+
+    buckets = bucket_ids_udf(dim)
+
+    def bucketed(df: DataFrame, flag: int) -> DataFrame:
+        return (
+            df.select("vec_id", quantize_expr().alias("q"))
+            .withColumn("buckets", buckets(F.col("q")))
+            .select(
+                "vec_id",
+                F.posexplode("buckets").alias("table_id", "bucket"),
+                F.lit(flag).alias("is_new"),
+            )
+        )
+
+    union = bucketed(old_emb, 0).unionByName(bucketed(new_emb, 1))
+    wb = Window.partitionBy("table_id", "bucket")
+    capped = bounded_cache(
+        union.withColumn("_bn", F.count("*").over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a = capped.filter(F.col("is_new") == 1).alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    all_emb = old_emb.unionByName(new_emb)
+    n = all_emb.select("vec_id", quantize_expr().alias("q")).withColumn(
+        "norm2", dot_expr(F.col("q"), F.col("q"))
+    )
+    cos = dot_expr(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("q").alias("qa"),
+                F.col("norm2").alias("na"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("q").alias("qb"),
+                F.col("norm2").alias("nb"),
+            ),
+            "vec_id_b",
+        )
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture split mirroring ``dedup_minhash_incremental``: vectors with
+    vec_id % 10 < 8 are the standing corpus, the rest the incoming batch
+    (mirrored verbatim in the oracle's old×old exclusion)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    old = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    return incremental_semantic_pairs(old, new, dim)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, production path (VERDICT r2 #2): SRP
     bucket prefilter → exact integer cosine ≥ threshold on candidates
@@ -324,6 +420,7 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "dedup_semantic": dedup_semantic,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_embedding_incremental": dedup_embedding_incremental,
 }
 
 ORACLE = {
@@ -443,6 +540,14 @@ _SRP_PAIR_CTES = f'''dims AS (
 ORACLE["dedup_embedding_pairs"] = f'''
         WITH {_SRP_PAIR_CTES}
         SELECT va AS vec_id_a, vb AS vec_id_b, cosine FROM pairs
+'''
+
+# incremental = the full verified pair set minus old×old (caps are judged
+# over the union in BOTH engines, so the subtraction identity is exact)
+ORACLE["dedup_embedding_incremental"] = f'''
+        WITH {_SRP_PAIR_CTES}
+        SELECT va AS vec_id_a, vb AS vec_id_b, cosine FROM pairs
+        WHERE NOT (va % 10 < 8 AND vb % 10 < 8)
 '''
 
 ORACLE["dedup_semantic"] = f'''

@@ -131,3 +131,29 @@ def test_dedup_semantic_planted_duplicates(spark):
     got = {r["vec_id"]: r["component"] for r in comp.collect()}
     assert got[0] == got[1] == 0
     assert got[2] == 2
+
+
+def test_incremental_semantic_pairs_identity(spark, sf_dir):
+    """Incremental embedding near-dup = the full verified pair set minus
+    old×old — exactly, because bucket caps are judged over the union
+    (the same identity dedup_minhash_incremental pins)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    full = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs(emb, dim).collect()
+    }
+    old = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    inc = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in incremental_semantic_pairs(old, new, dim).collect()
+    }
+    expected = {p for p in full if not (p[0] % 10 < 8 and p[1] % 10 < 8)}
+    assert inc == expected
+    assert inc  # fixture actually produces new-batch pairs
