@@ -77,38 +77,55 @@ def connected_components(
         .repartition("src")
         .localCheckpoint()
     )
-    # seed: component = min over {self} ∪ neighbors (symmetric edges mean
-    # grouping by src covers every edge endpoint)
-    labels = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("_nbr_min"))
-        .select(
-            F.col("src").alias(node_col),
-            F.least(F.col("src"), F.col("_nbr_min")).alias("component"),
-        )
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["src"] == labels[node_col])
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
-        )
+    # Size the LOOP's shuffles to the SUBGRAPH, not the session default:
+    # every round pays a fixed per-partition term (task launch, state
+    # files), and a near-dup edge set is typically orders of magnitude
+    # smaller than the corpus the session's shuffle.partitions is tuned
+    # for (sf0.1: 251 edges across 32 partitions cost the loop 5.0 s;
+    # 2 partitions cost 2.4 s).  ~100k edge-rows per partition, never
+    # ABOVE the session default (a billion-edge graph keeps the
+    # cluster-tuned width).  The conf is pinned for the loop only and
+    # restored — the node-set rejoin below runs corpus-sized again.
+    spark = nodes.sparkSession
+    n_edges = sym.count()  # cheap: sym is materialized
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(old_parts), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        # seed: component = min over {self} ∪ neighbors (symmetric edges
+        # mean grouping by src covers every edge endpoint)
         labels = (
-            labels.join(nbr_min, labels[node_col] == nbr_min["dst"], "left")
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_nbr_min"))
             .select(
-                node_col,
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+                F.col("src").alias(node_col),
+                F.least(F.col("src"), F.col("_nbr_min")).alias("component"),
             )
-            .localCheckpoint()  # truncate lineage: plans must not snowball
+            .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("component")).first()[0]
+        for _ in range(max_iters):
+            nbr_min = (
+                sym.join(labels, sym["src"] == labels[node_col])
+                .groupBy("dst")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            labels = (
+                labels.join(nbr_min, labels[node_col] == nbr_min["dst"], "left")
+                .select(
+                    node_col,
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()  # truncate lineage: plans must not snowball
+            )
+            cur_sum = labels.agg(F.sum("component")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # singletons (no incident edge) are their own component — one left
     # join against the (small) subgraph labels restores the full node set
     return nodes.select(node_col).join(labels, node_col, "left").select(
