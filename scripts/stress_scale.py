@@ -111,8 +111,11 @@ STRESS = [
     "corpus_token_budget",
     "text_bigram_pmi",
     "dedup_minhash_incremental",
+    "dedup_embedding_incremental",
+    "dedup_semantic",
     "stream_sessionize",
     "stream_click_attribution",
+    "stream_user_totals",
 ]
 
 

@@ -266,3 +266,16 @@ def test_bigram_pmi_plan_broadcasts_unigrams(spark):
     plan = physical(text_bigram_pmi(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_incremental_plan_no_cartesian(spark):
+    """The incremental embedding candidate join is a bucket equi-join —
+    never a cartesian/nested-loop product — and the exact-verify joins
+    fetch vectors by key."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        dedup_embedding_incremental,
+    )
+
+    plan = physical(dedup_embedding_incremental(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
