@@ -86,10 +86,13 @@ def connected_components(
     # ABOVE the session default (a billion-edge graph keeps the
     # cluster-tuned width).  The conf is pinned for the loop only and
     # restored — the node-set rejoin below runs corpus-sized again.
+    # NOTE the conf is session-scoped while the loop runs (restored in the
+    # finally); the harness executes queries sequentially, and a session
+    # with concurrent jobs should size via explicit repartition instead.
     spark = nodes.sparkSession
     n_edges = sym.count()  # cheap: sym is materialized
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(2, min(int(old_parts), n_edges // 100_000 + 1))
+    loop_parts = min(int(old_parts), max(2, n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         # seed: component = min over {self} ∪ neighbors (symmetric edges

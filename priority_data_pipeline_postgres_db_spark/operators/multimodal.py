@@ -162,12 +162,16 @@ def _pil_image_stats(payload: bytes) -> dict | None:
         from PIL import Image
     except ImportError:
         return None
-    img = Image.open(io.BytesIO(payload))
-    n_frames = int(getattr(img, "n_frames", 1))
-    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    try:
+        img = Image.open(io.BytesIO(payload))
+        n_frames = int(getattr(img, "n_frames", 1))
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+        width, height = int(img.width), int(img.height)
+    except Exception:  # noqa: BLE001 — undecodable payload: fall through to
+        return None  # the caller's fake/raise paths, same as without PIL
     return {
-        "width": int(img.width),
-        "height": int(img.height),
+        "width": width,
+        "height": height,
         "bit_depth": 8,
         "mean_intensity": float(arr.mean() / 255.0) if arr.size else 0.0,
         "n_frames": n_frames,
@@ -181,7 +185,15 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
     filtered PNGs decode for real through PIL when it is importable
     (``_pil_image_stats``); without PIL they raise unless
     ``deterministic_fake`` (which derives stable pseudo-stats so the
-    distributed plumbing is still exercised)."""
+    distributed plumbing is still exercised).
+
+    Precedence note: ``deterministic_fake`` PERMITS the fake fallback, it
+    does not force it — a real decode always wins when a codec can handle
+    the payload (the stdlib PNG path already behaved this way; the PIL
+    path follows the same rule).  Outputs are therefore stable for a
+    fixed codec environment, not across environments with and without
+    Pillow — acceptable for this operator's rows-only check, and the
+    honest semantics for "decode for real whenever possible"."""
     import struct
     import zlib
 

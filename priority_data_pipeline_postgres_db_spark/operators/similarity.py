@@ -203,56 +203,36 @@ SEM_THRESHOLD = 0.35  # same cosine bar as operators.dedup.embedding_near_dup
 SEM_MAX_BUCKET = 256  # hot-bucket cap, same discipline as minhash/ngram
 
 
-def semantic_pairs(
-    emb: DataFrame,
-    dim: int,
-    threshold: float = SEM_THRESHOLD,
-    max_bucket: int = SEM_MAX_BUCKET,
-) -> DataFrame:
-    """Semantic near-dup candidate pairs: same SRP bucket in ≥1 of the
-    N_TABLES hash tables, then EXACT integer-cosine verify ≥ threshold.
-
-    This is the SemDeDup recipe (cluster the embedding space, compare
-    only within clusters) with the deterministic md5-60 SRP quantizer
-    standing in for k-means, so the whole path replays in the DuckDB
-    oracle.  Scale: the corpus is hashed in one narrow Arrow pass; the
-    quadratic term is per-(table, bucket) and capped at ``max_bucket``
-    (oversized buckets are skipped, as in minhash_candidate_pairs — at
-    production scale raise N_PLANES so occupancy stays bounded instead);
-    the verify joins carry only ids through the shuffle and fetch the
-    two vectors by key afterwards, so the candidate exchange never
-    carries array payloads."""
+def _srp_bucketed(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, table_id, bucket) rows from the deterministic SRP
+    quantizer — one narrow Arrow pass over the corpus."""
     buckets = bucket_ids_udf(dim)
-    hashed = (
+    return (
         emb.select("vec_id", quantize_expr().alias("q"))
         .withColumn("buckets", buckets(F.col("q")))
         .select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
     )
+
+
+def _cap_buckets(hashed: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop oversized (table, bucket) groups (the LSH hot-bucket cap) and
+    cache — the candidate self-join consumes the result on BOTH sides,
+    and without the barrier each side re-runs the SRP UDF pass."""
+    from ..util import bounded_cache
+
     wb = Window.partitionBy("table_id", "bucket")
-    capped = (
+    return bounded_cache(
         hashed.withColumn("_bn", F.count("*").over(wb))
         .filter(F.col("_bn") <= max_bucket)
         .drop("_bn")
     )
-    # cache barrier: the self-join consumes `capped` on BOTH sides, and
-    # without it each side re-runs the SRP bucket UDF over the corpus
-    # (same rule as the minhash signature cache)
-    from ..util import bounded_cache
 
-    capped = bounded_cache(capped)
-    a, b = capped.alias("a"), capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b")
-        )
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
+
+def _verify_pairs(cand: DataFrame, emb: DataFrame, threshold: float) -> DataFrame:
+    """Exact integer-cosine verify over (vec_id_a, vec_id_b) candidates:
+    the candidate exchange carries only ids; the two vectors are fetched
+    by key afterwards.  Shared by the full and incremental paths so the
+    pinned identity between them can't drift."""
     n = emb.select("vec_id", quantize_expr().alias("q")).withColumn(
         "norm2", dot_expr(F.col("q"), F.col("q"))
     )
@@ -281,6 +261,39 @@ def semantic_pairs(
     )
 
 
+def semantic_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = SEM_THRESHOLD,
+    max_bucket: int = SEM_MAX_BUCKET,
+) -> DataFrame:
+    """Semantic near-dup candidate pairs: same SRP bucket in ≥1 of the
+    N_TABLES hash tables, then EXACT integer-cosine verify ≥ threshold.
+
+    This is the SemDeDup recipe (cluster the embedding space, compare
+    only within clusters) with the deterministic md5-60 SRP quantizer
+    standing in for k-means, so the whole path replays in the DuckDB
+    oracle.  Scale: the corpus is hashed in one narrow Arrow pass; the
+    quadratic term is per-(table, bucket) and capped at ``max_bucket``
+    (oversized buckets are skipped, as in minhash_candidate_pairs — at
+    production scale raise N_PLANES so occupancy stays bounded instead)."""
+    capped = _cap_buckets(_srp_bucketed(emb, dim), max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b")
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    return _verify_pairs(cand, emb, threshold)
+
+
 def incremental_semantic_pairs(
     old_emb: DataFrame,
     new_emb: DataFrame,
@@ -300,28 +313,12 @@ def incremental_semantic_pairs(
     table comes from a persisted index (the SRP bucket ids are
     deterministic, so they never need re-hashing); only the new batch
     runs the bucket UDF."""
-    from ..util import bounded_cache
-
-    buckets = bucket_ids_udf(dim)
-
-    def bucketed(df: DataFrame, flag: int) -> DataFrame:
-        return (
-            df.select("vec_id", quantize_expr().alias("q"))
-            .withColumn("buckets", buckets(F.col("q")))
-            .select(
-                "vec_id",
-                F.posexplode("buckets").alias("table_id", "bucket"),
-                F.lit(flag).alias("is_new"),
-            )
-        )
-
-    union = bucketed(old_emb, 0).unionByName(bucketed(new_emb, 1))
-    wb = Window.partitionBy("table_id", "bucket")
-    capped = bounded_cache(
-        union.withColumn("_bn", F.count("*").over(wb))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
+    union = (
+        _srp_bucketed(old_emb, dim)
+        .withColumn("is_new", F.lit(0))
+        .unionByName(_srp_bucketed(new_emb, dim).withColumn("is_new", F.lit(1)))
     )
+    capped = _cap_buckets(union, max_bucket)
     a = capped.filter(F.col("is_new") == 1).alias("a")
     b = capped.alias("b")
     cand = (
@@ -337,33 +334,7 @@ def incremental_semantic_pairs(
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    all_emb = old_emb.unionByName(new_emb)
-    n = all_emb.select("vec_id", quantize_expr().alias("q")).withColumn(
-        "norm2", dot_expr(F.col("q"), F.col("q"))
-    )
-    cos = dot_expr(F.col("qa"), F.col("qb")) / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    return (
-        cand.join(
-            n.select(
-                F.col("vec_id").alias("vec_id_a"),
-                F.col("q").alias("qa"),
-                F.col("norm2").alias("na"),
-            ),
-            "vec_id_a",
-        )
-        .join(
-            n.select(
-                F.col("vec_id").alias("vec_id_b"),
-                F.col("q").alias("qb"),
-                F.col("norm2").alias("nb"),
-            ),
-            "vec_id_b",
-        )
-        .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _verify_pairs(cand, old_emb.unionByName(new_emb), threshold)
 
 
 def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

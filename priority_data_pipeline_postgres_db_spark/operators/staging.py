@@ -304,7 +304,10 @@ class StagingWarehouse:
                 try:
                     if now - os.path.getmtime(full) >= min_age_sec:
                         shutil.rmtree(full, ignore_errors=True)
-                        removed.append(full)
+                        # only report dirs that actually went away — a
+                        # permissions failure must not read as reclaimed
+                        if not os.path.exists(full):
+                            removed.append(full)
                 except FileNotFoundError:
                     continue
         return removed

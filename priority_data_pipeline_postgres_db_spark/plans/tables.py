@@ -75,15 +75,25 @@ _LOADED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictio
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     try:
         per_session = _LOADED.setdefault(spark, {})
     except TypeError:  # un-weakref-able session stub (tests/mocks)
         per_session = {}
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    # mtime in the key invalidates the memo if the path is rewritten
+    # within a session (e.g. a harness rebuilding a scratch corpus at a
+    # fixed location) — one stat() per call, vs ~0.1 s of read-plan
+    # construction saved on a hit
+    try:
+        key = (sf_dir, name, os.path.getmtime(path))
+    except OSError:
+        key = (sf_dir, name, None)
     df = per_session.get(key)
     if df is None:
         ensure_session_confs(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if name == "events":
             df = normalize_events_ts(df)
         per_session[key] = df

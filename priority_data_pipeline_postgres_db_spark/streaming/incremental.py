@@ -224,8 +224,9 @@ def running_user_totals(
     def update(key, pdfs, state: GroupState):
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
+            n += len(pdf)  # count(*) semantics: null values still count rows
             v = pdf["value"].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]  # SUM skips NULLs (NaN→int64 is undefined)
             s += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
         state.update((n, s))
         yield pd.DataFrame(
