@@ -326,3 +326,45 @@ def test_stream_user_totals_matches_batch_and_is_multibatch_stable(spark, sf_dir
         for r in final.collect()
     }
     assert got_mb == expected
+
+
+def test_user_totals_null_values_sum_skips_count_keeps(spark, tmp_path):
+    """A null event value must not corrupt the quantized running sum
+    (NaN→int64 is undefined): SUM skips nulls, count(*) keeps the row —
+    the oracle's semantics."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        running_user_totals,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 7, "click", 2.5, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1), 7, "view", None, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2), 7, "click", 1.5, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    landing = os.path.join(tmp_path, "landing")
+    spark.createDataFrame(rows, schema).write.parquet(landing)
+    src = spark.readStream.schema(
+        spark.read.parquet(landing).schema
+    ).parquet(landing)
+    q = (
+        running_user_totals(src)
+        .writeStream.format("memory")
+        .queryName("user_totals_nulls")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tot_null_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("user_totals_nulls").collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 3  # null-value row still counts
+    assert got[0]["sum_value"] == 4.0  # 2.5 + 1.5; null skipped, no garbage
