@@ -279,3 +279,24 @@ def test_embedding_incremental_plan_no_cartesian(spark):
     plan = physical(dedup_embedding_incremental(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """q_value_percentiles pins exact semantics and documents
+    approx_percentile (t-digest, mergeable partials) as the warehouse
+    path — this pins the accuracy of that path: the sketch estimate must
+    sit within 2% relative error of the exact percentile per status
+    group, so switching at scale is a measured trade, not a leap."""
+    import pyspark.sql.functions as F
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    orders = load(spark, SF, "orders")
+    both = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("exact_p99"),
+        F.expr("approx_percentile(o_totalprice, 0.99, 10000)").alias("approx_p99"),
+    )
+    for r in both.collect():
+        assert abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"] < 0.02
+        assert abs(r["approx_p99"] - r["exact_p99"]) / r["exact_p99"] < 0.02
