@@ -21,6 +21,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.q_star_region_summary(spark, "/root/testdata/sf0.001")
 
 
+# Keys that already have driver-artifact correctness rows (CORRECTNESS_r02/r03
+# snapshotted the same 50-entry prefix two rounds running).  The driver checks
+# the first 50 registry entries in insertion order, so ``queries()`` emits the
+# not-yet-driver-checked entries first; these verified keys go last.  Round 5+
+# can rotate again if new entries land.
+_DRIVER_VERIFIED_R03 = frozenset(
+    {
+        "s2_watermark_scan", "s4_limit_probe", "p2_projection_prune",
+        "j1_subform_flatten", "o1_latest_per_key", "k1_incremental_union",
+        "a2_run_report", "q1_pricing_summary", "q3_top_unshipped",
+        "q5_region_revenue", "q_star_region_summary", "q_events_rollup",
+        "q_sessionize", "q_cube_region_nation", "q_pivot_returnflag",
+        "j_asof_join", "set_except_high_qty", "q_approx_distinct",
+        "k1_dedup_append", "q_json_extract", "q_sql_api_revenue",
+        "q9_product_profit", "j_semi_anti", "o_window_running",
+        "set_intersect_buyers", "q4_late_ship_priority",
+        "q13_order_distribution", "q17_small_qty_value", "q11_acctbal_share",
+        "q_profile_orders", "q_event_funnel", "q_cohort_retention",
+        "q_salted_segment_revenue", "q_rollup_orderdate",
+        "q_value_percentiles", "j_range_join_binned",
+        "j_full_outer_reconcile", "q_sliding_event_rate", "q_gapfill_daily",
+        "q_top_parts_per_nation", "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_minhash_pairs", "dedup_minhash_incremental",
+        "dedup_minhash_verified", "dedup_simhash_pairs",
+        "dedup_embedding_exact", "sim_cosine_topk", "sim_ann_lsh_topk",
+        "dedup_semantic",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     catalog: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -68,7 +98,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_rp.QUERIES)
     except ImportError:
         pass
-    return catalog
+    # Emit not-yet-driver-checked entries first so the driver's bounded
+    # correctness window reaches them; already-verified keys keep their
+    # relative order at the tail.  Names are unchanged.
+    ordered = {k: catalog[k] for k in catalog if k not in _DRIVER_VERIFIED_R03}
+    ordered.update({k: catalog[k] for k in catalog if k in _DRIVER_VERIFIED_R03})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

