@@ -80,6 +80,35 @@ def normalized_text(col: str = "text") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# quadratic-kernel guard
+# ---------------------------------------------------------------------------
+
+
+class QuadraticScaleError(ValueError):
+    """Raised when an O(n²) kernel is pointed at a table above its scope."""
+
+
+def _guard_quadratic(
+    df: DataFrame, max_rows: int | None, op_name: str, alternative: str
+) -> None:
+    """Enforce the verify-stage/small-table scope of the quadratic kernels
+    in code, not just docstrings (VERDICT r3 #5).  One count() pass — cheap
+    insurance against kicking off n²/2 work on a full corpus.  ``max_rows=
+    None`` opts out for callers who know the input is a bounded candidate
+    subset."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise QuadraticScaleError(
+            f"{op_name} is an O(n²) kernel scoped to verify-stage / "
+            f"small-table use: input has {n:,} rows > max_rows={max_rows:,}. "
+            f"For full-corpus dedup use {alternative}; to run anyway on a "
+            "known-bounded subset pass max_rows=None or a higher limit."
+        )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -115,6 +144,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.30,
     max_block: int = 10_000,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs within a block with word-``n``-gram Jaccard ≥ threshold.
 
@@ -130,8 +160,13 @@ def ngram_jaccard_pairs(
     DuckDB oracle applies the identical window-count filter — so results
     stay engine-identical whether or not it fires. Corpora whose blocks
     exceed any affordable cap should use the minhash path for candidates
-    and this only as the exact-verify stage.
+    and this only as the exact-verify stage — ``max_rows`` enforces that
+    scope in code (raises :class:`QuadraticScaleError` above the limit;
+    pass ``None`` for bounded candidate subsets).
     """
+    _guard_quadratic(
+        docs, max_rows, "ngram_jaccard_pairs", "minhash_verified_pairs"
+    )
     g = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", *block_cols, ngrams_expr(tokens_expr(), n).alias("grams"))
@@ -518,7 +553,10 @@ def cosine_expr(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.95, n_blocks: int = 8
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine pairs ≥ threshold via a blocked (i, j) grid.
 
@@ -542,7 +580,14 @@ def embedding_near_dup_pairs(
     (each row joins B grid cells); peak group memory is ~2·(n/B) vectors —
     pick B so one block fits an executor.  Work is the true n²/2 pair
     count, distributed, instead of an n×64 driver matrix.
+
+    ``max_rows`` enforces the scope in code: above the limit this raises
+    :class:`QuadraticScaleError` pointing at the SRP-gated production path
+    (pass ``None`` for a known-bounded candidate subset).
     """
+    _guard_quadratic(
+        emb, max_rows, "embedding_near_dup_pairs", "similarity.semantic_pairs"
+    )
     spark = emb.sparkSession
     q = emb.select("vec_id", quantize_expr().alias("q")).withColumn(
         "block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -118,7 +119,13 @@ class StagingWarehouse:
                 )
             batch_id = safe
         else:
-            batch_id = uuid.uuid4().hex[:16]
+            # monotonic (commit-ordered) id: the newest-wins tie-break in
+            # read()/compact() orders by BATCH_COL desc, so the id must sort
+            # by ingestion time — a random uuid would resolve equal-order_col
+            # versions by lexicographic luck.  Zero-padded ns timestamp sorts
+            # lexicographically == numerically; uuid suffix keeps uniqueness
+            # across concurrent writers in the same nanosecond.
+            batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(path, f".tmp-{batch_id}")
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -33,6 +33,16 @@ from ..functions.typemap import AUDIT_ID_COL, AUDIT_TS_COL
 
 STREAM_STATE_PARTITIONS = 8
 
+# Harness knob (VERDICT r3 #2): cap files per micro-batch so AvailableNow
+# drains a landing DIRECTORY in several batches instead of swallowing it
+# whole — the multi-batch path is what exercises watermark advance and
+# state eviction between batches (the single-batch shape holds the whole
+# corpus's state at once, which is exactly what OOMs a state store at
+# scale).  None = no cap (the default: a single-file landing dir is one
+# batch either way, and the oracle-gated queries rely on everything
+# arriving before the watermark moves).
+MAX_FILES_PER_TRIGGER: int | None = None
+
 
 class _state_partitions:
     """Pin ``spark.sql.shuffle.partitions`` for a streaming query's
@@ -289,15 +299,21 @@ LAST_STREAM_PROGRESS: dict[str, dict] = {}
 
 def _record_progress(key: str, q: StreamingQuery) -> None:
     peak_rows = peak_mem = n_batches = 0
+    per_batch: list[int] = []
     for p in q.recentProgress:
         n_batches += 1
         ops = p.get("stateOperators") or []
-        peak_rows = max(peak_rows, sum(int(o.get("numRowsTotal", 0)) for o in ops))
+        batch_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+        per_batch.append(batch_rows)
+        peak_rows = max(peak_rows, batch_rows)
         peak_mem = max(peak_mem, sum(int(o.get("memoryUsedBytes", 0)) for o in ops))
     LAST_STREAM_PROGRESS[key] = {
         "n_batches": n_batches,
         "peak_state_rows": peak_rows,
         "peak_state_mem_bytes": peak_mem,
+        # eviction evidence: state rows at each micro-batch (recentProgress
+        # keeps the last ~100 — plenty for the harness's drains)
+        "state_rows_per_batch": per_batch,
     }
 
 
@@ -382,6 +398,40 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode sessionization — the production shape of the session
+    stream, and the stress harness's watermark-EVICTION probe (VERDICT r3
+    #2).  Complete mode (``stream_sessionize``) keeps every session in the
+    state store for the life of the query — fine for the oracle gate's
+    one-batch drain, fatal at stream scale.  Append mode emits a session
+    once the watermark passes its close and EVICTS it, so across a
+    multi-batch drain (``MAX_FILES_PER_TRIGGER`` set, time-clustered
+    landing files) peak state tracks the CONCURRENTLY-OPEN sessions, not
+    the corpus.  Sessions still open at end-of-input are withheld by the
+    terminal watermark (the streaming-correct contract), so this variant
+    is rows-bounded rather than oracle-hash-matched; telemetry lands under
+    ``stream_sessionize_append`` in LAST_STREAM_PROGRESS.
+    """
+    import tempfile
+
+    ev = _event_stream(spark, sf_dir)
+    agg = sessionized_stream(ev)
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_sessionize_append_{_STREAM_SERIAL[0]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sessa_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_sessionize_append", q)
+    return spark.table(name)
+
+
 def _event_stream(spark: SparkSession, sf_dir: str):
     """File-source stream over the events landing data, normalized.
 
@@ -398,6 +448,8 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if MAX_FILES_PER_TRIGGER is not None:
+        reader = reader.option("maxFilesPerTrigger", MAX_FILES_PER_TRIGGER)
     if os.path.isdir(path):
         src = reader.parquet(path)
     else:

@@ -177,3 +177,18 @@ def test_incremental_minhash_equals_full_minus_old_old(spark, sf_dir):
     }
     want = {p for p in full if not (p[0] % 10 < 8 and p[1] % 10 < 8)}
     assert got == want and len(want) > 0
+
+
+def test_quadratic_guard_fires_above_limit(spark, planted_docs):
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import QuadraticScaleError
+
+    with pytest.raises(QuadraticScaleError, match="minhash_verified_pairs"):
+        ngram_jaccard_pairs(planted_docs, ["lang"], n=1, max_rows=3)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.1 * i, 0.2]) for i in range(5)]
+    )
+    with pytest.raises(QuadraticScaleError, match="semantic_pairs"):
+        embedding_near_dup_pairs(emb, max_rows=4)
+    # None opts out (bounded candidate subsets), limit >= n passes
+    assert embedding_near_dup_pairs(emb, threshold=1.5, max_rows=None).count() == 0
+    assert ngram_jaccard_pairs(planted_docs, ["lang"], n=1, max_rows=5, threshold=1.1).count() == 0

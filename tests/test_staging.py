@@ -164,6 +164,26 @@ def test_upsert_contract_read_view_and_plan(spark, tmp_path):
     assert "WindowGroupLimit [id#" in plan, plan
 
 
+def test_upsert_tie_break_is_ingestion_order(spark, tmp_path):
+    """Two versions of a PK with an UNCHANGED order_col (a late correction
+    that didn't touch the watermark column) must resolve to the later-
+    ingested batch — auto batch ids are timestamp-prefixed so the
+    BATCH_COL desc tie-break reflects commit order, not uuid luck."""
+    from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWarehouse
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="t8")
+    wh.set_upsert_keys("t", ["id"], "ts")
+    for i in range(6):  # several writes: a lexicographic fluke won't pass 6x
+        df = spark.createDataFrame([(1, f"v{i}", "2024-01-01")], "id long, v string, ts string")
+        wh.write(df, "t", incremental=True)
+    [row] = wh.read("t").collect()
+    assert row["v"] == "v5"
+    compacted = wh.compact("t")
+    assert compacted.records_written == 1
+    [row] = wh.read("t").collect()
+    assert row["v"] == "v5"
+
+
 def test_vacuum_reaps_old_orphans_only(spark, orders, tmp_path):
     """vacuum() removes crash-orphaned scratch dirs past the age guard and
     leaves fresh (possibly in-flight) ones plus committed data alone."""

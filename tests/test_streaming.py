@@ -368,3 +368,36 @@ def test_user_totals_null_values_sum_skips_count_keeps(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["n_events"] == 3  # null-value row still counts
     assert got[0]["sum_value"] == 4.0  # 2.5 + 1.5; null skipped, no garbage
+
+
+def test_sessionize_append_evicts_state_across_batches(spark, sf_dir, tmp_path):
+    """APPEND-mode sessionization under a multi-batch drain: watermark
+    eviction must bound peak state below the total session count, and
+    every emitted session must also exist in the complete-mode result
+    (append only withholds trailing sessions, never invents them)."""
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load, normalize_events_ts
+    from priority_data_pipeline_postgres_db_spark.streaming import incremental as inc
+
+    # time-clustered landing dir (named per the sf layout the helper reads)
+    # so batches arrive roughly in event-time order
+    landing = os.path.join(tmp_path, "events.parquet")
+    ev = normalize_events_ts(load(spark, sf_dir, "events"))
+    ev.repartitionByRange(6, "ts").write.parquet(landing)
+
+    complete = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in inc.stream_sessionize(spark, sf_dir).collect()
+    }
+    inc.MAX_FILES_PER_TRIGGER = 1
+    try:
+        out = inc.stream_sessionize_append(spark, str(tmp_path))
+    finally:
+        inc.MAX_FILES_PER_TRIGGER = None
+    prog = inc.LAST_STREAM_PROGRESS.pop("stream_sessionize_append")
+    assert prog["n_batches"] >= 3
+    # eviction: peak concurrent state < total sessions
+    assert 0 < prog["peak_state_rows"] < len(complete)
+    emitted = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()
+    }
+    assert emitted and emitted <= complete
