@@ -169,10 +169,23 @@ def _pil_image_stats(payload: bytes) -> dict | None:
         width, height = int(img.width), int(img.height)
     except Exception:  # noqa: BLE001 — undecodable payload: fall through to
         return None  # the caller's fake/raise paths, same as without PIL
+    # bit depth from the SOURCE mode (a 16-bit PNG routed here must not
+    # report 8); mean_intensity is over the LUMA-converted frame normalized
+    # to [0,1] — for non-8-bit or color sources this is a luma mean, which
+    # can differ from the stdlib path's raw-byte mean on the same payload
+    bit_depth = {
+        "1": 1,
+        "I;16": 16,
+        "I;16B": 16,
+        "I;16L": 16,
+        "I;16N": 16,
+        "I": 32,
+        "F": 32,
+    }.get(img.mode, 8)
     return {
         "width": width,
         "height": height,
-        "bit_depth": 8,
+        "bit_depth": bit_depth,
         "mean_intensity": float(arr.mean() / 255.0) if arr.size else 0.0,
         "n_frames": n_frames,
     }

@@ -135,11 +135,18 @@ def append_guard(
     Falls back to full-history PK-only (at-most-once) when the table has
     no watermark column — without a version column, "changed" is
     undetectable without comparing every attribute.
+
+    A watermarked table with NO boundary yet (first incremental run, no
+    lastRun) still keys on ``(pk, filterField)`` — over full staged
+    history, since there is no overlap window to bound the scan — so an
+    updated row delivered before the first watermark advance appends
+    instead of being silently dropped by a PK-only guard (ADVICE r3).
     """
-    if filter_field and boundary is not None and filter_field.lower() in staged.columns:
-        staged = staged.filter(
-            watermark_predicate(filter_field.lower(), boundary, system_timezone)
-        )
+    if filter_field and filter_field.lower() in staged.columns:
+        if boundary is not None:
+            staged = staged.filter(
+                watermark_predicate(filter_field.lower(), boundary, system_timezone)
+            )
         join_cols = [*pk_cols, filter_field.lower()]
     else:
         join_cols = list(pk_cols)

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 from pyspark.sql import DataFrame
 
 # Rotation of live cached intermediates (ADVICE r2: operators that
@@ -10,19 +13,33 @@ from pyspark.sql import DataFrame
 # long-lived session accumulated cached blocks until storage eviction
 # churn).  A bounded FIFO keeps the most recent N cached frames and
 # unpersists the oldest beyond that: within one composed query every
-# barrier stays warm (no operator composition touches more than ~4), and
-# across a 90-query gate run the storage footprint is bounded by N
-# intermediates instead of growing per invocation.
-_LIVE_CACHES: list[DataFrame] = []
+# barrier stays warm (no operator composition in this package touches
+# more than ~4 bounded_cache calls before executing — revisit _MAX_LIVE
+# if a new composition exceeds that, or its own barriers get evicted
+# mid-plan and silently recompute), and across a 90-query gate run the
+# storage footprint is bounded by N intermediates per session.
+#
+# The FIFO is keyed per SparkSession (weakly — ADVICE r3): frames from a
+# stopped/replaced session die with the session key instead of pinning
+# JVM-side blocks, and concurrent sessions rotate independently.  A lock
+# guards the rotation itself.
+_LIVE_CACHES: "weakref.WeakKeyDictionary[object, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 _MAX_LIVE = 8
+_LOCK = threading.Lock()
 
 
 def bounded_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` with a bounded lifetime (see module note)."""
     df = df.cache()
-    _LIVE_CACHES.append(df)
-    while len(_LIVE_CACHES) > _MAX_LIVE:
-        old = _LIVE_CACHES.pop(0)
+    with _LOCK:
+        live = _LIVE_CACHES.setdefault(df.sparkSession, [])
+        live.append(df)
+        evict = []
+        while len(live) > _MAX_LIVE:
+            evict.append(live.pop(0))
+    for old in evict:
         try:
             old.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — session may already be stopped

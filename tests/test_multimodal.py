@@ -31,6 +31,7 @@ def test_decode_uses_pil_when_importable(monkeypatch):
 
     class FakeImg:
         width, height, n_frames = 8, 6, 1
+        mode = "I;16"  # 16-bit source: bit_depth must come from mode, not a constant
 
         def convert(self, mode):
             assert mode == "L"
@@ -45,6 +46,7 @@ def test_decode_uses_pil_when_importable(monkeypatch):
 
     out = decode_image(b"\xff\xd8\xff\xe0 not-really-a-jpeg")
     assert (out["width"], out["height"], out["n_frames"]) == (8, 6, 1)
+    assert out["bit_depth"] == 16  # derived from the source mode (ADVICE r3)
     assert abs(out["mean_intensity"] - 0.5) < 1e-9
 
 

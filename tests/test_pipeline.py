@@ -174,6 +174,13 @@ def test_append_guard_scan_is_bounded(spark, tmp_path, sf_dir):
     assert full_cols == ["event_id"]
     assert full.count() == staged.select("event_id").distinct().count()
 
+    # watermarked table, NO boundary yet (first incremental, no lastRun):
+    # the guard still keys on the row VERSION over full history, so an
+    # updated row isn't silently dropped by a PK-only guard (ADVICE r3)
+    nob, nob_cols = append_guard(staged, ["event_id"], "ts", None, "UTC")
+    assert nob_cols == ["event_id", "ts"]
+    assert nob.count() == staged.select("event_id", "ts").distinct().count()
+
 
 def test_upsert_modified_row_reads_back_new_values(spark, tmp_path, sf_dir):
     """True upsert semantics (VERDICT r2 #4): a re-delivered row the source

@@ -157,3 +157,20 @@ def test_incremental_semantic_pairs_identity(spark, sf_dir):
     expected = {p for p in full if not (p[0] % 10 < 8 and p[1] % 10 < 8)}
     assert inc == expected
     assert inc  # fixture actually produces new-batch pairs
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ivf_registry_entry_carries_recall_floor(spark, sf):
+    """The registry's sim_ivf_topk emits recall@5 vs the exact top-5 as an
+    in-band column (the gate-adjacent evidence for a rows-only entry).
+    The IVF fit is deterministic, so recall is a fixed number per fixture:
+    measured avg 0.76/min 0.6 at sf0.01 and avg 0.62/min 0.2 at sf0.1 —
+    floors below assert with margin against plane/fit regressions."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import sim_ivf_topk
+
+    df = sim_ivf_topk(spark, sf)
+    per_q = df.groupBy("query_id").agg(F.first("recall_at_5").alias("r"))
+    rows = per_q.collect()
+    assert len(rows) == 10
+    avg = sum(r["r"] for r in rows) / len(rows)
+    assert avg >= 0.5, f"IVF avg recall@5 collapsed: {avg}"
+    assert min(r["r"] for r in rows) >= 0.2
