@@ -92,6 +92,9 @@ HEADLINE = [
     "stream_category_rollup",
     "stream_user_totals",
     "dedup_embedding_incremental",
+    "dedup_containment_pairs",
+    "text_heavy_hitters",
+    "corpus_dup_rate_by_source",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.dedup import normalized_text, tokens_expr
 from ..plans.tables import load
@@ -773,4 +774,53 @@ ORACLE["text_bigram_pmi"] = f"""
     )
     ORDER BY lift DESC, bigram ASC
     LIMIT {PMI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy hitters (document frequency)
+# ---------------------------------------------------------------------------
+
+HH_TOPK = 20
+
+
+def heavy_hitters(docs: DataFrame, top: int = HH_TOPK) -> DataFrame:
+    """Top tokens by DOCUMENT frequency — the corpus-profiling companion to
+    BM25/tf-idf (boilerplate and template phrases surface as tokens whose
+    doc-frequency approaches the corpus size; a training pipeline watches
+    this list to catch scrapes gone wrong).
+
+    Scale shape: explode(distinct tokens) → one groupBy shuffle bounded by
+    VOCABULARY (map-side combine collapses per-partition duplicates), then
+    the top-k is ``orderBy(...).limit(top)`` — Catalyst plans
+    TakeOrderedAndProject (per-partition heap of ``top`` rows + driver
+    merge), never a global sort of the vocab.  Ranks are attached after
+    the limit, a window over ``top`` rows.  Deterministic total order:
+    (doc_freq desc, token asc).
+    """
+    toks = docs.select(
+        F.explode(F.array_distinct(tokens_expr())).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    top_rows = counts.orderBy(F.desc("doc_freq"), F.asc("token")).limit(top)
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
+    return top_rows.withColumn("rank", F.row_number().over(w))
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_heavy_hitters"] = text_heavy_hitters
+
+ORACLE["text_heavy_hitters"] = f"""
+    SELECT token, doc_freq,
+           CAST(row_number() OVER (ORDER BY doc_freq DESC, token ASC) AS INTEGER) AS rank
+    FROM (
+      SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents)
+      GROUP BY token
+    )
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT {HH_TOPK}
 """

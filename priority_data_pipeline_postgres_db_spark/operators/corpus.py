@@ -411,11 +411,50 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_buckets(load(spark, sf_dir, "documents"))
 
 
+def dup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-source duplication report: of each source's documents, how many
+    participate in at least one verified near-dup pair — the observability
+    number a crawl/ingest operator watches (a source whose dup_rate jumps
+    is re-scraping itself or mirroring another source).
+
+    Scale shape: ``pairs`` is the LSH-verified edge set (linear path); the
+    endpoint set is two projections + distinct (one shuffle bounded by
+    |dup docs|), the report one broadcast-joinable left join + a groupBy
+    on source.  dup_rate is int/int → IEEE double, bit-exact in both
+    engines.
+    """
+    dup = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dup_rate_by_source(docs, minhash_verified_pairs(docs, n=3, threshold=0.5))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
     "corpus_length_buckets": corpus_length_buckets,
     "dedup_connected_components": dedup_connected_components,
     "corpus_hash_split": corpus_hash_split,
@@ -432,6 +471,23 @@ QUERIES = {
 from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
 
 ORACLE = {
+    "corpus_dup_rate_by_source": f"""
+        WITH pairs AS (
+          SELECT * FROM ({_DEDUP_ORACLE["dedup_minhash_verified"]}) t
+        ), dup AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS doc_id FROM pairs
+          )
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+               CAST(count(dup.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+        GROUP BY d.source
+    """,
     "dedup_connected_components": f"""
         WITH RECURSIVE pairs AS (
           SELECT * FROM ({_DEDUP_ORACLE["dedup_minhash_verified"]}) t

@@ -92,17 +92,18 @@ def _guard_quadratic(
     df: DataFrame, max_rows: int | None, op_name: str, alternative: str
 ) -> None:
     """Enforce the verify-stage/small-table scope of the quadratic kernels
-    in code, not just docstrings (VERDICT r3 #5).  One count() pass — cheap
-    insurance against kicking off n²/2 work on a full corpus.  ``max_rows=
-    None`` opts out for callers who know the input is a bounded candidate
-    subset."""
+    in code, not just docstrings (VERDICT r3 #5).  The probe is
+    ``limit(max_rows+1).count()`` — it stops scanning the moment the limit
+    is exceeded, so on a full 100 TB corpus the guard costs a bounded
+    prefix read, not a count of the table it is refusing to process.
+    ``max_rows=None`` opts out for callers who know the input is a bounded
+    candidate subset."""
     if max_rows is None:
         return
-    n = df.count()
-    if n > max_rows:
+    if df.limit(max_rows + 1).count() > max_rows:
         raise QuadraticScaleError(
             f"{op_name} is an O(n²) kernel scoped to verify-stage / "
-            f"small-table use: input has {n:,} rows > max_rows={max_rows:,}. "
+            f"small-table use: input exceeds max_rows={max_rows:,}. "
             f"For full-corpus dedup use {alternative}; to run anyway on a "
             "known-bounded subset pass max_rows=None or a higher limit."
         )
@@ -387,6 +388,57 @@ def minhash_verified_pairs(
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return minhash_verified_pairs(docs, n=3, threshold=0.5)
+
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = CONTAIN_THRESHOLD, max_bucket: int = 64
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT ``|A∩B| / |A|`` per side —
+    the measure that catches a document embedded inside another (quoted
+    articles, concatenated scrapes, boilerplate-wrapped bodies), which
+    symmetric Jaccard misses when the sizes differ (inter/union shrinks
+    with the larger doc; inter/|small| doesn't).
+
+    Candidates come from the MinHash-LSH band join and containment is the
+    exact verify on that candidate set — same linear-scale division of
+    labor as ``minhash_verified_pairs``, same bit-exact int/int division.
+    RECALL CAVEAT, stated honestly: Jaccard-banded LSH under-proposes
+    low-Jaccard/high-containment pairs (a tiny doc inside a huge one may
+    share no band).  At the fixture's size ratios the candidate set covers
+    the containment pairs; a corpus with extreme size skew should shingle
+    the SMALL side only or band on bottom-k sketches of each doc's prefix
+    — the verify stage here is reusable for either proposer.
+    """
+    cand = minhash_candidate_pairs(docs, n=n, max_bucket=max_bucket)
+    g = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", ngrams_expr(tokens_expr(), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    a = g.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    b = g.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    c_a = inter / F.size("grams_a")
+    c_b = inter / F.size("grams_b")
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+    )
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3)
 
 
 def incremental_minhash_pairs(
@@ -675,6 +727,7 @@ QUERIES = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_embedding_exact": dedup_embedding_exact,
 }
 
@@ -789,6 +842,25 @@ ORACLE["dedup_minhash_verified"] = f"""
                   JOIN g b ON b.doc_id = cand.doc_id_b
         WHERE len(list_intersect(a.grams, b.grams))
                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+ORACLE["dedup_containment_pairs"] = f"""
+        WITH cand AS (
+          SELECT * FROM ({ORACLE["dedup_minhash_pairs"]}) c
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - {_MH_N} + 2),
+                     i -> array_to_string(list_slice(toks, i, i + {_MH_N} - 1), ' '))) AS grams
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d
+          WHERE len(toks) >= {_MH_N}
+        )
+        SELECT doc_id_a, doc_id_b, containment_a, containment_b FROM (
+          SELECT cand.doc_id_a, cand.doc_id_b,
+                 len(list_intersect(a.grams, b.grams)) / len(a.grams) AS containment_a,
+                 len(list_intersect(a.grams, b.grams)) / len(b.grams) AS containment_b
+          FROM cand JOIN g a ON a.doc_id = cand.doc_id_a
+                    JOIN g b ON b.doc_id = cand.doc_id_b
+        ) WHERE greatest(containment_a, containment_b) >= {CONTAIN_THRESHOLD}
 """
 
 ORACLE["dedup_simhash_pairs"] = f"""

@@ -313,3 +313,19 @@ def test_interleave_sources_round_robin(spark):
     assert len(set(keys)) == len(keys) == 6
     # per-source doc order preserved
     assert [r["doc_id"] for r in got if r["source"] == "a"] == [0, 1, 2, 3]
+
+
+def test_dup_rate_by_source_counts(spark):
+    """dup_rate counts each source's docs touched by >=1 pair, exactly."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import dup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s1" if i < 4 else "s2") for i in range(6)]
+    )
+    pairs = spark.createDataFrame([Row(doc_id_a=0, doc_id_b=1), Row(doc_id_a=1, doc_id_b=2)])
+    got = {r["source"]: r for r in dup_rate_by_source(docs, pairs).collect()}
+    assert got["s1"]["n_docs"] == 4 and got["s1"]["n_dup_docs"] == 3
+    assert got["s1"]["dup_rate"] == 0.75
+    assert got["s2"]["n_dup_docs"] == 0 and got["s2"]["dup_rate"] == 0.0

@@ -192,3 +192,32 @@ def test_quadratic_guard_fires_above_limit(spark, planted_docs):
     # None opts out (bounded candidate subsets), limit >= n passes
     assert embedding_near_dup_pairs(emb, threshold=1.5, max_rows=None).count() == 0
     assert ngram_jaccard_pairs(planted_docs, ["lang"], n=1, max_rows=5, threshold=1.1).count() == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A doc quoted inside a larger doc has low Jaccard but containment
+    ≈ 1 from the small side; containment_pairs must surface it while
+    plain verified-Jaccard at the same bar misses it."""
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        containment_pairs,
+        minhash_verified_pairs,
+    )
+
+    # moderate size delta: jaccard ≈ 0.7 (inside LSH band recall, below
+    # the 0.8 bar) while containment from the small side ≈ 1 — the zone
+    # where the two measures disagree.  The docstring's recall caveat
+    # (extreme size skew escapes jaccard-banded candidates) is by design.
+    small = BASE
+    big = BASE + " closing remarks adding several extra unrelated tokens afterwards"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=small), Row(doc_id=2, text=big),
+         Row(doc_id=3, text="unrelated corpus text about completely other topics entirely")]
+    )
+    got = {(r["doc_id_a"], r["doc_id_b"]): r for r in containment_pairs(docs, n=3, threshold=0.8).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment_a"] >= 0.95  # small side almost fully contained
+    assert r["containment_b"] < 0.8
+    # symmetric Jaccard at the same bar does NOT flag the pair
+    jac = {(r["doc_id_a"], r["doc_id_b"]) for r in minhash_verified_pairs(docs, n=3, threshold=0.8).collect()}
+    assert (1, 2) not in jac

@@ -165,3 +165,20 @@ def test_bigram_pmi_planted_collocation(spark):
     assert got[0]["bigram"] == "zq vx"
     by_g = {r["bigram"]: r["lift"] for r in got}
     assert by_g["zq vx"] > by_g["aa bb"] > 0.0
+
+
+def test_heavy_hitters_rank_and_plan(spark, sf_dir):
+    """Top-20 doc-frequency tokens: deterministic total order, and the
+    top-k is TakeOrderedAndProject (per-partition heaps), never a global
+    sort of the vocabulary."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hh = heavy_hitters(docs, top=20)
+    rows = hh.collect()
+    assert len(rows) == 20
+    freqs = [r["doc_freq"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert freqs == sorted(freqs, reverse=True)
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(range(1, 21))
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
