@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_containment_pairs",
     "text_heavy_hitters",
     "corpus_dup_rate_by_source",
+    "stream_exact_dedup",
 ]
 
 

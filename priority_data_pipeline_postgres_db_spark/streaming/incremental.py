@@ -594,8 +594,45 @@ def stream_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup under the hash gate: the landing
+    stream UNIONED WITH ITSELF (the worst-case at-least-once redelivery —
+    every row arrives twice) flows through
+    ``dropDuplicatesWithinWatermark(event_id)``; the result must be the
+    source, exactly once, which the oracle checks column-for-column.
+    This is the managed streaming form of the batch PK anti-join append
+    guard: dedup state holds one tiny row per event_id and the watermark
+    EVICTS it once no duplicate can still arrive (bounded state at
+    stream scale — an unwatermarked dropDuplicates grows forever).
+    Append mode: a first-seen row emits immediately; duplicates drop."""
+    import tempfile
+
+    ev = _event_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_exact_dedup_{_STREAM_SERIAL[0]}"
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dd_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_exact_dedup", q)
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_event_rollup": stream_event_rollup,
+    "stream_exact_dedup": stream_exact_dedup,
     "stream_category_rollup": stream_category_rollup,
     "stream_sessionize": stream_sessionize,
     "stream_click_attribution": stream_click_attribution,
@@ -603,6 +640,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_exact_dedup": """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
     "stream_user_totals": """
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_events,
