@@ -14,16 +14,19 @@ Design for 100 TB of media:
 - heavy stages repartition first so media bytes spread evenly (a skewed
   asset-size distribution otherwise concentrates decode work).
 
-Codec status in this container: **audio is decoded for real** — WAV/PCM
-parses with the stdlib ``wave`` module, so the audio path runs an actual
-sample decode (rate/channels/duration/RMS) on genuine WAV payloads.
-Image/video codecs (PIL/libvips/ffmpeg) are NOT installed, so pixel
-decoding and frame sampling are stubbed: they raise
-``NotImplementedError`` unless ``deterministic_fake=True``, in which case
-a seeded fake decode (bytes → pseudo-pixel stats) exercises the full
-schema / partitioning / UDF-signature / batch path.  Swapping a stub for
-PIL/ffmpeg changes ONE function body, none of the Spark plumbing — the
-real WAV path is the proof.
+Codec status in this container: **audio decodes for real** (WAV/PCM via
+the stdlib ``wave`` module: rate/channels/duration/RMS), **images decode
+for real** (filter-0 8-bit PNGs via stdlib struct+zlib; other formats
+through PIL when importable), and as of r4 **video decodes for real for
+uncompressed AVI** — a pure-stdlib RIFF walk reads dimensions, frame
+count, and fps from the headers and samples raw BI_RGB frames at 1 fps
+with true mean-intensity stats (``decode_video``/``sample_frames``).
+Only COMPRESSED video (mp4/mkv/h264-in-AVI) remains genuinely
+codec-bound: it raises ``NotImplementedError`` unless
+``deterministic_fake=True``, in which case a seeded fake decode
+exercises the full schema / partitioning / UDF-signature / batch path.
+Swapping that last stub for ffmpeg changes ONE function body, none of
+the Spark plumbing — the WAV/PNG/AVI paths are the proof.
 """
 
 from __future__ import annotations
@@ -118,27 +121,34 @@ def synth_png(i: int, width: int, height: int) -> bytes:
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic asset table — audio payloads are REAL WAV files and
-    image payloads are REAL PNGs (both stdlib-generated); only video stays
-    opaque seeded bytes (no container codec in the image). The test
-    stand-in for an object-store asset manifest."""
+    """Deterministic asset table — audio payloads are REAL WAV files,
+    image payloads are REAL PNGs, and (r4) two of every three video
+    payloads are REAL uncompressed AVIs (all stdlib-generated); the
+    remaining video rows stay opaque mp4 bytes so the codec-bound
+    fake/raise path is exercised too. The test stand-in for an
+    object-store asset manifest."""
     rows = []
     for i in range(n):
         mt = ("image", "audio", "video")[i % 3]
+        fmt = {"image": "png", "audio": "wav", "video": "mp4"}[mt]
         if mt == "audio":
             payload = synth_wav(i)
             duration = 50 * (1 + i % 3)
         elif mt == "image":
             payload = synth_png(i, 64 + i, 48 + i)
             duration = None
-        else:
+        elif (i // 3) % 3 != 2:  # video, real AVI (2 of 3)
+            payload = synth_avi(i)
+            fmt = "avi"
+            duration = (3 + i % 5) * 1000 // _AVI_FPS
+        else:  # video, opaque container (codec-bound path)
             payload = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 7)
             duration = 1000 * (i + 1)
         rows.append(
             (
                 i,
                 mt,
-                {"image": "png", "audio": "wav", "video": "mp4"}[mt],
+                fmt,
                 bytearray(payload),
                 64 + i if mt == "image" else None,
                 48 + i if mt == "image" else None,
@@ -278,10 +288,137 @@ def decode_audio(payload: bytes) -> dict:
     }
 
 
+_AVI_FPS = 4
+_AVI_W, _AVI_H = 16, 12  # row stride 16*3 = 48 bytes — already 4-aligned
+
+
+def synth_avi(i: int) -> bytes:
+    """A REAL minimal AVI: RIFF container, one 'vids' stream, uncompressed
+    24-bit BGR frames ('00db' chunks, BI_RGB) — pure stdlib struct, valid
+    for any AVI reader, no codec involved.  Deterministic pixels seeded
+    from sha256; frame count varies with the asset index."""
+    import struct
+
+    n_frames = 3 + i % 5
+    frame_bytes = _AVI_W * _AVI_H * 3
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // _AVI_FPS,  # dwMicroSecPerFrame
+        frame_bytes * _AVI_FPS,  # dwMaxBytesPerSec
+        0, 0,  # padding granularity, flags
+        n_frames, 0, 1,  # total frames, initial frames, streams
+        frame_bytes,  # suggested buffer
+        _AVI_W, _AVI_H, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<I", 0)  # flags
+        + struct.pack("<HH", 0, 0)  # priority, language
+        + struct.pack("<I", 0)  # initial frames
+        + struct.pack("<II", 1, _AVI_FPS)  # scale, rate → fps = rate/scale
+        + struct.pack("<III", 0, n_frames, frame_bytes)  # start, length, buf
+        + struct.pack("<i", -1)  # quality
+        + struct.pack("<I", 0)  # sample size
+        + struct.pack("<4h", 0, 0, _AVI_W, _AVI_H)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, _AVI_W, _AVI_H, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+    )
+    frames = b""
+    seed = hashlib.sha256(f"avi-{i}".encode()).digest()
+    for f in range(n_frames):
+        buf = bytearray()
+        while len(buf) < frame_bytes:
+            seed = hashlib.sha256(seed + bytes([f & 0xFF])).digest()
+            buf.extend(seed)
+        frames += chunk(b"00db", bytes(buf[:frame_bytes]))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def is_avi(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def decode_video(payload: bytes, sample_fps: float = 1.0) -> dict:
+    """REAL decode for uncompressed (BI_RGB) AVI — pure stdlib RIFF walk,
+    no codec: dimensions, frame count, fps from the stream header, then
+    frame SAMPLING at ``sample_fps`` (one frame per second by default —
+    the standard training-pipeline thinning) with mean pixel intensity
+    over the sampled frames only.  Compressed streams (fccHandler other
+    than raw DIB) still raise — THAT part is genuinely codec-bound."""
+    import struct
+
+    if not is_avi(payload):
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = n_frames = 0
+    fps = float(_AVI_FPS)
+    compression = 0
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal width, height, n_frames, fps, compression
+        frames: list[bytes] = []
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                frames += walk(buf, data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", buf, data_start)
+                n_frames = n_frames or vals[4]
+                width, height = vals[8], vals[9]
+                if vals[0]:
+                    fps = 1_000_000 / vals[0]
+            elif fourcc == b"strh" and buf[data_start : data_start + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, data_start + 20)
+                if scale:
+                    fps = rate / scale
+            elif fourcc == b"strf":
+                compression = struct.unpack_from("<I", buf, data_start + 16)[0]
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)
+        return frames
+
+    frames = walk(payload, 12, len(payload))
+    if compression != 0:
+        raise NotImplementedError("compressed AVI streams require a codec")
+    n_frames = len(frames) or n_frames
+    step = max(1, round(fps / sample_fps))
+    sampled = frames[::step] or frames[:1]
+    total = sum(sum(f) for f in sampled)
+    n_bytes = sum(len(f) for f in sampled)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames),
+        "fps": float(fps),
+        "duration_ms": int(n_frames * 1000 / fps) if fps else 0,
+        "n_frames_sampled": len(sampled),
+        "mean_intensity": (total / n_bytes / 255.0) if n_bytes else 0.0,
+    }
+
+
 def sample_frames(payload: bytes, duration_ms: int | None, *, deterministic_fake: bool = False) -> int:
-    """STUB — frame sampling needs ffmpeg. Fake: 1 frame per started second."""
+    """Frame sampling: REAL for uncompressed AVI (RIFF walk — see
+    ``decode_video``); other containers (mp4/mkv) are genuinely
+    codec-bound and keep the fake/raise contract: 1 frame per started
+    second when ``deterministic_fake`` permits it."""
+    if is_avi(payload):
+        return decode_video(payload)["n_frames_sampled"]
     if not deterministic_fake:
-        raise NotImplementedError("frame sampling requires ffmpeg")
+        raise NotImplementedError("non-AVI frame sampling requires ffmpeg")
     return max(1, (duration_ms or 0) // 1000)
 
 
@@ -305,11 +442,19 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                     ),
                 }
             )
+            def intensity(mt, b):
+                if b is None:
+                    return None
+                if mt == "image":
+                    return decode_image(bytes(b), deterministic_fake=fake_decode)[
+                        "mean_intensity"
+                    ]
+                if mt == "video" and is_avi(bytes(b)):
+                    return decode_video(bytes(b))["mean_intensity"]
+                return None
+
             stats = [
-                decode_image(bytes(b), deterministic_fake=fake_decode)["mean_intensity"]
-                if mt == "image" and b is not None
-                else None
-                for mt, b in zip(pdf["media_type"], payloads)
+                intensity(mt, b) for mt, b in zip(pdf["media_type"], payloads)
             ]
             frames = [
                 sample_frames(bytes(b), d, deterministic_fake=fake_decode)
