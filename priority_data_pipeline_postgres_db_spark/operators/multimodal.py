@@ -264,6 +264,87 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False) -> dict:
     return {"mean_intensity": digest[0] / 255.0, "n_frames": 1}
 
 
+def _png_pixels(payload: bytes) -> "np.ndarray | None":
+    """(h, w, channels) uint8 array for filter-0 8-bit PNGs — the same
+    stdlib parse ``decode_image`` runs, kept as pixels instead of a sum.
+    Returns None for anything this parser can't reconstruct (other
+    formats, sub-byte depths, filtered rows) so callers fall through to
+    PIL/fake paths."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    width, height, bit_depth, color = struct.unpack(">IIBB", payload[16:26])
+    if bit_depth != 8:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    idat, pos = bytearray(), 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if payload[pos + 4 : pos + 8] == b"IDAT":
+            idat.extend(payload[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels + 1
+    rows = []
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        if not row or row[0] != 0:
+            return None
+        rows.append(np.frombuffer(row[1:], dtype=np.uint8))
+    return np.stack(rows).reshape(height, width, channels)
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """8-bit filter-0 PNG from an (h, w, {1,3}) uint8 array — stdlib
+    struct+zlib, the write half of the parser above."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    color = {1: 0, 3: 2}[channels]
+    body = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, max_side: int) -> "tuple[bytes, int, int] | None":
+    """REAL resize for stdlib-parseable PNGs: decode → nearest-neighbor
+    downsample (numpy index gather) → re-encode.  Returns (payload, w, h)
+    or None when the payload needs a codec this image lacks.  Upscaling
+    never happens — at or under ``max_side`` the payload passes through
+    byte-identical (no generation loss on already-small assets)."""
+    arr = _png_pixels(payload)
+    if arr is None:
+        return None
+    h, w = arr.shape[:2]
+    side = max(h, w)
+    if side <= max_side:
+        return payload, w, h
+    scale = max_side / side
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(np.intp)
+    xi = (np.arange(nw) * (w / nw)).astype(np.intp)
+    return encode_png(np.ascontiguousarray(arr[yi][:, xi])), nw, nh
+
+
 def decode_audio(payload: bytes) -> dict:
     """REAL decode — WAV/PCM via the stdlib ``wave`` module (no external
     codec): sample rate, channel count, sample count, duration, and RMS
@@ -491,28 +572,46 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame, max_side: int, *, fake_decode: bool = True) -> DataFrame:
-    """Resize plumbing: filters to images JVM-side (predicate prunes before
-    any Python cost), then batch-transforms payload + dims."""
+    """Resize: filters to images JVM-side (predicate prunes before any
+    Python cost), then batch-transforms payload + dims.  REAL
+    decode→nearest-neighbor→re-encode for stdlib-parseable PNGs (r4, see
+    ``resize_png``); codec-bound payloads (JPEG without PIL) keep the
+    fake truncation under ``fake_decode`` or raise."""
+
+    def one(asset_id, w, h, b):
+        if b is None:
+            return (asset_id, None, None, None)
+        real = resize_png(bytes(b), max_side)
+        if real is not None:
+            payload, nw, nh = real
+            return (asset_id, nw, nh, payload)
+        if not fake_decode:
+            raise NotImplementedError("non-PNG image resize requires PIL")
+        factor = min(1.0, max_side / max(w or 1, h or 1, 1))
+        return (
+            asset_id,
+            int(round((w or 0) * factor)),
+            int(round((h or 0) * factor)),
+            # fake "resized" payload: truncation proportional to area
+            bytes(b)[: max(1, int(len(b) * factor * factor))],
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake_decode:
-                raise NotImplementedError("image resize requires PIL")
-            scale = pdf[["width", "height"]].max(axis=1).clip(lower=1)
-            factor = (max_side / scale).clip(upper=1.0)
-            out = pd.DataFrame(
+            rows = [
+                one(a, w, h, b)
+                for a, w, h, b in zip(
+                    pdf["asset_id"], pdf["width"], pdf["height"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
-                    "width": (pdf["width"] * factor).round().astype("Int32"),
-                    "height": (pdf["height"] * factor).round().astype("Int32"),
-                    # fake "resized" payload: truncation proportional to area
-                    "payload": [
-                        bytes(b)[: max(1, int(len(b) * f * f))]
-                        for b, f in zip(pdf["payload"], factor)
-                    ],
+                    "asset_id": [r[0] for r in rows],
+                    "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "payload": [r[3] for r in rows],
                 }
             )
-            yield out
 
     return media.filter(F.col("media_type") == "image").mapInPandas(batches, RESIZED_SCHEMA)
 
