@@ -51,7 +51,7 @@ _DRIVER_VERIFIED_R03 = frozenset(
 )
 
 # See queries(): added after the r4 window filled; ordered behind it.
-_DEFER_NEW = frozenset({"stream_exact_dedup"})
+_DEFER_NEW = frozenset({"stream_exact_dedup", "stream_sessionize_append"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -96,6 +96,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "corpus_dup_rate_by_source",
     "stream_exact_dedup",
+    "stream_sessionize_append",
 ]
 
 

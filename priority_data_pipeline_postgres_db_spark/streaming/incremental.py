@@ -407,9 +407,13 @@ def stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     once the watermark passes its close and EVICTS it, so across a
     multi-batch drain (``MAX_FILES_PER_TRIGGER`` set, time-clustered
     landing files) peak state tracks the CONCURRENTLY-OPEN sessions, not
-    the corpus.  Sessions still open at end-of-input are withheld by the
-    terminal watermark (the streaming-correct contract), so this variant
-    is rows-bounded rather than oracle-hash-matched; telemetry lands under
+    the corpus.  Sessions not yet sealed at end-of-input are withheld by
+    the terminal watermark (the streaming-correct contract) — and that
+    contract is itself DETERMINISTIC for a drained landing dir: the
+    final watermark is ``max(ts) - lateness``, so the emitted set is
+    exactly the batch sessionization restricted to ``session_end ≤
+    max(ts) - 30 min``, which is what the oracle replays (full hash
+    gate, rare for append-mode streaming).  Telemetry lands under
     ``stream_sessionize_append`` in LAST_STREAM_PROGRESS.
     """
     import tempfile
@@ -635,6 +639,7 @@ QUERIES = {
     "stream_exact_dedup": stream_exact_dedup,
     "stream_category_rollup": stream_category_rollup,
     "stream_sessionize": stream_sessionize,
+    "stream_sessionize_append": stream_sessionize_append,
     "stream_click_attribution": stream_click_attribution,
     "stream_user_totals": stream_user_totals,
 }
@@ -642,6 +647,29 @@ QUERIES = {
 ORACLE = {
     "stream_exact_dedup": """
         SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    # append-mode sessionization = the complete-mode islands restricted to
+    # sessions the terminal watermark (max ts - lateness) has sealed
+    "stream_sessionize_append": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        ), islands AS (
+          SELECT min(ts) AS session_start,
+                 max(ts) + INTERVAL 30 MINUTE AS session_end,
+                 user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT * FROM islands
+        WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
     """,
     "stream_user_totals": """
         SELECT user_id,
