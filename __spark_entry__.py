@@ -51,7 +51,9 @@ _DRIVER_VERIFIED_R03 = frozenset(
 )
 
 # See queries(): added after the r4 window filled; ordered behind it.
-_DEFER_NEW = frozenset({"stream_exact_dedup", "stream_sessionize_append"})
+_DEFER_NEW = frozenset(
+    {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join"}
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_dup_rate_by_source",
     "stream_exact_dedup",
     "stream_sessionize_append",
+    "sim_knn_join",
 ]
 
 

@@ -195,6 +195,53 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), dim, k=TOP_K)
 
 
+def ann_knn_join(
+    emb: DataFrame, dim: int, k: int = TOP_K, max_bucket: int = 256
+) -> DataFrame:
+    """Corpus-wide ANN k-NN JOIN: every vector gets its approximate
+    top-``k`` neighbors — the curation workhorse behind density
+    estimation, outlier pruning, and diversity sampling (the query-set
+    top-k answers "what matches THIS probe"; the kNN join profiles the
+    WHOLE corpus).
+
+    Scale shape: candidates are SRP-bucket co-occupants (directed pairs
+    from the capped bucket self-join — work ∝ tables × occupancy², never
+    corpus²), then the exact integer-cosine verify and a per-vector
+    top-k window.  Deterministic end-to-end (md5-60 planes, int dots,
+    total rank order), so the full join sits under the DuckDB hash gate.
+    Isolated vectors (every bucket pruned or no co-occupant) simply have
+    no rows — at production scale union a brute-force pass over that
+    residue if full coverage matters.
+    """
+    hashed = _cap_buckets(_srp_bucketed(emb, dim), max_bucket)
+    a = hashed.select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
+    b = hashed.select(F.col("vec_id").alias("vec_id_b"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_id_a") != F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    scored = _verify_pairs(cand, emb, threshold=-2.0)  # pure kNN: no bar
+    w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("vec_id_a").alias("vec_id"),
+            F.col("vec_id_b").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return ann_knn_join(emb, dim, k=TOP_K)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup
 # ---------------------------------------------------------------------------
@@ -389,6 +436,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_knn_join": sim_knn_join,
     "dedup_semantic": dedup_semantic,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_embedding_incremental": dedup_embedding_incremental,
@@ -460,10 +508,10 @@ ORACLE = {
     ''',
 }
 
-# shared SRP-gated pair CTE chain: dedup_embedding_pairs stops at `pairs`,
-# dedup_semantic continues into the recursive CC — ONE definition so the
-# two oracles can never drift
-_SRP_PAIR_CTES = f'''dims AS (
+# shared SRP bucket CTE prefix (planes -> quantize -> sign buckets ->
+# hot-bucket cap): the pair chain, the semantic CC chain, and the kNN
+# join all extend this ONE definition so the oracles can never drift
+_SRP_BUCKET_CTES = f'''dims AS (
           SELECT len(embedding) AS d FROM embeddings LIMIT 1
         ), pl AS (
           SELECT t.generate_series AS t, p.generate_series AS p,
@@ -491,7 +539,11 @@ _SRP_PAIR_CTES = f'''dims AS (
           SELECT vec_id, t, bucket FROM (
             SELECT *, count(*) OVER (PARTITION BY t, bucket) AS bn FROM buckets
           ) WHERE bn <= {SEM_MAX_BUCKET}
-        ), cand AS (
+        )'''
+
+# pair chain: undirected candidates + threshold — dedup_embedding_pairs
+# stops at `pairs`, dedup_semantic continues into the recursive CC
+_SRP_PAIR_CTES = f'''{_SRP_BUCKET_CTES}, cand AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
           FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
           WHERE a.vec_id < b.vec_id
@@ -507,6 +559,29 @@ _SRP_PAIR_CTES = f'''dims AS (
           WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
                   >= {SEM_THRESHOLD}
         )'''
+
+ORACLE["sim_knn_join"] = f'''
+        WITH {_SRP_BUCKET_CTES}, cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id
+        ), n AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+        ), scored AS (
+          SELECT cand.va, cand.vb,
+                 list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                   AS cosine
+          FROM cand
+          JOIN n a ON a.vec_id = cand.va
+          JOIN n b ON b.vec_id = cand.vb
+        )
+        SELECT va AS vec_id, vb AS neighbor_id, cosine,
+               CAST(rank AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY va
+                                       ORDER BY cosine DESC, vb ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+'''
 
 ORACLE["dedup_embedding_pairs"] = f'''
         WITH {_SRP_PAIR_CTES}

@@ -105,6 +105,7 @@ STRESS = [
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
+    "sim_knn_join",
     "corpus_hash_split",
     "corpus_pack_sequences",
     "text_quality_score",

@@ -174,3 +174,33 @@ def test_ivf_registry_entry_carries_recall_floor(spark, sf):
     avg = sum(r["r"] for r in rows) / len(rows)
     assert avg >= 0.5, f"IVF avg recall@5 collapsed: {avg}"
     assert min(r["r"] for r in rows) >= 0.2
+
+
+def test_knn_join_covers_corpus_and_agrees_with_exact(spark, sf_dir):
+    """The ANN kNN join profiles the whole corpus: near-full coverage on
+    the fixture, ranks total-ordered per vector, and for the benchmark
+    query vectors its neighbor sets overlap the exact brute-force top-k
+    (same floor discipline as the query-set ANN)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        ann_knn_join,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    out = ann_knn_join(emb, dim, k=5).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    n = emb.count()
+    assert len(by_vec) >= 0.95 * n  # near-full coverage (capped buckets)
+    for rows in list(by_vec.values())[:50]:
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        cs = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in out if r["vec_id"] < 5}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"kNN-join recall collapsed: {recall}"
