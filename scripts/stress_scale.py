@@ -118,6 +118,10 @@ STRESS = [
     "dedup_minhash_incremental",
     "dedup_embedding_incremental",
     "dedup_semantic",
+    "dedup_containment_pairs",
+    "text_heavy_hitters",
+    "corpus_dup_rate_by_source",
+    "stream_exact_dedup",
     "stream_sessionize",
     "stream_click_attribution",
     "stream_user_totals",
