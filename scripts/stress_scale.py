@@ -235,18 +235,26 @@ def main() -> None:
         QuadraticScaleError,
     )
 
+    def run_full(name: str, d: str) -> tuple[float, int]:
+        """Time FULL query execution (noop sink, same as bench.py) — a
+        bare .count() lets Catalyst prune aggregate values and eliminate
+        provably-unique joins, which under-times report-shaped queries;
+        the row count is taken after, unbilled."""
+        t0 = time.time()
+        df = qs[name](spark, d)
+        df.write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        return t, df.count()
+
     for name in targets:
         if name not in qs:
             continue
         spark.catalog.clearCache()
-        t0 = time.time()
-        base_rows = qs[name](spark, BASE).count()
-        t_base = time.time() - t0
+        t_base, base_rows = run_full(name, BASE)
         state_1x = LAST_STREAM_PROGRESS.pop(name, None)
         spark.catalog.clearCache()
-        t0 = time.time()
         try:
-            big_rows = qs[name](spark, big_dir).count()
+            t_big, big_rows = run_full(name, big_dir)
         except QuadraticScaleError as err:
             # the API-level scope guard fired before any n² work started —
             # at stress scale that IS the designed behavior for the
@@ -258,7 +266,6 @@ def main() -> None:
             }
             print(f"{name:32s} {t_base:7.2f}s -> GUARDED (quadratic scope)", file=sys.stderr)
             continue
-        t_big = time.time() - t0
         state_big = LAST_STREAM_PROGRESS.pop(name, None)
         results[name] = {
             "t1x": round(t_base, 2),
