@@ -52,7 +52,8 @@ _DRIVER_VERIFIED_R03 = frozenset(
 
 # See queries(): added after the r4 window filled; ordered behind it.
 _DEFER_NEW = frozenset(
-    {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join"}
+    {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join",
+     "dedup_substring_pairs"}
 )
 
 

@@ -98,6 +98,7 @@ HEADLINE = [
     "stream_exact_dedup",
     "stream_sessionize_append",
     "sim_knn_join",
+    "dedup_substring_pairs",
 ]
 
 

@@ -441,6 +441,53 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, n=3)
 
 
+SUBSTR_W = 15  # window width in tokens (Lee et al. use 50 BPE tokens;
+#               the fixture's docs run 10-99 whitespace tokens)
+SUBSTR_MAX_DF = 64  # windows in more docs than this are boilerplate
+
+
+def substring_dup_pairs(
+    docs: DataFrame, w: int = SUBSTR_W, max_window_df: int = SUBSTR_MAX_DF
+) -> DataFrame:
+    """Exact-substring duplication pairs: docs sharing at least one
+    verbatim ``w``-token window, with the count of shared windows — the
+    signal behind "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022): verbatim spans that survive near-dup
+    filters (quotes, syndicated passages, templated sections) are what
+    models memorize.
+
+    Scale shape: windows fingerprint to md5-60 ints (narrow shuffle key,
+    engine-portable), one groupBy bounds the per-window quadratic by
+    document frequency (windows in > ``max_window_df`` docs are
+    boilerplate and dropped — the same hot-bucket discipline as the LSH
+    families, mirrored in the oracle), then the pair join runs per
+    window group.  Work ∝ Σ df² over kept windows, never corpus².
+    """
+    wins = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(ngrams_expr(tokens_expr(), w)).alias("win"))
+    )
+    h = wins.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10).cast("long").alias("wh"),
+    )
+    hot = h.groupBy("wh").count().filter(F.col("count") > max_window_df)
+    kept = h.join(F.broadcast(hot.select("wh")), "wh", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_id_a"), "wh")
+    b = kept.select(F.col("doc_id").alias("doc_id_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs)
+
+
 def incremental_minhash_pairs(
     old_docs: DataFrame, new_docs: DataFrame, n: int = 3, max_bucket: int = 64
 ) -> DataFrame:
@@ -728,6 +775,7 @@ QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "dedup_substring_pairs": dedup_substring_pairs,
     "dedup_embedding_exact": dedup_embedding_exact,
 }
 
@@ -842,6 +890,27 @@ ORACLE["dedup_minhash_verified"] = f"""
                   JOIN g b ON b.doc_id = cand.doc_id_b
         WHERE len(list_intersect(a.grams, b.grams))
                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+ORACLE["dedup_substring_pairs"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), w AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - {SUBSTR_W} + 2),
+                     i -> array_to_string(list_slice(toks, i, i + {SUBSTR_W} - 1), ' ')))) AS win
+          FROM d WHERE len(toks) >= {SUBSTR_W}
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(win), 1, 15))::BIGINT AS wh FROM w
+        ), kept AS (
+          SELECT doc_id, wh FROM (
+            SELECT *, count(*) OVER (PARTITION BY wh) AS df FROM h
+          ) WHERE df <= {SUBSTR_MAX_DF}
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(count(*) AS BIGINT) AS n_shared_windows
+        FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
 """
 
 ORACLE["dedup_containment_pairs"] = f"""

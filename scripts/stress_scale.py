@@ -119,6 +119,7 @@ STRESS = [
     "dedup_embedding_incremental",
     "dedup_semantic",
     "dedup_containment_pairs",
+    "dedup_substring_pairs",
     "text_heavy_hitters",
     "corpus_dup_rate_by_source",
     "stream_exact_dedup",

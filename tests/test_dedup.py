@@ -221,3 +221,29 @@ def test_containment_catches_embedded_doc(spark):
     # symmetric Jaccard at the same bar does NOT flag the pair
     jac = {(r["doc_id_a"], r["doc_id_b"]) for r in minhash_verified_pairs(docs, n=3, threshold=0.8).collect()}
     assert (1, 2) not in jac
+
+
+def test_substring_pairs_find_shared_window(spark):
+    """Two docs sharing a verbatim 15-token span pair up with the right
+    shared-window count; boilerplate windows (present in more docs than
+    the DF cap) are excluded."""
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import substring_dup_pairs
+
+    span = " ".join(f"tok{i}" for i in range(15))
+    rows = [
+        Row(doc_id=1, text=f"prefix one {span} suffix alpha"),
+        Row(doc_id=2, text=f"other intro {span} different tail words"),
+        Row(doc_id=3, text="entirely unrelated content with no overlap at all " * 2),
+    ]
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared_windows"]
+        for r in substring_dup_pairs(spark.createDataFrame(rows)).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert not any(3 in pair for pair in got)
+    # a window in EVERY doc of a 5-doc corpus is boilerplate under df cap 3
+    common = [Row(doc_id=i, text=f"lead{i} {span} trail{i}") for i in range(5)]
+    capped = substring_dup_pairs(
+        spark.createDataFrame(common), max_window_df=3
+    ).collect()
+    assert capped == []
