@@ -147,6 +147,7 @@ def stream_eviction_stress(spark, big_dir: str, factor: int) -> dict:
         for fn, key in (
             (inc.stream_sessionize_append, "stream_sessionize_append"),
             (inc.stream_user_totals, "stream_user_totals"),
+            (inc.stream_exact_dedup, "stream_exact_dedup"),
         ):
             entry: dict = {}
             for tag, d in (("1x", x1_dir), (f"{factor}x", big_dir)):
