@@ -53,7 +53,8 @@ _DRIVER_VERIFIED_R03 = frozenset(
 # See queries(): added after the r4 window filled; ordered behind it.
 _DEFER_NEW = frozenset(
     {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join",
-     "dedup_substring_pairs"}
+     "dedup_substring_pairs", "corpus_exact_substring_dedup",
+     "corpus_keep_best_in_cluster", "text_token_entropy"}
 )
 
 

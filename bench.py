@@ -99,6 +99,9 @@ HEADLINE = [
     "stream_sessionize_append",
     "sim_knn_join",
     "dedup_substring_pairs",
+    "corpus_exact_substring_dedup",
+    "corpus_keep_best_in_cluster",
+    "text_token_entropy",
 ]
 
 

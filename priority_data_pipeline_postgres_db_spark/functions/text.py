@@ -824,3 +824,81 @@ ORACLE["text_heavy_hitters"] = f"""
     ORDER BY doc_freq DESC, token ASC
     LIMIT {HH_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# token-distribution entropy (lexical-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution plus
+    type-token ratio — the lexical-diversity signals the heuristic quality
+    score can't see: keyword-stuffed spam and looped generations have LOW
+    entropy at normal length/punctuation ratios, while encrypted or
+    mojibake blobs max it out.  Both ends of the entropy range are filter
+    targets in corpus curation.
+
+    Entropy is computed as ``ln(n) − (Σ c·ln c)/n`` from per-token counts
+    ``c`` — one (doc, token) groupBy bounded by tokens (map-side combine),
+    then one per-doc groupBy.  Cross-engine determinism: the only float
+    hazards are ln() (last-ulp differences) and summation order, so the
+    per-token ``c·ln c`` terms are folded in SORTED order (array_sort →
+    left fold, mirrored as list_sort → list_aggregate) and the result is
+    rounded at 4 decimals through a decimal cast — the same discipline
+    ``text_bm25_topk`` uses.  ``type_token_ratio`` is one int/int double
+    division, bit-exact in any IEEE engine.
+    """
+    toks = tokenized(docs)
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    clogc = F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.aggregate(
+            F.array_sort(F.collect_list(clogc)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("clogc_sum"),
+    )
+    n_dbl = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / n_dbl).alias("type_token_ratio"),
+        F.round(F.log(n_dbl) - F.col("clogc_sum") / n_dbl, 4)
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("entropy_nats"),
+    )
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_token_entropy"] = text_token_entropy
+
+ORACLE["text_token_entropy"] = f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS type_token_ratio,
+           CAST(CAST(round(
+             ln(CAST(sum(c) AS DOUBLE))
+             - list_aggregate(list_sort(list(
+                 CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))), 'sum')
+                 / CAST(sum(c) AS DOUBLE),
+             4) AS DECIMAL(18,4)) AS DOUBLE) AS entropy_nats
+    FROM tf GROUP BY doc_id
+"""

@@ -896,3 +896,208 @@ ORACLE["corpus_interleave_sources"] = """
            CAST((src_rank - 1) * n_src + src_idx AS BIGINT) AS interleave_key
     FROM r JOIN s USING (source)
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring scrub (keep-first-copy span dedup)
+# ---------------------------------------------------------------------------
+
+SCRUB_W = 15  # window width, same as dedup_substring_pairs (SUBSTR_W)
+
+
+def exact_substring_scrub(docs: DataFrame, w: int = SCRUB_W) -> DataFrame:
+    """Span-level dedup that EDITS documents instead of dropping them: every
+    ``w``-token window that occurs more than once in the corpus keeps only
+    its first occurrence (min ``(doc_id, pos)``); tokens covered by any
+    non-first occurrence are scrubbed and the remaining tokens re-joined in
+    order.  This is the windowed approximation of the suffix-array
+    ExactSubstr dedup in "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022) — ``dedup_substring_pairs`` reports the
+    signal; this operator applies the fix, and doc-level near-dup families
+    can't express it (a syndicated paragraph inside otherwise-unique pages
+    is invisible to them).
+
+    Scale shape, all linear: windows fingerprint to md5-60 longs (one
+    narrow shuffle key); first-occurrence detection is a groupBy on the
+    window hash with ``min(struct(doc_id, pos))`` — map-side partial
+    aggregation, so a boilerplate window repeated a billion times combines
+    within each task instead of sorting one giant window partition (why
+    this is NOT a row_number window).  Non-first occurrences explode to
+    covered token positions (≤ w rows each), the survivor set is one
+    left-anti join on ``(doc_id, tokpos)``, and reassembly is a per-doc
+    ``array_sort(collect_list(struct(pos, tok)))`` — grouped by doc_id, so
+    sort cost is per-document, never global.  Over-removal note: a token
+    inside a KEPT occurrence is still scrubbed if a *different* duplicated
+    window's non-first occurrence covers it; the rule "scrub iff covered by
+    any non-first occurrence" is deterministic and one-sided (never leaves
+    a duplicated span un-deduplicated).
+    """
+    from .dedup import ngrams_expr
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = bounded_cache(
+        docs.repartition(par).select("doc_id", tokens_expr().alias("toks"))
+    )
+    occ = base.select(
+        "doc_id",
+        F.posexplode(ngrams_expr(F.col("toks"), w, distinct=False)).alias("pos", "win"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10).cast("long").alias("wh"),
+    )
+    firsts = (
+        occ.groupBy("wh")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    removed = occ.join(firsts, "wh").filter(
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    covered = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias(
+            "tokpos"
+        ),
+    ).distinct()
+    tp = base.select("doc_id", F.posexplode("toks").alias("tokpos", "tok"))
+    kept = tp.join(covered, ["doc_id", "tokpos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (F.col("n_tokens") - F.coalesce("n_tokens_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+def corpus_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_scrub(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_exact_substring_dedup"] = corpus_exact_substring_dedup
+
+ORACLE["corpus_exact_substring_dedup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(toks, i, i + {SCRUB_W} - 1), ' ')), 1, 15))::BIGINT AS wh
+      FROM toks, unnest(range(1, len(toks) - {SCRUB_W} + 2)) AS t(i)
+      WHERE len(toks) >= {SCRUB_W}
+    ), marked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM marked, unnest(range(0, {SCRUB_W})) AS u(j)
+      WHERE rn > 1
+    ), tp AS (
+      SELECT doc_id, i - 1 AS tokpos, toks[i] AS tok
+      FROM toks, unnest(range(1, len(toks) + 1)) AS t(i)
+    ), kept AS (
+      SELECT tp.doc_id, tp.tokpos, tp.tok
+      FROM tp ANTI JOIN covered USING (doc_id, tokpos)
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY tokpos) AS text_dedup
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(len(t.toks) - COALESCE(a.n_tokens_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# keep-best-in-cluster canonical selection
+# ---------------------------------------------------------------------------
+
+
+def corpus_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection by QUALITY: one doc per near-dup cluster,
+    the member with the highest quality score (tie → min doc_id), with the
+    cluster size carried for observability.  ``corpus_build_training_set``
+    keeps the min-id member — correct when members are interchangeable;
+    when they differ (a truncated mirror vs the full page, an ad-injected
+    scrape vs the clean one) the curation literature keeps the best copy,
+    which is this operator.
+
+    Scale shape: clusters come from the LSH-verified CC labels (linear
+    path); quality is the codegen score expression; the selection is one
+    window over ``component`` — near-dup components are overwhelmingly
+    singletons/pairs, so partitions are tiny, and the quality double is
+    integer-derived (bit-exact across engines) so the rank order is
+    engine-stable.
+    """
+    from ..functions.text import quality_score_expr, tokenized
+
+    docs = load(spark, sf_dir, "documents")
+    comp = dedup_connected_components(spark, sf_dir)
+    toks = tokenized(docs, "source")
+    _, score = quality_score_expr(F.col("toks"), F.col("norm"))
+    scored = toks.filter(F.size("toks") > 0).select(
+        "doc_id", "source", score.alias("quality_score")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.join(comp, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("component")).cast("long"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "component", "source", "quality_score", "n_members")
+    )
+
+
+QUERIES["corpus_keep_best_in_cluster"] = corpus_keep_best_in_cluster
+
+ORACLE["corpus_keep_best_in_cluster"] = f"""
+    WITH cc AS (
+      SELECT * FROM ({ORACLE["dedup_connected_components"]}) c
+    ), q AS (
+      SELECT doc_id, quality_score
+      FROM ({_TEXT_ORACLE["text_quality_score"]}) t
+    )
+    SELECT doc_id, component, source, quality_score, n_members FROM (
+      SELECT d.doc_id, cc.component, d.source, q.quality_score,
+             row_number() OVER (
+               PARTITION BY cc.component
+               ORDER BY q.quality_score DESC, d.doc_id ASC
+             ) AS rk,
+             CAST(count(*) OVER (PARTITION BY cc.component) AS BIGINT)
+               AS n_members
+      FROM documents d
+      JOIN cc ON cc.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+    ) WHERE rk = 1
+"""

@@ -329,3 +329,86 @@ def test_dup_rate_by_source_counts(spark):
     assert got["s1"]["n_docs"] == 4 and got["s1"]["n_dup_docs"] == 3
     assert got["s1"]["dup_rate"] == 0.75
     assert got["s2"]["n_dup_docs"] == 0 and got["s2"]["dup_rate"] == 0.0
+
+
+def test_exact_substring_scrub_keeps_first_copy(spark):
+    """Planted shared span: the min-(doc_id, pos) occurrence survives, every
+    other occurrence is scrubbed; unique text is untouched; a doc that is
+    entirely a copy of an earlier doc scrubs to empty."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        exact_substring_scrub,
+    )
+
+    span = "v w x y z"  # the 5-token duplicated span (w=5)
+    rows = [
+        (1, f"a b c {span} d e f"),     # first occurrence — kept
+        (2, f"g h i {span} j k l"),     # later occurrence — scrubbed
+        (3, "m n o p q r s t u"),       # unique — untouched
+        (4, f"a b c {span} d e f"),     # full copy of doc 1 — scrubs to empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_substring_scrub(docs, w=5).collect()}
+    assert got[1]["text_dedup"] == f"a b c {span} d e f"
+    assert got[1]["n_tokens_removed"] == 0
+    assert got[2]["text_dedup"] == "g h i j k l"
+    assert got[2]["n_tokens_removed"] == 5
+    assert got[3]["text_dedup"] == "m n o p q r s t u"
+    assert got[3]["n_tokens_removed"] == 0
+    # doc 4: every 5-token window duplicates doc 1's, so every token is
+    # covered by a non-first occurrence
+    assert got[4]["text_dedup"] == ""
+    assert got[4]["n_tokens_kept"] == 0
+    for r in got.values():
+        assert r["n_tokens"] == r["n_tokens_kept"] + r["n_tokens_removed"]
+
+
+def test_exact_substring_scrub_intra_doc_repeat(spark):
+    """A span repeated INSIDE one document keeps only its first occurrence
+    (Lee et al. dedup both within and across docs)."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        exact_substring_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s t m n p q r s t")], "doc_id long, text string"
+    )
+    got = exact_substring_scrub(docs, w=5).collect()[0]
+    assert got["text_dedup"] == "p q r s t m n"
+    assert got["n_tokens_removed"] == 5
+
+
+def test_keep_best_in_cluster_survivors(spark, sf_dir):
+    """One survivor per component; the survivor carries the component's max
+    quality score; n_members accounts for every document."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import (
+        text_quality_score,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_keep_best_in_cluster,
+        dedup_connected_components,
+    )
+
+    kept = corpus_keep_best_in_cluster(spark, sf_dir).collect()
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_quality_score(spark, sf_dir).collect()
+    }
+    # exactly one survivor per component
+    assert len({r["component"] for r in kept}) == len(kept)
+    assert len(kept) == len(set(comps.values()))
+    # membership bookkeeping and argmax-quality selection
+    assert sum(r["n_members"] for r in kept) == len(comps)
+    by_comp: dict = {}
+    for d, c in comps.items():
+        by_comp.setdefault(c, []).append(d)
+    for r in kept:
+        members = by_comp[r["component"]]
+        assert len(members) == r["n_members"]
+        best = max(quality[m] for m in members)
+        assert r["quality_score"] == best
+        # tie-break: min doc_id among the max-quality members
+        assert r["doc_id"] == min(m for m in members if quality[m] == best)

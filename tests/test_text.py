@@ -182,3 +182,27 @@ def test_heavy_hitters_rank_and_plan(spark, sf_dir):
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(range(1, 21))
     plan = hh._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_entropy_known_values(spark):
+    """Closed-form checks: a constant doc has entropy 0; a all-distinct doc
+    has entropy ln(n) and type-token ratio 1."""
+    import math
+
+    from priority_data_pipeline_postgres_db_spark.functions.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),                 # H = 0, ttr = 1/4
+            (2, "a b c d e f g h"),         # H = ln 8, ttr = 1
+            (3, "a a b b"),                 # H = ln 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert got[1]["entropy_nats"] == 0.0
+    assert got[1]["type_token_ratio"] == 0.25
+    assert abs(got[2]["entropy_nats"] - round(math.log(8), 4)) < 1e-9
+    assert got[2]["type_token_ratio"] == 1.0
+    assert abs(got[3]["entropy_nats"] - round(math.log(2), 4)) < 1e-9
+    assert got[3]["n_types"] == 2 and got[3]["n_tokens"] == 4
