@@ -54,7 +54,8 @@ _DRIVER_VERIFIED_R03 = frozenset(
 _DEFER_NEW = frozenset(
     {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join",
      "dedup_substring_pairs", "corpus_exact_substring_dedup",
-     "corpus_keep_best_in_cluster", "text_token_entropy"}
+     "corpus_keep_best_in_cluster", "text_token_entropy",
+     "stream_trending_topk", "text_zipf_fit"}
 )
 
 

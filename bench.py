@@ -102,6 +102,8 @@ HEADLINE = [
     "corpus_exact_substring_dedup",
     "corpus_keep_best_in_cluster",
     "text_token_entropy",
+    "stream_trending_topk",
+    "text_zipf_fit",
 ]
 
 
@@ -130,6 +132,12 @@ def main() -> None:
         spark.catalog.clearCache()
         for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             jrdd.unpersist(False)
+        # ~80 queries of freed plans/blocks pile into the JVM old gen and
+        # full-GC pauses land on random later queries (spot-checked: the
+        # same query in a fresh session runs ~1.3× faster than late in the
+        # bench loop).  An explicit collection between queries keeps each
+        # measurement on a quiet heap.
+        spark.sparkContext._jvm.System.gc()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         t0 = time.time()

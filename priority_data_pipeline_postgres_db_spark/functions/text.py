@@ -882,7 +882,123 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load(spark, sf_dir, "documents"))
 
 
+ZIPF_TOPN = 100
+
+
+def zipf_fit(docs: DataFrame, top: int = ZIPF_TOPN) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: OLS slope
+    of ln(freq) against ln(rank) over the top-``top`` tokens, plus the fit
+    r² — the corpus-health fingerprint (natural language runs slope ≈ −1;
+    template/boilerplate-heavy corpora flatten the head, mojibake or
+    deduplicated-token soup steepens it, and a collapsing r² means the
+    distribution isn't Zipfian at all — all cheap red flags before
+    training).
+
+    Scale shape: one vocabulary-bounded groupBy (map-side combine), top-k
+    via TakeOrderedAndProject (per-partition heaps, no vocab-wide sort),
+    then closed-form OLS over ``top`` rows — the five regression sums fold
+    collected lists in SORTED order so the doubles are schedule-stable, and
+    the outputs are rounded at 4 decimals through decimal casts (the
+    ``text_bm25_topk`` discipline).  Ranking ties break on token, so
+    ranks — and hence the fit — are engine-deterministic.
+    """
+    counts = (
+        docs.select(F.explode(tokens_expr()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = (
+        counts.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+            .alias("rank"),
+            "freq",
+        )
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+
+    def ssum(col: Column, alias: str) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, v: a + v
+        ).alias(alias)
+
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        ssum(x, "sx"),
+        ssum(y, "sy"),
+        ssum(x * y, "sxy"),
+        ssum(x * x, "sxx"),
+        ssum(y * y, "syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+
+    def r4(col: Column, alias: str) -> Column:
+        return (
+            F.round(col, 4).cast("decimal(18,4)").cast("double").alias(alias)
+        )
+
+    return sums.select(
+        "n",
+        r4(cov / varx, "zipf_slope"),
+        r4((F.col("sy") - (cov / varx) * F.col("sx")) / n, "intercept"),
+        r4((cov * cov) / (varx * vary), "r2"),
+    )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load(spark, sf_dir, "documents"))
+
+
 QUERIES["text_token_entropy"] = text_token_entropy
+QUERIES["text_zipf_fit"] = text_zipf_fit
+
+ORACLE["text_zipf_fit"] = f"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+      GROUP BY token
+    ), ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                  AS BIGINT) AS rank, freq
+      FROM counts
+      ORDER BY freq DESC, token ASC
+      LIMIT {ZIPF_TOPN}
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             list_aggregate(list_sort(list(ln(CAST(rank AS DOUBLE)))), 'sum') AS sx,
+             list_aggregate(list_sort(list(ln(CAST(freq AS DOUBLE)))), 'sum') AS sy,
+             list_aggregate(list_sort(list(
+               ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)))), 'sum') AS sxy,
+             list_aggregate(list_sort(list(
+               ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)))), 'sum') AS sxx,
+             list_aggregate(list_sort(list(
+               ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE)))), 'sum') AS syy
+      FROM ranked
+    )
+    SELECT n,
+           CAST(CAST(round(
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS zipf_slope,
+           CAST(CAST(round(
+             (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n AS DOUBLE), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS intercept,
+           CAST(CAST(round(
+             ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy))
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS r2
+    FROM sums
+"""
 
 ORACLE["text_token_entropy"] = f"""
     WITH tf AS (

@@ -634,8 +634,55 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+TRENDING_K = 3
+
+
+def stream_trending_topk(
+    spark: SparkSession, sf_dir: str, k: int = TRENDING_K
+) -> DataFrame:
+    """Streaming trending report under the hash gate: per 1-day tumbling
+    window, the top-``k`` event types by count plus their share of the
+    window's traffic — the "what's spiking" dashboard query.
+
+    The streaming layer is ``stream_event_rollup``'s watermarked windowed
+    aggregation (incremental state = open windows × event types, drained
+    by AvailableNow); the rank/share is a STATELESS view over the sink
+    table.  That split is the standard shape for streaming top-k: ranking
+    inside the stream would re-sort the entire windowed state every
+    micro-batch to produce the same final answer, while the per-window
+    counts are exactly what the streaming state already maintains
+    incrementally.  Determinism: share is int/int double division
+    (bit-exact) computed BEFORE the rank cut, and ties order by
+    event_type, so the top-k boundary is engine-stable.
+    """
+    rolled = stream_event_rollup(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    tot = Window.partitionBy("window_start")
+    return (
+        rolled.withColumn(
+            "share",
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(tot).cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "share",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "stream_event_rollup": stream_event_rollup,
+    "stream_trending_topk": stream_trending_topk,
     "stream_exact_dedup": stream_exact_dedup,
     "stream_category_rollup": stream_category_rollup,
     "stream_sessionize": stream_sessionize,
@@ -726,5 +773,25 @@ ORACLE = {
                CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
                  AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2, 3
-    """
+    """,
+    "stream_trending_topk": f"""
+        WITH rolled AS (
+          SELECT date_trunc('day', ts) AS window_start, event_type,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT window_start, event_type, n_events,
+                 CAST(n_events AS DOUBLE)
+                   / CAST(SUM(n_events) OVER (PARTITION BY window_start)
+                          AS DOUBLE) AS share,
+                 row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC
+                 ) AS rnk
+          FROM rolled
+        )
+        SELECT window_start, event_type, n_events, share,
+               CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= {TRENDING_K}
+    """,
 }

@@ -122,6 +122,9 @@ STRESS = [
     "dedup_substring_pairs",
     "text_heavy_hitters",
     "corpus_dup_rate_by_source",
+    "corpus_exact_substring_dedup",
+    "corpus_keep_best_in_cluster",
+    "text_token_entropy",
     "stream_exact_dedup",
     "stream_sessionize",
     "stream_click_attribution",

@@ -401,3 +401,34 @@ def test_sessionize_append_evicts_state_across_batches(spark, sf_dir, tmp_path):
         (r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()
     }
     assert emitted and emitted <= complete
+
+
+def test_stream_trending_topk_matches_batch(spark, sf_dir):
+    """Per-day top-3 event types from the streaming rollup equal the batch
+    computation, with deterministic ranks and in-window shares."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+    from priority_data_pipeline_postgres_db_spark.streaming import incremental as inc
+
+    got = inc.stream_trending_topk(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    by_win: dict = {}
+    for (w, et), n in batch.items():
+        by_win.setdefault(w, []).append((-n, et))
+    for r in got:
+        assert batch[(r["window_start"], r["event_type"])] == r["n_events"]
+        expect_rank = sorted(by_win[r["window_start"]]).index(
+            (-r["n_events"], r["event_type"])
+        ) + 1
+        assert r["rank"] == expect_rank <= 3
+        total = sum(-n for n, _ in by_win[r["window_start"]])
+        assert r["share"] == r["n_events"] / total

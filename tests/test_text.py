@@ -206,3 +206,39 @@ def test_token_entropy_known_values(spark):
     assert got[2]["type_token_ratio"] == 1.0
     assert abs(got[3]["entropy_nats"] - round(math.log(2), 4)) < 1e-9
     assert got[3]["n_types"] == 2 and got[3]["n_tokens"] == 4
+
+
+def test_zipf_fit_closed_form(spark):
+    """Tiny corpus with known rank/freq pairs: the OLS slope/intercept/r2
+    match a numpy reference computed the same closed-form way."""
+    import numpy as np
+
+    from priority_data_pipeline_postgres_db_spark.functions.text import zipf_fit
+
+    # freqs: a=6, b=3, c=2, d=1  → ranks 1..4
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a b b b c c d")], "doc_id long, text string"
+    )
+    got = zipf_fit(docs, top=4).collect()[0]
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([6.0, 3.0, 2.0, 1.0]))
+    n = 4.0
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    varx = n * (x * x).sum() - x.sum() ** 2
+    vary = n * (y * y).sum() - y.sum() ** 2
+    assert got["n"] == 4
+    assert abs(got["zipf_slope"] - round(cov / varx, 4)) < 1e-9
+    assert abs(got["r2"] - round(cov * cov / (varx * vary), 4)) < 1e-9
+    assert got["zipf_slope"] < 0 and 0.9 < got["r2"] <= 1.0
+
+
+def test_zipf_fit_corpus_shape(spark, sf_dir):
+    """On the fixture corpus: negative slope, sane r2, exactly top-N rows."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import text_zipf_fit
+
+    got = text_zipf_fit(spark, sf_dir).collect()[0]
+    # the synthetic fixture's vocab (~31 tokens at sf0.001) is below the
+    # top-100 cut; the fit runs over whatever head exists
+    assert 0 < got["n"] <= 100
+    assert got["zipf_slope"] < 0
+    assert 0.0 < got["r2"] <= 1.0
