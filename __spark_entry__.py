@@ -55,7 +55,8 @@ _DEFER_NEW = frozenset(
     {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join",
      "dedup_substring_pairs", "corpus_exact_substring_dedup",
      "corpus_keep_best_in_cluster", "text_token_entropy",
-     "stream_trending_topk", "text_zipf_fit"}
+     "stream_trending_topk", "text_zipf_fit", "q_rfm_segmentation",
+     "corpus_quality_histogram"}
 )
 
 

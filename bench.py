@@ -104,6 +104,8 @@ HEADLINE = [
     "text_token_entropy",
     "stream_trending_topk",
     "text_zipf_fit",
+    "q_rfm_segmentation",
+    "corpus_quality_histogram",
 ]
 
 

@@ -1051,3 +1051,164 @@ ORACLE["q_top_parts_per_nation"] = """
       GROUP BY n_name, p_partkey, p_name
     ) WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse marketing rollup: per customer, days since last
+    order (anchored at the table's max order date, so the query is
+    deterministic and re-runnable), order count, and lifetime spend, each
+    scored into quintiles, concatenated into the familiar '555'-style
+    segment code.
+
+    Scale shape: one groupBy on custkey (map-side combine), then three
+    ntile windows over the aggregated (one-row-per-customer) frame — the
+    expensive scan aggregates once, the windows sort only customers.
+    Determinism: spend is exact-decimal summed then reduced via the
+    shared as_double discipline; every ntile orders by (metric, custkey)
+    so ties are totally ordered and both engines cut identical quintile
+    boundaries (ntile's fill rule — earlier buckets take the remainder —
+    matches between Spark and DuckDB).
+    """
+    from .queries import as_double, dec
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = orders.agg(F.max("o_orderdate")).first()[0]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor), F.max("o_orderdate")).cast("int").alias(
+            "recency_days"
+        ),
+        F.count("*").cast("long").alias("frequency"),
+        as_double(F.sum(dec("o_totalprice", scale=4, precision=18))).alias(
+            "monetary"
+        ),
+    )
+    # recent/frequent/big-spending = 5 in every dimension
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    return (
+        per_cust.withColumn("r_score", F.ntile(5).over(r_w).cast("int"))
+        .withColumn("f_score", F.ntile(5).over(f_w).cast("int"))
+        .withColumn("m_score", F.ntile(5).over(m_w).cast("int"))
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            "segment",
+        )
+    )
+
+
+QUERIES["q_rfm_segmentation"] = q_rfm_segmentation
+
+ORACLE["q_rfm_segmentation"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', max(o_orderdate),
+                           (SELECT max(o_orderdate) FROM orders))
+                  AS INTEGER) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC)
+                  AS INTEGER) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+                  AS INTEGER) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC)
+                  AS INTEGER) AS m_score
+      FROM per_cust
+    )
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score || f_score || m_score AS segment
+    FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality-score histogram per source (curation observability)
+# ---------------------------------------------------------------------------
+
+
+def corpus_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile histogram of document quality scores — the
+    curation dashboard that catches a degraded source before it ships
+    (a source whose mass shifts into the low deciles is scraping junk;
+    one spiking at exactly 1.0 is probably templated).
+
+    Scale shape: quality is the codegen expression, the decile is integer
+    math on it (floor(score×10) clamped to 9 — no width_bucket float
+    edge-cases), and the rollup is one (source, decile)-key shuffle with
+    map-side combine — at most 10×|sources| rows out.
+    """
+    from ..functions.text import quality_score_expr, tokenized
+
+    docs = tokenized(load(spark, sf_dir, "documents"), "source")
+    _, score = quality_score_expr(F.col("toks"), F.col("norm"))
+    scored = docs.filter(F.size("toks") > 0).select(
+        "source", score.alias("q")
+    )
+    decile = F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9))
+    # order-stable mean of doubles: quantize to integer millionths first
+    # (the stream_user_totals discipline) — long sums are exact and
+    # schedule-independent, unlike F.avg's partition-ordered double sum
+    q6 = F.floor(F.col("q") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        scored.withColumn("decile", decile)
+        .withColumn("q6", q6)
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("q6").cast("double")
+                / F.lit(1000000.0)
+                / F.count("*").cast("double"),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("avg_quality"),
+        )
+    )
+
+
+QUERIES["corpus_quality_histogram"] = corpus_quality_histogram
+
+from ..functions.text import ORACLE as _TEXT_ORACLE  # noqa: E402
+
+ORACLE["corpus_quality_histogram"] = f"""
+    WITH q AS (
+      SELECT d.source, t.quality_score AS q
+      FROM ({_TEXT_ORACLE["text_quality_score"]}) t
+      JOIN documents d ON d.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(least(CAST(floor(q * 10) AS INTEGER), 9) AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(round(
+             CAST(SUM(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS avg_quality
+    FROM q GROUP BY 1, 2
+"""

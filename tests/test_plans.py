@@ -300,3 +300,47 @@ def test_approx_percentile_tracks_exact(spark):
     for r in both.collect():
         assert abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"] < 0.02
         assert abs(r["approx_p99"] - r["exact_p99"]) / r["exact_p99"] < 0.02
+
+
+def test_rfm_segmentation_scores(spark, sf_dir):
+    """Quintile invariants: every customer scored, scores in 1..5 with
+    balanced bucket sizes, and the most recent/frequent/biggest spenders
+    land in bucket 5."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_rfm_segmentation,
+    )
+
+    rows = q_rfm_segmentation(spark, sf_dir).collect()
+    n = len(rows)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert n == orders.select("o_custkey").distinct().count()
+    for dim in ("r_score", "f_score", "m_score"):
+        got = sorted(r[dim] for r in rows)
+        assert got[0] == 1 and got[-1] == 5
+        sizes = [got.count(b) for b in range(1, 6)]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance
+    oldest = min(rows, key=lambda r: (-r["recency_days"], r["custkey"]))
+    assert oldest["r_score"] == 1  # longest-inactive customer scores lowest
+    top_m = min(rows, key=lambda r: (-r["monetary"], r["custkey"]))
+    assert top_m["m_score"] == 5
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_quality_histogram_accounts_for_all_docs(spark, sf_dir):
+    """Histogram mass equals the corpus; deciles are consistent with the
+    per-doc quality scores."""
+    from priority_data_pipeline_postgres_db_spark.functions.text import (
+        text_quality_score,
+    )
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        corpus_quality_histogram,
+    )
+
+    hist = corpus_quality_histogram(spark, sf_dir).collect()
+    per_doc = text_quality_score(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in hist) == len(per_doc)
+    for r in hist:
+        assert 0 <= r["decile"] <= 9
+        lo, hi = r["decile"] / 10, (r["decile"] + 1) / 10
+        assert lo <= r["avg_quality"] <= (1.0 if r["decile"] == 9 else hi) + 1e-4
