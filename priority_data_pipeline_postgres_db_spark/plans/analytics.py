@@ -1067,14 +1067,18 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment code.
 
     Scale shape: one groupBy on custkey (map-side combine), then three
-    ntile windows over the aggregated (one-row-per-customer) frame — the
-    expensive scan aggregates once, the windows sort only customers.
+    quintile assignments over the aggregated (one-row-per-customer)
+    frame via ``operators.ranking.global_ntile`` — range-partitioned
+    distributed ranking, NOT ``F.ntile`` over an unpartitioned window,
+    which plans as Exchange SinglePartition and funnels every customer
+    through one task (the scale cliff for a billion-customer frame).
     Determinism: spend is exact-decimal summed then reduced via the
-    shared as_double discipline; every ntile orders by (metric, custkey)
-    so ties are totally ordered and both engines cut identical quintile
-    boundaries (ntile's fill rule — earlier buckets take the remainder —
-    matches between Spark and DuckDB).
+    shared as_double discipline; every quintile ordering carries a
+    custkey tie-break (total order), so both engines cut identical
+    quintile boundaries (the fill rule — earlier buckets take the
+    remainder — matches NTILE in Spark and DuckDB).
     """
+    from ..operators.ranking import global_ntile
     from .queries import as_double, dec
 
     orders = load(spark, sf_dir, "orders").select(
@@ -1091,14 +1095,17 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # recent/frequent/big-spending = 5 in every dimension
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = global_ntile(
+        per_cust, [F.desc("recency_days"), F.asc("o_custkey")], 5, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.asc("frequency"), F.asc("o_custkey")], 5, "f_score"
+    )
+    scored = global_ntile(
+        scored, [F.asc("monetary"), F.asc("o_custkey")], 5, "m_score"
+    )
     return (
-        per_cust.withColumn("r_score", F.ntile(5).over(r_w).cast("int"))
-        .withColumn("f_score", F.ntile(5).over(f_w).cast("int"))
-        .withColumn("m_score", F.ntile(5).over(m_w).cast("int"))
-        .withColumn(
+        scored.withColumn(
             "segment",
             F.concat_ws(
                 "", F.col("r_score"), F.col("f_score"), F.col("m_score")

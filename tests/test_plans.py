@@ -344,3 +344,19 @@ def test_quality_histogram_accounts_for_all_docs(spark, sf_dir):
         assert 0 <= r["decile"] <= 9
         lo, hi = r["decile"] / 10, (r["decile"] + 1) / 10
         assert lo <= r["avg_quality"] <= (1.0 if r["decile"] == 9 else hi) + 1e-4
+
+
+def test_rfm_plan_has_no_single_partition_exchange(spark, sf_dir):
+    """The quintile scoring must not funnel the customer frame through an
+    Exchange SinglePartition (the unpartitioned-window scale cliff)."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_rfm_segmentation,
+    )
+
+    plan = (
+        q_rfm_segmentation(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
