@@ -117,3 +117,70 @@ def read_documents_csv(
         .alias("raw_record")
     )
     return good, bad
+
+
+def read_documents_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> DataFrame:
+    """Read an ORC corpus drop into the documents shape.
+
+    ORC is the other columnar interchange format warehouse exports arrive
+    in (Hive/Trino ecosystems default to it); Spark reads it natively with
+    the same predicate-pushdown/column-pruning machinery as parquet, so no
+    quarantine path is needed — columnar files are schema-checked at write
+    time, and a corrupt stripe is a job error, not a row error.  Columns
+    beyond the documents schema are pruned at the reader (never scanned);
+    missing ones fail fast with a clear error instead of null-filling a
+    misdeclared drop.
+    """
+    raw = spark.read.orc(path)
+    have = {f.lower() for f in raw.columns}
+    missing = [f.name for f in schema.fields if f.name.lower() not in have]
+    if missing:
+        raise ValueError(f"ORC drop at {path} lacks required columns {missing}")
+    by_lower = {c.lower(): c for c in raw.columns}
+    picked = raw.select(
+        *[
+            F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    return _normalize(picked, schema)
+
+
+def read_documents_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    source: str,
+    lang: str | None = None,
+) -> DataFrame:
+    """Read a raw text corpus drop — ONE DOCUMENT PER LINE (the classic
+    crawl-dump layout) — into the documents shape.
+
+    doc_id is the md5-60 content hash of the line (the same
+    engine-portable hash the dedup families key on): drops carry no ids,
+    a positional id would reshuffle on every re-land, and content keying
+    means byte-identical lines collapse to one id — which IS the exact-
+    dedup semantic, one step early.  Blank lines are dropped.  ``source``
+    is required (provenance is load-bearing for source capping /
+    interleaving); ``lang`` is optional — null routes the doc to the
+    lang-id operator downstream.
+    """
+    raw = spark.read.text(path)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        raw.filter(F.length(F.trim(F.col("value"))) > 0)
+        .repartition(par)
+        .select(
+            F.conv(F.substring(F.md5("value"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("value").alias("text"),
+            F.lit(lang).cast("string").alias("lang"),
+            F.lit(source).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )

@@ -123,6 +123,7 @@ STRESS = [
     "text_heavy_hitters",
     "corpus_dup_rate_by_source",
     "corpus_exact_substring_dedup",
+    "corpus_quality_histogram",
     "corpus_keep_best_in_cluster",
     "text_token_entropy",
     "stream_exact_dedup",

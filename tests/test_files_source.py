@@ -97,3 +97,51 @@ def test_readers_feed_text_operators(spark, tmp_path):
     # identical texts: exact dedup keeps one survivor
     got = exact_dedup(docs, F.md5(normalized_text()), "doc_id", ["doc_id"])
     assert got.count() == 1 and got.first()["doc_id"] == 0
+
+
+def test_read_documents_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC drop: parquet fixture → ORC → reader yields identical rows;
+    extra columns pruned, missing columns fail fast."""
+    import pytest
+
+    from priority_data_pipeline_postgres_db_spark.sources.files import (
+        read_documents_orc,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drop = f"{tmp_path}/drop_orc"
+    docs.withColumn("extra", docs.doc_id * 2).withColumnRenamed(
+        "doc_id", "DOC_ID"
+    ).write.orc(drop)
+    got = read_documents_orc(spark, drop)
+    assert got.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert got.count() == docs.count()
+    a = {tuple(r) for r in docs.select("doc_id", "text", "lang", "source").collect()}
+    b = {tuple(r) for r in got.select("doc_id", "text", "lang", "source").collect()}
+    assert a == b
+
+    bad = f"{tmp_path}/drop_orc_bad"
+    docs.drop("text").write.orc(bad)
+    with pytest.raises(ValueError, match="text"):
+        read_documents_orc(spark, bad)
+
+
+def test_read_documents_text_one_doc_per_line(spark, tmp_path):
+    """Raw text drop: blank lines dropped, content-hash ids are stable
+    across re-lands and collapse byte-identical lines."""
+    from priority_data_pipeline_postgres_db_spark.sources.files import (
+        read_documents_text,
+    )
+
+    p = tmp_path / "drop.txt"
+    p.write_text("alpha beta\n\n  \ngamma delta\nalpha beta\n")
+    got = read_documents_text(spark, str(p), source="crawl1").collect()
+    assert len(got) == 3  # blanks dropped, dup line kept as a row
+    by_text = {}
+    for r in got:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+        assert r["source"] == "crawl1" and r["lang"] is None
+        assert r["n_chars"] == len(r["text"])
+    assert len(set(by_text["alpha beta"])) == 1  # same content → same id
+    again = read_documents_text(spark, str(p), source="crawl1").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
