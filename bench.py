@@ -106,6 +106,7 @@ HEADLINE = [
     "text_zipf_fit",
     "q_rfm_segmentation",
     "corpus_quality_histogram",
+    "multimodal_image_near_dup",
 ]
 
 

@@ -235,3 +235,64 @@ def test_resize_images_real_path_through_pipeline(spark):
         assert max(r["width"], r["height"]) <= 32
         d = decode_image(bytes(r["payload"]))
         assert (d["width"], d["height"]) == (r["width"], r["height"])
+
+
+def test_dhash_stable_and_edit_tolerant(spark):
+    """dHash: identical bytes → identical hash; a single-pixel edit stays
+    within the banded-join Hamming bound; independent noise images are
+    far apart."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        dhash64,
+        perturb_png,
+        synth_png,
+    )
+
+    a = synth_png(1, 64, 48)
+    assert dhash64(a) == dhash64(bytes(a))
+    edited = perturb_png(a)
+    assert edited != a  # bytes differ → sha256 dedup is blind
+    d = bin((dhash64(a) ^ dhash64(edited)) & (2**64 - 1)).count("1")
+    assert d <= 3
+    b = synth_png(2, 64, 48)
+    far = bin((dhash64(a) ^ dhash64(b)) & (2**64 - 1)).count("1")
+    assert far > 10
+
+
+def test_dhash_survives_resize_on_smooth_image(spark):
+    """Rescaled-copy detection on a smooth (natural-image-like) gradient:
+    nearest-neighbor downsample preserves the block-gradient structure,
+    so the resized copy pairs with the original."""
+    import numpy as np
+
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        resize_png,
+    )
+
+    y, x = np.mgrid[0:96, 0:128]
+    smooth = (x / 127.0 * 160 + y / 95.0 * 60 + 10 * np.sin(x / 60.0)).astype(
+        np.uint8
+    )
+    img = encode_png(np.stack([smooth] * 3, axis=2))
+    for side in (40, 48, 80):
+        resized, nw, nh = resize_png(img, side)
+        assert max(nw, nh) == side and resized != img
+        d = bin((dhash64(img) ^ dhash64(resized)) & (2**64 - 1)).count("1")
+        assert d <= 3, (side, d)
+
+
+def test_image_near_dup_pairs_connect_plants(spark):
+    """The registry entry finds exactly the planted edited + relanded
+    copies, each at the expected id offset, all within the bound."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        multimodal_image_near_dup,
+    )
+
+    rows = multimodal_image_near_dup(spark, "").collect()
+    edited = {(r["asset_id_a"], r["asset_id_b"]) for r in rows if r["asset_id_b"] < 200000}
+    relanded = {(r["asset_id_a"], r["asset_id_b"]) for r in rows if r["asset_id_b"] >= 200000}
+    assert edited == {(i, i + 100000) for i in range(0, 96, 9)}
+    assert relanded == {(i, i + 200000) for i in range(3, 96, 9)}
+    assert all(r["hamming"] == 0 for r in rows if r["asset_id_b"] >= 200000)
+    assert all(r["hamming"] <= 3 for r in rows)
