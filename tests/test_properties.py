@@ -214,3 +214,47 @@ def test_chunk_count_formula_covers_every_token(n, size, overlap_frac):
         assert lo < n  # no empty chunk
         covered.update(range(lo, min(lo + size, n)))
     assert covered == set(range(n))
+
+
+# ---------------------------------------------------------------------------
+# pure media-codec properties (stdlib PNG path + perceptual hash)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+    _png_pixels,
+    dhash64,
+    encode_png,
+    perturb_png,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.sampled_from([1, 3]),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_encode_decode_roundtrip(h, w, ch, seed):
+    """encode_png/_png_pixels are exact inverses for any 8-bit array."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    out = _png_pixels(encode_png(arr))
+    assert out is not None and out.shape == (h, w, ch)
+    assert (out == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(16, 48), st.integers(16, 48), st.integers(0, 2**31 - 1))
+def test_dhash_single_pixel_edit_bounded(h, w, seed):
+    """A one-pixel edit touches one block of the 8×9 grid, which appears
+    in at most two gradient comparisons — so Hamming ≤ 2 on ANY image,
+    structurally (the property the banded-join recall bound relies on)."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    img = encode_png(arr)
+    d = bin((dhash64(img) ^ dhash64(perturb_png(img))) & (2**64 - 1)).count("1")
+    assert d <= 2
+    assert dhash64(img) == dhash64(img)  # pure function
