@@ -56,7 +56,8 @@ _DEFER_NEW = frozenset(
      "dedup_substring_pairs", "corpus_exact_substring_dedup",
      "corpus_keep_best_in_cluster", "text_token_entropy",
      "stream_trending_topk", "text_zipf_fit", "q_rfm_segmentation",
-     "corpus_quality_histogram", "multimodal_image_near_dup"}
+     "corpus_quality_histogram", "multimodal_image_near_dup",
+     "corpus_pack_sequences_sharded"}
 )
 
 

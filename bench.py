@@ -107,6 +107,7 @@ HEADLINE = [
     "q_rfm_segmentation",
     "corpus_quality_histogram",
     "multimodal_image_near_dup",
+    "corpus_pack_sequences_sharded",
 ]
 
 

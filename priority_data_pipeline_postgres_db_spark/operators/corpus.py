@@ -22,8 +22,10 @@ Three operators, each deterministic and oracle-checked:
   (ordered by doc_id), each doc starts at the running token offset and
   lands in sequence ``floor(offset / capacity)``.  One window sum —
   engine-exact integer math.  At 100 TB the per-lang window is the
-  bottleneck; shard the partition key (lang, doc_id bucket) and offset
-  per shard if a single language exceeds an executor's sort budget.
+  bottleneck when one language dominates; ``pack_sequences_sharded``
+  is the scale path — same values, computed via
+  ``ranking.grouped_running_sum`` (range shards + driver prefix
+  offsets), hash-matched against the same oracle.
 """
 
 from __future__ import annotations
@@ -1101,3 +1103,45 @@ ORACLE["corpus_keep_best_in_cluster"] = f"""
       JOIN q ON q.doc_id = d.doc_id
     ) WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# sharded sequence packing (the per-language-window scale path)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences_sharded(docs: DataFrame, capacity: int = SEQ_CAPACITY) -> DataFrame:
+    """Bit-identical output to ``pack_sequences``, computed without the
+    per-language single-task window — the scale caveat in this module's
+    docstring ("shard the partition key if a single language exceeds an
+    executor's sort budget"), closed.
+
+    The running token offset is ``operators.ranking.grouped_running_sum``:
+    range-partitioned on (lang, doc_id), local exclusive prefix sums in
+    parallel, per-(partition, lang) totals prefix-summed on the driver
+    (≤ partitions × |langs| rows) and broadcast back.  A language holding
+    90% of the corpus spans many partitions instead of sorting in one
+    task.  Registered under the SAME oracle as ``corpus_pack_sequences``
+    — the hash gate proves the two formulations agree value-for-value.
+    """
+    from .ranking import grouped_running_sum
+
+    base = docs.select(
+        "doc_id", "lang", F.size(tokens_expr()).cast("long").alias("n_tokens")
+    )
+    gs = grouped_running_sum(
+        base, ["lang"], [F.asc("doc_id")], "n_tokens", "seq_start"
+    )
+    return (
+        gs.withColumn("seq_id", F.floor(F.col("seq_start") / capacity))
+        .withColumn("seq_offset", F.col("seq_start") % capacity)
+        .select("doc_id", "lang", "n_tokens", "seq_start", "seq_id", "seq_offset")
+    )
+
+
+def corpus_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences_sharded(load(spark, sf_dir, "documents"))
+
+
+QUERIES["corpus_pack_sequences_sharded"] = corpus_pack_sequences_sharded
+ORACLE["corpus_pack_sequences_sharded"] = ORACLE["corpus_pack_sequences"]

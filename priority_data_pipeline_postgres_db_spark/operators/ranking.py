@@ -105,3 +105,71 @@ def global_ntile(
     return ranked.withColumn(
         alias, ntile_from_rank(F.col("_grn"), total, k)
     ).drop("_grn")
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value_col: str,
+    alias: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (PARTITION BY group ORDER BY order ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` computed WITHOUT one task per
+    group.
+
+    A per-group window puts each group's entire history in one task — fine
+    for many small groups, a straggler cliff when one group holds most of
+    the data (e.g. one dominant language in a corpus).  Here the data is
+    range-partitioned on (group, order) so a big group SPANS partitions in
+    order; each partition computes its local exclusive prefix in parallel,
+    and per-(partition, group) totals (≤ partitions × |groups| rows) are
+    prefix-summed on the driver and broadcast back as offsets.  Same
+    contract as ``global_row_number``: ``(group, order)`` must be a total
+    order for run-invariant results.
+    """
+    from pyspark.sql import types as T
+
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(g) for g in group_cols]
+    ordered = df.repartitionByRange(parts, *gcols, *order_cols)
+    local = bounded_cache(
+        ordered.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_lps",
+            F.coalesce(
+                F.sum(value_col).over(
+                    Window.partitionBy("_pid", *group_cols)
+                    .orderBy(*order_cols)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    totals = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.sum(value_col).cast("long").alias("_tot"))
+        .collect()
+    )
+    by_group: dict[tuple, list] = {}
+    for r in totals:
+        by_group.setdefault(tuple(r[g] for g in group_cols), []).append(
+            (r["_pid"], r["_tot"])
+        )
+    rows = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, tot in sorted(lst):
+            rows.append((*g, pid, acc))
+            acc += tot
+    schema = T.StructType(
+        [df.schema[g] for g in group_cols]
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_off", T.LongType())]
+    )
+    off = df.sparkSession.createDataFrame(rows, schema)
+    return (
+        local.join(F.broadcast(off), ["_pid", *group_cols])
+        .withColumn(alias, (F.col("_off") + F.col("_lps")).cast("long"))
+        .drop("_pid", "_lps", "_off")
+    )

@@ -412,3 +412,47 @@ def test_keep_best_in_cluster_survivors(spark, sf_dir):
         assert r["quality_score"] == best
         # tie-break: min doc_id among the max-quality members
         assert r["doc_id"] == min(m for m in members if quality[m] == best)
+
+
+def test_pack_sequences_sharded_equals_windowed(spark, sf_dir):
+    """The sharded (range-partition + driver prefix-offsets) packer is
+    bit-identical to the per-language-window formulation, across shard
+    counts — including shard counts that split a language mid-stream."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        pack_sequences,
+        pack_sequences_sharded,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.ranking import (
+        grouped_running_sum,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = {tuple(r) for r in pack_sequences(docs).collect()}
+    got = {tuple(r) for r in pack_sequences_sharded(docs).collect()}
+    assert got == expect
+    # explicit shard counts, incl. more shards than languages
+    base = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("v")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = {
+        (r["doc_id"], r["s"])
+        for r in base.withColumn(
+            "s", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    for parts in (2, 7, 32):
+        sharded = {
+            (r["doc_id"], r["s"])
+            for r in grouped_running_sum(
+                base, ["lang"], [F.asc("doc_id")], "v", "s", partitions=parts
+            ).collect()
+        }
+        assert sharded == ref, parts
