@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_quality_histogram",
     "multimodal_image_near_dup",
     "corpus_pack_sequences_sharded",
+    "dedup_lsh_recall_report",
 ]
 
 

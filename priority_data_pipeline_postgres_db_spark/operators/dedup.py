@@ -958,3 +958,131 @@ ORACLE["dedup_simhash_pairs"] = f"""
         WHERE a.doc_id < b.doc_id
           AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH recall calibration report
+# ---------------------------------------------------------------------------
+
+RECALL_SAMPLE_MOD = 2  # deterministic 1/mod hash-sample of the corpus
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    *,
+    mod: int = RECALL_SAMPLE_MOD,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-row LSH calibration report: on a deterministic md5-60 hash
+    sample of the corpus, compute exact all-pairs n-gram Jaccard ground
+    truth and the production ``minhash_verified_pairs`` on the SAME
+    sample, and report the measured recall.  This is how banding
+    parameters are tuned at warehouse scale: exact ground truth is
+    quadratic, so you buy it on a small sample and extrapolate — the
+    sample is hash-keyed (not random), so the report is reproducible
+    run over run and comparable release over release.
+
+    The quadratic term is the point, and it is SAMPLE-bounded by
+    construction (1/mod² of the corpus pair count); the LSH side is the
+    linear production path.  ``n_lsh_found`` counts exact pairs the LSH
+    pipeline recovered (verified pairs are a subset of ground truth by
+    construction, since verify applies the same threshold).  recall
+    defaults to 1.0 when the sample nets zero ground-truth pairs.
+
+    SIZE ``mod`` TO THE CORPUS: the sample must stay ~O(10⁴) docs for
+    the exact side to be tractable (pairs ∝ (N/mod)²).  mod=2 fits the
+    fixture SFs; a billion-doc corpus wants mod ~10⁵–10⁶ — recall is a
+    ratio, so a fixed-size sample estimates it equally well at any
+    corpus size.  Do NOT point this at a big corpus with a small mod;
+    unlike the guarded kernels it will not refuse, because the sample
+    fraction is the caller's explicit choice.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = docs.filter(key % mod == 0)
+    g = bounded_cache(
+        sample.repartition(par)
+        .select("doc_id", ngrams_expr(tokens_expr(), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    a = g.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    jac = inter / (F.size("ga") + F.size("gb") - inter)
+    exact = (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(jac >= threshold)
+        .select("doc_id_a", "doc_id_b")
+    )
+    ver = (
+        minhash_verified_pairs(sample, n=n, threshold=threshold)
+        .select("doc_id_a", "doc_id_b")
+        .withColumn("_v", F.lit(1))
+    )
+    counts = exact.join(ver, ["doc_id_a", "doc_id_b"], "left").agg(
+        F.count("*").cast("long").alias("n_exact_pairs"),
+        F.count("_v").cast("long").alias("n_lsh_found"),
+    )
+    nsamp = sample.agg(F.count("*").cast("long").alias("n_sample_docs"))
+    return counts.crossJoin(F.broadcast(nsamp)).select(
+        "n_sample_docs",
+        "n_exact_pairs",
+        "n_lsh_found",
+        F.when(F.col("n_exact_pairs") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("n_lsh_found").cast("double")
+            / F.col("n_exact_pairs").cast("double")
+        )
+        .alias("recall"),
+    )
+
+
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_recall_report(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup_lsh_recall_report"] = dedup_lsh_recall_report
+
+_SAMPLE_PRED = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % "
+    f"{RECALL_SAMPLE_MOD} = 0"
+)
+# the verified-pairs pipeline, scoped to the SAME hash sample (every
+# stage — signatures, band caps, verify — sees only sample docs, exactly
+# like the Spark side running minhash_verified_pairs(sample))
+_VER_ON_SAMPLE = ORACLE["dedup_minhash_verified"].replace(
+    "FROM documents", f"FROM (SELECT * FROM documents WHERE {_SAMPLE_PRED})"
+)
+
+ORACLE["dedup_lsh_recall_report"] = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE {_SAMPLE_PRED}
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - {_MH_N} + 2),
+                 i -> array_to_string(list_slice(toks, i, i + {_MH_N} - 1), ' '))) AS grams
+      FROM s WHERE len(toks) >= {_MH_N}
+    ), exact AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    ), ver AS (
+      SELECT doc_id_a, doc_id_b FROM ({_VER_ON_SAMPLE}) v
+    ), cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+             CAST(count(ver.doc_id_a) AS BIGINT) AS n_lsh_found
+      FROM exact LEFT JOIN ver USING (doc_id_a, doc_id_b)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE {_SAMPLE_PRED})
+             AS n_sample_docs,
+           n_exact_pairs, n_lsh_found,
+           CASE WHEN n_exact_pairs = 0 THEN 1.0
+                ELSE CAST(n_lsh_found AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)
+           END AS recall
+    FROM cnt
+"""

@@ -247,3 +247,46 @@ def test_substring_pairs_find_shared_window(spark):
         spark.createDataFrame(common), max_window_df=3
     ).collect()
     assert capped == []
+
+
+def test_lsh_recall_report_ground_truth(spark, sf_dir):
+    """The report's ground truth and recall agree with an independently
+    computed exact pair set on the same hash sample; verified pairs are a
+    subset of ground truth."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        RECALL_SAMPLE_MOD,
+        dedup_lsh_recall_report,
+    )
+
+    row = dedup_lsh_recall_report(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sample = [
+        r
+        for r in docs
+        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        % RECALL_SAMPLE_MOD
+        == 0
+    ]
+    assert row["n_sample_docs"] == len(sample)
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    gs = {r["doc_id"]: grams(r["text"]) for r in sample}
+    gs = {k: v for k, v in gs.items() if v}
+    ids = sorted(gs)
+    n_exact = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gs[a] & gs[b])
+            if inter and inter / (len(gs[a]) + len(gs[b]) - inter) >= 0.5:
+                n_exact += 1
+    assert row["n_exact_pairs"] == n_exact
+    assert 0 <= row["n_lsh_found"] <= n_exact
+    expect_recall = 1.0 if n_exact == 0 else row["n_lsh_found"] / n_exact
+    assert row["recall"] == expect_recall
