@@ -108,6 +108,7 @@ STRESS = [
     "sim_knn_join",
     "corpus_hash_split",
     "corpus_pack_sequences",
+    "corpus_pack_sequences_sharded",
     "text_quality_score",
     "text_unigram_surprisal",
     "corpus_length_buckets",
