@@ -220,7 +220,37 @@ class StagingWarehouse:
         with open(meta) as f:
             return json.load(f)
 
-    def read(self, table_name: str, *, raw: bool = False) -> DataFrame:
+    def snapshots(self, table_name: str) -> list[str]:
+        """Committed batch ids, in commit order (auto ids are zero-padded
+        ns timestamps, so lexicographic == chronological) — each is an
+        addressable snapshot for ``read(..., as_of=...)``."""
+        return [
+            d.split("=", 1)[1] for d in self._batches(self._path(table_name))
+        ]
+
+    @staticmethod
+    def _as_of_cutoff(as_of) -> str:
+        """Inclusive batch-id cutoff for a time-travel read.  A str is
+        compared verbatim against batch ids (snapshot pinning); an
+        int/float is nanoseconds since epoch; a datetime converts (naive
+        = UTC, matching the session's pinned TZ).  The 'z' suffix sorts
+        after every hex uuid suffix, so a timestamp cutoff includes all
+        batches committed in that nanosecond."""
+        import datetime as _dt
+
+        if isinstance(as_of, str):
+            return as_of
+        if isinstance(as_of, _dt.datetime):
+            if as_of.tzinfo is None:
+                as_of = as_of.replace(tzinfo=_dt.timezone.utc)
+            ns = int(as_of.timestamp() * 1_000_000_000)
+        else:
+            ns = int(as_of)
+        return f"{ns:020d}-zzzzzzzz"
+
+    def read(
+        self, table_name: str, *, raw: bool = False, as_of=None
+    ) -> DataFrame:
         """Logical table view.  If the table carries an upsert contract
         (``set_upsert_keys``), the DEFAULT read is newest-wins per PK —
         the compact-on-read half of MERGE on plain parquet: an updated
@@ -228,10 +258,26 @@ class StagingWarehouse:
         staged copy at read time, and ``compact()`` materializes the same
         view on a maintenance cadence so reads between compactions pay
         one bounded window, not unbounded history.  ``raw=True`` bypasses
-        (all physical rows, e.g. for the append guard or audits)."""
+        (all physical rows, e.g. for the append guard or audits).
+
+        ``as_of`` is TIME TRAVEL: restrict the view to batches committed
+        at or before the cutoff (a batch id from ``snapshots()``, an
+        epoch-ns int, or a datetime) — the table exactly as a read would
+        have seen it then, including newest-wins resolution among only
+        the included batches.  The cutoff is a predicate on the BATCH
+        partition column, so excluded batches are PRUNED at file listing
+        (a year of history costs a day-old snapshot read nothing).
+        Caveat, same trade as lakehouse VACUUM: ``compact()`` collapses
+        history into one fresh batch, so snapshots older than the last
+        compaction are no longer addressable; pin a compaction cadence
+        to the audit-retention window."""
         # partition discovery surfaces the protocol's batch key; readers
         # see the logical table without it
         df = self.spark.read.parquet(self._path(table_name))
+        if as_of is not None:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col(BATCH_COL) <= self._as_of_cutoff(as_of))
         meta = None if raw else self.upsert_keys(table_name)
         if meta and all(c in df.columns for c in meta["pk"]) and meta["order_col"] in df.columns:
             from pyspark.sql import Window, functions as F

@@ -225,3 +225,58 @@ def test_vacuum_covers_tables_with_no_committed_batch(spark, orders, tmp_path):
     assert wh.tables() == []  # no committed batch -> not a table
     assert wh.vacuum(min_age_sec=0) == [orphan]
     assert not os.path.isdir(orphan)
+
+
+def test_time_travel_read_sees_historical_upsert_state(spark, tmp_path):
+    """as_of pins the newest-wins view to the batches committed by then:
+    snapshot ids, epoch-ns ints, and datetimes all address it; the cutoff
+    reaches the scan as a partition filter; compact() collapses history."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="tt")
+    wh.set_upsert_keys("t", ["pk"], "v")
+    for version in (1, 2, 3):
+        wh.write(
+            spark.createDataFrame([Row(pk=1, v=version), Row(pk=100 + version, v=0)]),
+            "t",
+            incremental=True,
+        )
+        time.sleep(0.01)
+    snaps = wh.snapshots("t")
+    assert len(snaps) == 3 and snaps == sorted(snaps)
+
+    def state(df):
+        return {r["pk"]: r["v"] for r in df.collect()}
+
+    assert state(wh.read("t"))[1] == 3
+    assert state(wh.read("t", as_of=snaps[0])) == {1: 1, 101: 0}
+    assert state(wh.read("t", as_of=snaps[1])) == {1: 2, 101: 0, 102: 0}
+    # int cutoff: ns just after the second commit (its id's ns prefix)
+    ns2 = int(snaps[1].split("-")[0])
+    assert state(wh.read("t", as_of=ns2)) == {1: 2, 101: 0, 102: 0}
+    # datetime cutoff (μs-grained): midpoint between commits 2 and 3 —
+    # well clear of the float round-trip error in timestamp()
+    ns3 = int(snaps[2].split("-")[0])
+    when = dt.datetime.fromtimestamp((ns2 + ns3) / 2 / 1e9, dt.timezone.utc)
+    assert state(wh.read("t", as_of=when)) == {1: 2, 101: 0, 102: 0}
+    # raw + as_of: physical rows of the first two batches only
+    assert wh.read("t", raw=True, as_of=snaps[1]).count() == 4
+    # the cutoff prunes partitions at the scan
+    plan = (
+        wh.read("t", as_of=snaps[0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "ingest_batch" in plan
+    # compact collapses history: old snapshots no longer addressable
+    wh.compact("t")
+    assert len(wh.snapshots("t")) == 1
+    assert state(wh.read("t"))[1] == 3
