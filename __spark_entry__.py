@@ -57,7 +57,8 @@ _DEFER_NEW = frozenset(
      "corpus_keep_best_in_cluster", "text_token_entropy",
      "stream_trending_topk", "text_zipf_fit", "q_rfm_segmentation",
      "corpus_quality_histogram", "multimodal_image_near_dup",
-     "corpus_pack_sequences_sharded", "dedup_lsh_recall_report"}
+     "corpus_pack_sequences_sharded", "dedup_lsh_recall_report",
+     "dedup_cc_incremental"}
 )
 
 

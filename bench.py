@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_image_near_dup",
     "corpus_pack_sequences_sharded",
     "dedup_lsh_recall_report",
+    "dedup_cc_incremental",
 ]
 
 

@@ -1145,3 +1145,102 @@ def corpus_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["corpus_pack_sequences_sharded"] = corpus_pack_sequences_sharded
 ORACLE["corpus_pack_sequences_sharded"] = ORACLE["corpus_pack_sequences"]
+
+
+# ---------------------------------------------------------------------------
+# incremental connected-components maintenance
+# ---------------------------------------------------------------------------
+
+
+def connected_components_incremental(
+    nodes: DataFrame,
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+) -> DataFrame:
+    """Update CC labels for a grown graph WITHOUT re-walking old edges:
+    each existing component is already connectivity-equivalent to a star
+    on its min-id label, so the prior run's ``(node, component)`` rows ARE
+    a compressed edge set — union them with the new batch's edges and run
+    the standard propagation.  The loop's subgraph is (old cluster
+    members + new-edge endpoints), not the corpus, and the old edge list
+    (arbitrarily large) is never touched again.
+
+    Exactness: CC over (star edges ∪ new edges) has the same components
+    as CC over (old edges ∪ new edges) — stars preserve old connectivity
+    — and labels are min reachable ids in both, so the result is
+    identical to a from-scratch run on the combined edge set.
+    """
+    label_edges = old_labels.filter(
+        F.col("component") != F.col(node_col)
+    ).select(
+        F.col(node_col).alias(src_col), F.col("component").alias(dst_col)
+    )
+    edges = new_edges.select(src_col, dst_col).unionByName(label_edges)
+    return connected_components(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col
+    )
+
+
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance end-to-end, under the hash gate:
+    the standing corpus (doc_id % 10 < 8, the ``dedup_minhash_incremental``
+    split) carries labels from its own prior CC run; the incoming batch
+    contributes only the incremental LSH pairs (new×all candidates, caps
+    judged over the union) pushed through the shared exact-Jaccard verify.
+    The updated labels must equal a from-scratch CC over (old-run edges ∪
+    incremental edges) — which is what the composed oracle computes.
+
+    Per batch the work is: new-batch signatures + new×bucket candidates +
+    verify on those + a propagation whose subgraph is touched clusters —
+    nothing rescans or re-pairs the standing corpus.
+    """
+    from .dedup import (
+        incremental_minhash_pairs,
+        minhash_verified_pairs,
+        verify_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    old_labels = connected_components(
+        old.select("doc_id"), minhash_verified_pairs(old, n=3, threshold=0.5)
+    )
+    inc_edges = verify_pairs_jaccard(
+        incremental_minhash_pairs(old, new, n=3), docs, n=3, threshold=0.5
+    )
+    return connected_components_incremental(
+        docs.select("doc_id"), old_labels, inc_edges
+    )
+
+
+QUERIES["dedup_cc_incremental"] = dedup_cc_incremental
+
+_OLD_SCOPED_VERIFIED = _DEDUP_ORACLE["dedup_minhash_verified"].replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id % 10 < 8)",
+)
+
+ORACLE["dedup_cc_incremental"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id_a, doc_id_b FROM ({_OLD_SCOPED_VERIFIED}) o
+      UNION
+      SELECT doc_id_a, doc_id_b
+      FROM ({_DEDUP_ORACLE["dedup_minhash_verified"]}) v
+      WHERE NOT (doc_id_a % 10 < 8 AND doc_id_b % 10 < 8)
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT root AS doc_id, CAST(min(node) AS BIGINT) AS component
+    FROM reach GROUP BY root
+"""

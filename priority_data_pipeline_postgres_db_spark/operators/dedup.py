@@ -368,6 +368,18 @@ def minhash_verified_pairs(
     list; integer set sizes keep the jaccard bit-identical to the oracle.
     """
     cand = minhash_candidate_pairs(docs, n=n, max_bucket=max_bucket)
+    return verify_pairs_jaccard(cand, docs, n=n, threshold=threshold)
+
+
+def verify_pairs_jaccard(
+    cand: DataFrame, docs: DataFrame, *, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard verify of a candidate edge list against
+    ``docs`` — the shared verify stage, exposed so ANY proposer
+    (full-corpus LSH, ``incremental_minhash_pairs``, a persisted band
+    store) feeds the same bit-exact kernel.  Two joins hang the gram
+    sets onto the candidate edges; integer set sizes keep the jaccard
+    bit-identical to the oracle."""
     g = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", ngrams_expr(tokens_expr(), n).alias("grams"))

@@ -456,3 +456,37 @@ def test_pack_sequences_sharded_equals_windowed(spark, sf_dir):
             ).collect()
         }
         assert sharded == ref, parts
+
+
+def test_connected_components_incremental_equals_full(spark):
+    """Random graphs in two waves: updating wave-1 labels with wave-2
+    edges must equal a from-scratch CC over the union edge set."""
+    import random
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(20260814)
+    for _ in range(3):
+        n = 40
+        e1 = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(15)]
+        e2 = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(15)]
+        e1 = [(a, b) for a, b in e1 if a != b]
+        e2 = [(a, b) for a, b in e2 if a != b]
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+        d1 = spark.createDataFrame(e1, "doc_id_a long, doc_id_b long")
+        d2 = spark.createDataFrame(e2, "doc_id_a long, doc_id_b long")
+        full = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                nodes, d1.unionByName(d2)
+            ).collect()
+        }
+        labels1 = connected_components(nodes, d1)
+        inc = {
+            r["doc_id"]: r["component"]
+            for r in connected_components_incremental(nodes, labels1, d2).collect()
+        }
+        assert inc == full
