@@ -102,6 +102,7 @@ STRESS = [
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "dedup_connected_components",
+    "dedup_cc_incremental",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
