@@ -110,6 +110,7 @@ HEADLINE = [
     "corpus_pack_sequences_sharded",
     "dedup_lsh_recall_report",
     "dedup_cc_incremental",
+    "q_market_basket_pairs",
 ]
 
 

@@ -1219,3 +1219,97 @@ ORACLE["corpus_quality_histogram"] = f"""
              AS DECIMAL(18,4)) AS DOUBLE) AS avg_quality
     FROM q GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket part-affinity mining
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+
+def q_market_basket_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = BASKET_MIN_SUPPORT
+) -> DataFrame:
+    """Frequent part-pair mining over order baskets: parts bought together
+    in at least ``min_support`` orders, with support and lift — the
+    co-purchase affinity query behind recommendations and shelf planning
+    (and the basket-level cousin of `text_bigram_pmi`'s token lift).
+
+    Scale shape: the pair generation is a self-join keyed on the ORDER —
+    work ∝ Σ basket_size² with ~7-line baskets, i.e. ~25 rows per order,
+    linear in orders and never parts² — followed by one (part_a, part_b)
+    groupBy with map-side combine.  The support filter prunes before the
+    per-part-count joins, and those counts are a parts-sized table
+    (broadcast-eligible).  Determinism: support and lift are int/int
+    double divisions with a fixed operation order, bit-exact in both
+    engines.
+    """
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= min_support)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders_together",
+            (
+                F.col("n_orders_together").cast("double")
+                / F.lit(n_orders).cast("double")
+            ).alias("support"),
+            (
+                (F.col("n_orders_together") * F.lit(n_orders)).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+QUERIES["q_market_basket_pairs"] = q_market_basket_pairs
+
+ORACLE["q_market_basket_pairs"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    ), part_cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders_together
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_orders_together,
+           CAST(n_orders_together AS DOUBLE)
+             / CAST((SELECT n_orders FROM n) AS DOUBLE) AS support,
+           CAST(n_orders_together * (SELECT n_orders FROM n) AS DOUBLE)
+             / CAST(ca.c * cb.c AS DOUBLE) AS lift
+    FROM pairs
+    JOIN part_cnt ca ON ca.l_partkey = part_a
+    JOIN part_cnt cb ON cb.l_partkey = part_b
+"""

@@ -360,3 +360,38 @@ def test_rfm_plan_has_no_single_partition_exchange(spark, sf_dir):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_market_basket_pairs_support_and_lift(spark, sf_dir):
+    """Counts, support, and lift agree with a Python recomputation over
+    the raw baskets; every emitted pair meets min support."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        BASKET_MIN_SUPPORT,
+        q_market_basket_pairs,
+    )
+
+    rows = q_market_basket_pairs(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    pair_c: Counter = Counter()
+    part_c: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        part_c.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_c[(a, b)] += 1
+    n = len(baskets)
+    expect = {k: c for k, c in pair_c.items() if c >= BASKET_MIN_SUPPORT}
+    got = {(r["part_a"], r["part_b"]): r for r in rows}
+    assert set(got) == set(expect)
+    for k, r in got.items():
+        assert r["n_orders_together"] == expect[k]
+        assert r["support"] == expect[k] / n
+        assert r["lift"] == (expect[k] * n) / (part_c[k[0]] * part_c[k[1]])
