@@ -58,7 +58,8 @@ _DEFER_NEW = frozenset(
      "stream_trending_topk", "text_zipf_fit", "q_rfm_segmentation",
      "corpus_quality_histogram", "multimodal_image_near_dup",
      "corpus_pack_sequences_sharded", "dedup_lsh_recall_report",
-     "dedup_cc_incremental", "q_market_basket_pairs"}
+     "dedup_cc_incremental", "q_market_basket_pairs",
+     "corpus_dedup_summary"}
 )
 
 

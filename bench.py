@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_lsh_recall_report",
     "dedup_cc_incremental",
     "q_market_basket_pairs",
+    "corpus_dedup_summary",
 ]
 
 

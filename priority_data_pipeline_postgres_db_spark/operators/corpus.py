@@ -1244,3 +1244,74 @@ ORACLE["dedup_cc_incremental"] = f"""
     SELECT root AS doc_id, CAST(min(node) AS BIGINT) AS component
     FROM reach GROUP BY root
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus dedup dashboard (one-row observability summary)
+# ---------------------------------------------------------------------------
+
+
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dedup dashboard a corpus operator watches per ingest:
+    corpus size, exact-duplicate docs (normalized byte identity),
+    LSH-verified near-dup pairs and the docs they touch, cluster count
+    and largest cluster from the transitive closure.  A release-over-
+    release jump in any column is the re-scrape/mirror alarm before a
+    training run wastes compute on duplicated mass.
+
+    Composition of already-verified stages (exact fingerprints, the
+    verified pair pipeline, CC) — each summarized to a 1-row aggregate
+    and broadcast-cross-joined, so the dashboard costs the union of the
+    pipelines it reports on and nothing more.
+    """
+    from .dedup import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    exact = docs.agg(
+        (F.count("*") - F.countDistinct(F.md5(normalized_text())))
+        .cast("long")
+        .alias("n_exact_dup_docs")
+    )
+    pairs = bounded_cache(minhash_verified_pairs(docs, n=3, threshold=0.5))
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_near_dup_pairs"))
+    n_dup_docs = (
+        pairs.select(F.col("doc_id_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("d")))
+        .agg(F.countDistinct("d").cast("long").alias("n_near_dup_docs"))
+    )
+    cc = connected_components(docs.select("doc_id"), pairs)
+    clusters = cc.groupBy("component").agg(F.count("*").alias("sz")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("max_cluster_size"),
+    )
+    out = n_docs
+    for piece in (exact, n_pairs, n_dup_docs, clusters):
+        out = out.crossJoin(F.broadcast(piece))
+    return out
+
+
+QUERIES["corpus_dedup_summary"] = corpus_dedup_summary
+
+from .dedup import _NORM as _NORM_SQL  # noqa: E402
+
+ORACLE["corpus_dedup_summary"] = f"""
+    WITH pairs AS (
+      SELECT * FROM ({_DEDUP_ORACLE["dedup_minhash_verified"]}) t
+    ), cc AS (
+      SELECT * FROM ({ORACLE["dedup_connected_components"]}) c
+    ), clusters AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(max(sz) AS BIGINT) AS max_cluster_size
+      FROM (SELECT component, count(*) AS sz FROM cc GROUP BY component)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) - count(DISTINCT md5({_NORM_SQL})) AS BIGINT)
+            FROM documents) AS n_exact_dup_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_near_dup_pairs,
+           (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+              SELECT doc_id_a AS d FROM pairs
+              UNION ALL SELECT doc_id_b FROM pairs)) AS n_near_dup_docs,
+           n_clusters, max_cluster_size
+    FROM clusters
+"""
