@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_cc_incremental",
     "q_market_basket_pairs",
     "corpus_dedup_summary",
+    "sim_diversity_sample",
 ]
 
 

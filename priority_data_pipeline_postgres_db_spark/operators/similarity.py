@@ -776,3 +776,53 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_ivf_topk"] = sim_ivf_topk
 # approximate → rows-only; recall vs brute force asserted in tests
+
+
+# ---------------------------------------------------------------------------
+# diversity (coverage) sampling via SRP regions
+# ---------------------------------------------------------------------------
+
+
+def diversity_sample(emb: DataFrame, dim: int, table_id: int = 0) -> DataFrame:
+    """Coverage sample over embedding space: ONE representative per SRP
+    bucket of a single hash table (min vec_id), with the region's member
+    count.  An SRP table partitions the sphere into angular cells, so
+    the representatives spread across the space rather than clustering
+    where density is — the cheap deterministic stand-in for coreset /
+    k-center selection that curation pipelines use to seed diverse
+    eval/annotation sets (dense regions contribute ONE row no matter how
+    many near-duplicates pile into them).
+
+    Scale shape: the quantize+bucket Arrow pass already powers the whole
+    SRP family; this adds one groupBy on the bucket key (map-side
+    combine, ≤ 2^planes groups).  Deterministic end-to-end — md5-derived
+    hyperplanes, integer dot products, min-id pick — so the full output
+    hash-matches the SQL replay.
+    """
+    return (
+        _srp_bucketed(emb, dim)
+        .filter(F.col("table_id") == table_id)
+        .groupBy("bucket")
+        .agg(
+            F.min("vec_id").cast("long").alias("rep_vec_id"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
+def sim_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return diversity_sample(emb, dim)
+
+
+QUERIES["sim_diversity_sample"] = sim_diversity_sample
+
+ORACLE["sim_diversity_sample"] = f'''
+        WITH {_SRP_BUCKET_CTES}
+        SELECT bucket,
+               CAST(min(vec_id) AS BIGINT) AS rep_vec_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM buckets WHERE t = 0
+        GROUP BY bucket
+'''

@@ -204,3 +204,31 @@ def test_knn_join_covers_corpus_and_agrees_with_exact(spark, sf_dir):
     approx = {(r["vec_id"], r["neighbor_id"]) for r in out if r["vec_id"] < 5}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"kNN-join recall collapsed: {recall}"
+
+
+def test_diversity_sample_covers_all_vectors_once(spark, sf_dir):
+    """Every vector belongs to exactly one region of the sampled table;
+    representatives are the min member id; dense regions emit one row."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        _srp_bucketed,
+        sim_diversity_sample,
+    )
+
+    rows = sim_diversity_sample(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert len({r["bucket"] for r in rows}) == len(rows)
+    dim = len(emb.select("embedding").first()[0])
+    members = (
+        _srp_bucketed(emb, dim)
+        .filter(F.col("table_id") == 0)
+        .groupBy("bucket")
+        .agg(F.min("vec_id").alias("lo"))
+        .collect()
+    )
+    lo = {r["bucket"]: r["lo"] for r in members}
+    for r in rows:
+        assert r["rep_vec_id"] == lo[r["bucket"]]
