@@ -209,3 +209,149 @@ def test_entity_source_uses_registry_schema(spark):
     row = df.orderBy("ord").first()
     assert row["ordname"] == "SO00000" and row["ord"] == 0
     assert df.count() == _FAKE_N
+
+
+# --------------------------------------------------------------------------
+# streaming reader (watermark-offset poll)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def growing_tenant():
+    """A live HTTP tenant over a MUTABLE row list (append between polls to
+    simulate new source rows), speaking the same minimal OData the fake
+    does: $count, $skip/$top, `FIELD ge <iso>`."""
+    import json as jsonlib
+    import re as relib
+    import threading
+    import urllib.parse as up
+    from datetime import datetime as dtt
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    rows: list[dict] = [
+        {
+            "ORDNAME": f"SO{i:03d}",
+            "CURDATE": f"2024-02-0{(i % 3) + 1}T00:00:00+02:00",
+            "ORD": i,
+        }
+        for i in range(5)
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            path, _, query = self.path.partition("?")
+            params = {
+                k: up.unquote(v)
+                for k, v in (p.split("=", 1) for p in query.split("&") if "=" in p)
+            }
+            out = list(rows)
+            m = relib.match(r"(\w+) ge ([0-9T:+\-\.]+)", params.get("$filter", ""))
+            if m:
+                bound = dtt.fromisoformat(m.group(2))
+                out = [
+                    r for r in out if dtt.fromisoformat(r[m.group(1)]) >= bound
+                ]
+            out.sort(key=lambda r: r["ORDNAME"])
+            skip = int(params.get("$skip", 0))
+            top = int(params.get("$top", len(out)))
+            payload = jsonlib.dumps({"value": out[skip : skip + top]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/odata", rows
+    srv.shutdown()
+
+
+def _stream_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("ordname", T.StringType(), metadata={"sourceField": "ORDNAME", "keyFlag": True}),
+            T.StructField("curdate", T.TimestampType(), metadata={"sourceField": "CURDATE"}),
+            T.StructField("ord", T.LongType(), metadata={"sourceField": "ORD"}),
+        ]
+    )
+
+
+def test_stream_reader_polls_only_new_rows(growing_tenant):
+    """Batch 1 delivers the backlog; rows appended between polls (one
+    SHARING the boundary timestamp) arrive exactly once; an idle poll
+    leaves the offset untouched; replay is exact."""
+    from priority_data_pipeline_postgres_db_spark.sources.odata import (
+        ODataStreamReader,
+    )
+
+    uri, rows = growing_tenant
+    r = ODataStreamReader(
+        _stream_schema(),
+        {"uri": uri, "entity": "ORDERS", "filterfield": "CURDATE",
+         "transport": "http", "pagesize": "3"},
+    )
+    start = r.initialOffset()
+    batch1, off1 = r.read(start)
+    batch1 = list(batch1)
+    assert len(batch1) == 5
+    assert off1["wm"] == "2024-02-03T00:00:00+02:00"  # max ts among backlog
+
+    # idle poll: nothing new, offset unchanged
+    empty, off_idle = r.read(off1)
+    assert list(empty) == [] and off_idle == off1
+
+    # two new rows: one at the BOUNDARY timestamp (tie on wm, pk breaks),
+    # one strictly later
+    rows.append({"ORDNAME": "SO900", "CURDATE": "2024-02-03T00:00:00+02:00", "ORD": 900})
+    rows.append({"ORDNAME": "SO901", "CURDATE": "2024-02-04T00:00:00+02:00", "ORD": 901})
+    batch2, off2 = r.read(off1)
+    batch2 = list(batch2)
+    assert [b[0] for b in batch2] == ["SO900", "SO901"]
+    assert off2 == {"wm": "2024-02-04T00:00:00+02:00", "key": "SO901"}
+
+    # exact replay of a committed range (retry semantics)
+    replay = list(r.readBetweenOffsets(off1, off2))
+    assert replay == batch2
+    replay1 = list(r.readBetweenOffsets(start, off1))
+    assert sorted(replay1) == sorted(batch1)
+
+
+def test_stream_source_end_to_end_availablenow(spark, tmp_path):
+    """spark.readStream.format('odata') drains the fake tenant in one
+    AvailableNow batch; the memory sink equals the batch read."""
+    import tempfile
+
+    df = (
+        spark.readStream.format("odata")
+        .option("uri", "fake://tenant")
+        .option("entity", "ORDERS")
+        .option("transport", "fake")
+        .option("filterfield", "CURDATE")
+        .option("streamkey", "ORDNAME")  # schema_ddl carries no keyFlag metadata
+        .option("pagesize", "40")
+        # a DDL schema carries no sourceField metadata, so field names must
+        # BE the source names (the registry path renames/lowercases instead)
+        .option(
+            "schema_ddl",
+            "ORDNAME string, CURDATE timestamp, QPRICE decimal(18,4), ORD long",
+        )
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("odata_stream_e2e")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(dir=tmp_path))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("odata_stream_e2e")
+    assert got.count() == _FAKE_N
+    assert got.select(F.countDistinct("ordname")).first()[0] == _FAKE_N
