@@ -478,16 +478,22 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
                 return rows
             skip += page
 
-    def _to_rows(self, recs: list[dict]) -> list[tuple]:
-        # a LIST, not a generator: the Simple stream-reader wrapper caches
-        # the prefetched batch and pickles it to executors for replay
-        return [
-            tuple(_convert(rec.get(src), dtype) for _, src, dtype in self._fields)
-            for rec in recs
-        ]
+    def _to_rows(self, recs: list[dict]) -> Iterator[tuple]:
+        # a LIST iterator, not a generator: the Simple stream-reader
+        # wrapper next()s it (empty-batch validation) and copy.copy()s it
+        # when serving cached prefetched batches — list iterators support
+        # both, generators support neither
+        return iter(
+            [
+                tuple(
+                    _convert(rec.get(src), dtype) for _, src, dtype in self._fields
+                )
+                for rec in recs
+            ]
+        )
 
     # -- the streaming contract ---------------------------------------------
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         cut = self._offset_cut(start)
         recs = [
             r
@@ -495,7 +501,7 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
             if cut is None or self._sort_key(r) > cut
         ]
         if not recs:
-            return [], dict(start)
+            return iter([]), dict(start)
         recs.sort(key=self._sort_key)
         last = recs[-1]
         end = {

@@ -355,3 +355,51 @@ def test_stream_source_end_to_end_availablenow(spark, tmp_path):
     got = spark.table("odata_stream_e2e")
     assert got.count() == _FAKE_N
     assert got.select(F.countDistinct("ordname")).first()[0] == _FAKE_N
+
+
+def test_stream_odata_to_atomic_staging_exactly_once(spark, tmp_path):
+    """The reference's full ELT loop as ONE streaming pipeline:
+    readStream('odata') → foreachBatch atomic staging commit.  A second
+    run over the SAME checkpoint is a no-op (offsets say caught-up), and
+    a replayed epoch hits the idempotent batch-id guard — rows land
+    exactly once end to end."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        incremental_to_staging_atomic,
+    )
+
+    wh = StagingWarehouse(spark, str(tmp_path / "wh"), account_id="odata")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        df = (
+            spark.readStream.format("odata")
+            .option("uri", "fake://tenant")
+            .option("entity", "ORDERS")
+            .option("transport", "fake")
+            .option("filterfield", "CURDATE")
+            .option("streamkey", "ORDNAME")
+            .option("pagesize", "40")
+            .option(
+                "schema_ddl",
+                "ORDNAME string, CURDATE timestamp, QPRICE decimal(18,4), ORD long",
+            )
+            .load()
+        )
+        q = incremental_to_staging_atomic(df, wh, "orders_stream", ckpt)
+        q.awaitTermination()
+
+    run()
+    first = wh.read("orders_stream")
+    assert first.count() == _FAKE_N
+    assert first.select(F.countDistinct("ORDNAME")).first()[0] == _FAKE_N
+    # second drain over the same checkpoint: source is caught up → no new
+    # rows, no duplicate batches
+    run()
+    again = wh.read("orders_stream")
+    assert again.count() == _FAKE_N
+    assert len(wh.snapshots("orders_stream")) <= 2  # at most an empty epoch
