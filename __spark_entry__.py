@@ -59,7 +59,8 @@ _DEFER_NEW = frozenset(
      "corpus_quality_histogram", "multimodal_image_near_dup",
      "corpus_pack_sequences_sharded", "dedup_lsh_recall_report",
      "dedup_cc_incremental", "q_market_basket_pairs",
-     "corpus_dedup_summary", "sim_diversity_sample"}
+     "corpus_dedup_summary", "sim_diversity_sample",
+     "stream_odata_ingest"}
 )
 
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "q_market_basket_pairs",
     "corpus_dedup_summary",
     "sim_diversity_sample",
+    "stream_odata_ingest",
 ]
 
 

@@ -795,3 +795,51 @@ ORACLE = {
         FROM ranked WHERE rnk <= {TRENDING_K}
     """,
 }
+
+
+def stream_odata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming OData source under the driver contract (rows-only —
+    the fake tenant's rows aren't among the oracle's parquet views): a
+    full AvailableNow drain of ``spark.readStream.format("odata")`` over
+    the deterministic fake tenant into a memory sink.  Deterministic 57
+    rows; the watermark-offset/replay semantics are pinned by the
+    dedicated unit suite (live growing-tenant polls, boundary ties,
+    exact replay, exactly-once staging composition)."""
+    import tempfile
+
+    from ..sources.odata import ODataDataSource
+
+    try:
+        spark.dataSource.register(ODataDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.readStream.format("odata")
+        .option("uri", "fake://tenant")
+        .option("entity", "ORDERS")
+        .option("transport", "fake")
+        .option("filterfield", "CURDATE")
+        .option("streamkey", "ORDNAME")
+        .option("pagesize", "40")
+        .option(
+            "schema_ddl",
+            "ORDNAME string, CURDATE timestamp, QPRICE decimal(18,4), ORD long",
+        )
+        .load()
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_odata_ingest_{_STREAM_SERIAL[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_odata_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("stream_odata_ingest", q)
+    return spark.table(name)
+
+
+QUERIES["stream_odata_ingest"] = stream_odata_ingest
