@@ -809,10 +809,9 @@ def stream_odata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.odata import ODataDataSource
 
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # registerPython is a registry put — re-registering the same name in a
+    # session that already did (e.g. the test fixture) silently overwrites
+    spark.dataSource.register(ODataDataSource)
     df = (
         spark.readStream.format("odata")
         .option("uri", "fake://tenant")
