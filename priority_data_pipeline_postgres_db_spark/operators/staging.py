@@ -186,7 +186,9 @@ class StagingWarehouse:
                 )
             pk = pk or meta["pk"]
             order_col = order_col or meta["order_col"]
-        cur = self.spark.read.parquet(self._path(table_name))
+        cur = self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(table_name)
+        )
         w = Window.partitionBy(*pk).orderBy(
             F.col(order_col).desc(), F.col(BATCH_COL).desc()
         )
@@ -272,8 +274,15 @@ class StagingWarehouse:
         compaction are no longer addressable; pin a compaction cadence
         to the audit-retention window."""
         # partition discovery surfaces the protocol's batch key; readers
-        # see the logical table without it
-        df = self.spark.read.parquet(self._path(table_name))
+        # see the logical table without it.  mergeSchema unions the batch
+        # schemas: a column added by a later incremental batch appears
+        # (null-filled for older rows) instead of silently vanishing when
+        # Spark picks one batch's footer as THE schema.  Cost is reading
+        # every batch's footer at planning — bounded by batch count, and
+        # compact() collapses it back to one
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(table_name)
+        )
         if as_of is not None:
             from pyspark.sql import functions as F
 

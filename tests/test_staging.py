@@ -280,3 +280,33 @@ def test_time_travel_read_sees_historical_upsert_state(spark, tmp_path):
     wh.compact("t")
     assert len(wh.snapshots("t")) == 1
     assert state(wh.read("t"))[1] == 3
+
+
+def test_schema_evolution_across_batches(spark, tmp_path):
+    """A column added by a later incremental batch must appear on read
+    (null-filled for earlier rows), survive compact(), and not disturb
+    upsert resolution — not silently vanish to whichever batch's footer
+    Spark happened to pick."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="ev")
+    wh.set_upsert_keys("t", ["pk"], "v")
+    wh.write(spark.createDataFrame([Row(pk=1, v=1, a="x")]), "t", incremental=True)
+    wh.write(
+        spark.createDataFrame([Row(pk=1, v=2, a="x2", c=9), Row(pk=2, v=1, a="y", c=7)]),
+        "t",
+        incremental=True,
+    )
+    got = {r["pk"]: r for r in wh.read("t").collect()}
+    assert "c" in wh.read("t").columns
+    assert got[1]["v"] == 2 and got[1]["c"] == 9  # newest wins, new col carried
+    assert got[2]["c"] == 7
+    raw = wh.read("t", raw=True)
+    assert raw.count() == 3 and raw.filter("c is null").count() == 1
+    wh.compact("t")
+    after = {r["pk"]: (r["v"], r["c"]) for r in wh.read("t").collect()}
+    assert after == {1: (2, 9), 2: (1, 7)}
