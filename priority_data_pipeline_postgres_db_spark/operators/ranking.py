@@ -19,7 +19,10 @@ API.  Caller contract: ``order_cols`` must be a TOTAL order (append a
 unique key as tie-break).  Range-partition boundaries come from sampling
 and can shift between runs — with a total order the assigned ranks are
 identical regardless of where the boundaries land; with ties, which tied
-row gets which rank would be run-dependent.
+row gets which rank would be run-dependent.  Order values should also
+be NON-NULL: the range partitioner and the per-partition window sort
+must agree on placement, and null ordering is the one knob their
+defaults could be configured apart.
 
 ``global_ntile`` derives standard SQL NTILE(k) from the global rank with
 pure integer math (first ``n % k`` buckets take the extra row), matching
@@ -78,7 +81,9 @@ def global_row_number(
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """Standard SQL NTILE(k) from a 1-based global rank over ``n`` rows:
     bucket size ``n // k``, the first ``n % k`` buckets take one extra.
-    Pure integer expression — engine-exact."""
+    The ceil runs on a double quotient — exact while ``n`` ≤ 2^53 (nine
+    quadrillion rows); beyond that switch the quotient to integer
+    ``div``."""
     size, extras = n // k, n % k
     fat = extras * (size + 1)  # rows living in the (size+1)-sized buckets
     if size == 0:  # fewer rows than buckets: rank IS the bucket
