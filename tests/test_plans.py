@@ -395,3 +395,41 @@ def test_market_basket_pairs_support_and_lift(spark, sf_dir):
         assert r["n_orders_together"] == expect[k]
         assert r["support"] == expect[k] / n
         assert r["lift"] == (expect[k] * n) / (part_c[k[0]] * part_c[k[1]])
+
+
+def test_market_basket_no_cartesian_and_broadcast_counts(spark, sf_dir):
+    """Pair generation must stay an order-keyed equi-join (never a
+    cartesian/nested-loop over parts), and the per-part count joins are
+    broadcastable."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_market_basket_pairs,
+    )
+
+    plan = (
+        q_market_basket_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_keep_best_in_cluster_plan_shape(spark, sf_dir):
+    """Survivor selection: windows partition by component (never global),
+    no cartesian anywhere in the composed CC + quality chain."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_keep_best_in_cluster,
+    )
+
+    plan = (
+        corpus_keep_best_in_cluster(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all(seg.startswith("component#") for seg in specs)
