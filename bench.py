@@ -114,6 +114,7 @@ HEADLINE = [
     "corpus_dedup_summary",
     "sim_diversity_sample",
     "stream_odata_ingest",
+    "sim_embedding_health",
 ]
 
 

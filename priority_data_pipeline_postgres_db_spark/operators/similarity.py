@@ -826,3 +826,80 @@ ORACLE["sim_diversity_sample"] = f'''
         FROM buckets WHERE t = 0
         GROUP BY bucket
 '''
+
+
+# ---------------------------------------------------------------------------
+# embedding-pipeline health report
+# ---------------------------------------------------------------------------
+
+
+def embedding_health(emb: DataFrame) -> DataFrame:
+    """Per-label embedding health: vector counts, zero-vector count, exact
+    integer norm² bounds, and mean norm — the upstream-encoder watchdog
+    (a collapsed encoder shows up as zero/near-zero vectors; a drifting
+    one as a moving norm distribution; both poison cosine thresholds
+    silently).
+
+    Determinism: norm² is the exact integer self-dot of the quantized
+    vector (< 2^53 by the QUANT sizing, so its double image is exact);
+    IEEE sqrt is correctly rounded in both engines; the mean uses the
+    micro-quantized-int discipline (``stream_user_totals``) so the sum
+    is an exact long in any execution order.  One narrow projection +
+    one groupBy on the (tiny) label key.
+    """
+    q = emb.select("label", quantize_expr().alias("qv"))
+    n2 = dot_expr(F.col("qv"), F.col("qv"))
+    per = q.select("label", n2.alias("n2"))
+    norm = F.sqrt(F.col("n2").cast("double")) / F.lit(float(QUANT))
+    q6 = F.floor(norm * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        per.withColumn("q6", q6)
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.count(F.when(F.col("n2") == 0, 1)).cast("long").alias("n_zero_vecs"),
+            F.min("n2").cast("long").alias("min_norm2"),
+            F.max("n2").cast("long").alias("max_norm2"),
+            F.round(
+                F.sum("q6").cast("double")
+                / F.lit(1000000.0)
+                / F.count("*").cast("double"),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("avg_norm"),
+        )
+    )
+
+
+def sim_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_health(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["sim_embedding_health"] = sim_embedding_health
+
+ORACLE["sim_embedding_health"] = f"""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ), n AS (
+      SELECT label, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q
+    ), m AS (
+      SELECT label, n2,
+             CAST(floor(sqrt(CAST(n2 AS DOUBLE)) / {QUANT}.0 * 1000000 + 0.5)
+                  AS BIGINT) AS q6
+      FROM n
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE n2 = 0) AS BIGINT) AS n_zero_vecs,
+           CAST(min(n2) AS BIGINT) AS min_norm2,
+           CAST(max(n2) AS BIGINT) AS max_norm2,
+           CAST(CAST(round(
+             CAST(sum(q6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS avg_norm
+    FROM m GROUP BY label
+"""

@@ -232,3 +232,31 @@ def test_diversity_sample_covers_all_vectors_once(spark, sf_dir):
     lo = {r["bucket"]: r["lo"] for r in members}
     for r in rows:
         assert r["rep_vec_id"] == lo[r["bucket"]]
+
+
+def test_embedding_health_accounts_for_corpus(spark, sf_dir):
+    """Mass conservation + norm sanity: every vector counted once per its
+    label; bounds order correctly; a planted zero vector is flagged."""
+    from pyspark.sql import Row, functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        embedding_health,
+        sim_embedding_health,
+    )
+
+    rows = sim_embedding_health(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r["min_norm2"] <= r["max_norm2"]
+        assert r["n_zero_vecs"] == 0  # fixture has no degenerate vectors
+        assert r["avg_norm"] > 0
+
+    planted = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0], label=7),
+         Row(vec_id=2, embedding=[3.0, 4.0], label=7)]
+    )
+    got = embedding_health(planted).collect()[0]
+    assert got["n_zero_vecs"] == 1 and got["n_vecs"] == 2
+    assert got["min_norm2"] == 0
+    assert abs(got["avg_norm"] - 2.5) < 1e-9  # (0 + 5)/2
