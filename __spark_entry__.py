@@ -60,7 +60,8 @@ _DEFER_NEW = frozenset(
      "corpus_pack_sequences_sharded", "dedup_lsh_recall_report",
      "dedup_cc_incremental", "q_market_basket_pairs",
      "corpus_dedup_summary", "sim_diversity_sample",
-     "stream_odata_ingest", "sim_embedding_health"}
+     "stream_odata_ingest", "sim_embedding_health",
+     "corpus_source_stats"}
 )
 
 

@@ -115,6 +115,7 @@ HEADLINE = [
     "sim_diversity_sample",
     "stream_odata_ingest",
     "sim_embedding_health",
+    "corpus_source_stats",
 ]
 
 

@@ -1315,3 +1315,61 @@ ORACLE["corpus_dedup_summary"] = f"""
            n_clusters, max_cluster_size
     FROM clusters
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus composition (data-mixture table)
+# ---------------------------------------------------------------------------
+
+
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture table every training run documents: per source,
+    document and token mass, mean document length, and the source's share
+    of corpus tokens — the numbers that set sampling weights
+    (`corpus_interleave_sources` / `corpus_source_cap` act on what this
+    table reveals).
+
+    One scan with integer token counts, one groupBy on the (tiny) source
+    key, and the global total arrives by broadcast cross-join of a 1-row
+    aggregate — no unpartitioned window.  All ratios are int/int double
+    divisions, bit-exact in both engines.
+    """
+    per_doc = load(spark, sf_dir, "documents").select(
+        "source", F.size(tokens_expr()).cast("long").alias("n_tok")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("avg_doc_tokens"),
+            (
+                F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+            ).alias("token_share"),
+        )
+    )
+
+
+QUERIES["corpus_source_stats"] = corpus_source_stats
+
+ORACLE["corpus_source_stats"] = f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_doc_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / CAST((SELECT SUM(n_tokens) FROM per_src) AS DOUBLE) AS token_share
+    FROM per_src
+"""

@@ -490,3 +490,21 @@ def test_connected_components_incremental_equals_full(spark):
             for r in connected_components_incremental(nodes, labels1, d2).collect()
         }
         assert inc == full
+
+
+def test_source_stats_mass_and_shares(spark, sf_dir):
+    """Doc/token mass sums to the corpus; shares sum to 1 (exact int/int
+    ratios over a common total)."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_source_stats,
+    )
+    from pyspark.sql import functions as F
+
+    rows = corpus_source_stats(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    total_tok = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r["avg_doc_tokens"] == r["n_tokens"] / r["n_docs"]
+        assert r["token_share"] == r["n_tokens"] / total_tok
