@@ -116,6 +116,7 @@ HEADLINE = [
     "stream_odata_ingest",
     "sim_embedding_health",
     "corpus_source_stats",
+    "q_rolling_active_users",
 ]
 
 

@@ -1313,3 +1313,66 @@ ORACLE["q_market_basket_pairs"] = f"""
     JOIN part_cnt ca ON ca.l_partkey = part_a
     JOIN part_cnt cb ON cb.l_partkey = part_b
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling engagement: DAU / WAU
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day active users with the stickiness ratio
+    (DAU/WAU) — the canonical engagement dashboard.  A sliding DISTINCT
+    is the hard shape here: windows can sum counts but can't merge
+    distinct sets, so the standard rewrite EXPLODES each (user, day)
+    contribution onto the ≤7 trailing days it supports and lets one
+    groupBy count distinct users per day — work is 7×|user-days| (linear,
+    map-side combinable), never a per-day rescan of history.  Days are
+    restricted to the observed calendar (inner join with DAU); ratios are
+    int/int double divisions.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    from ..util import bounded_cache
+
+    user_days = bounded_cache(ev.distinct())
+    dau = user_days.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+QUERIES["q_rolling_active_users"] = q_rolling_active_users
+
+ORACLE["q_rolling_active_users"] = """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), dau AS (
+      SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM user_days GROUP BY d
+    ), contrib AS (
+      SELECT user_id, d + CAST(j AS INTEGER) AS day
+      FROM user_days, unnest(range(0, 7)) AS u(j)
+    ), wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY day
+    )
+    SELECT dau.day AS day, dau, wau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+"""

@@ -433,3 +433,26 @@ def test_keep_best_in_cluster_plan_shape(spark, sf_dir):
     assert "SinglePartition" not in plan
     specs = plan.split("windowspecdefinition(")[1:]
     assert specs and all(seg.startswith("component#") for seg in specs)
+
+
+def test_rolling_active_users_matches_python(spark, sf_dir):
+    """DAU/WAU recomputed naively from raw events agree for every day."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_rolling_active_users,
+    )
+
+    rows = {r["day"]: r for r in q_rolling_active_users(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r["ts"].date(), set()).add(r["user_id"])
+    import datetime as dt
+
+    for day, users in by_day.items():
+        wau = set()
+        for back in range(7):
+            wau |= by_day.get(day - dt.timedelta(days=back), set())
+        assert rows[day]["dau"] == len(users)
+        assert rows[day]["wau"] == len(wau)
+        assert rows[day]["stickiness"] == len(users) / len(wau)
+    assert set(rows) == set(by_day)
