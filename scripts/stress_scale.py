@@ -128,6 +128,9 @@ STRESS = [
     "corpus_quality_histogram",
     "corpus_keep_best_in_cluster",
     "text_token_entropy",
+    "sim_embedding_health",
+    "corpus_source_stats",
+    "q_rolling_active_users",
     "stream_exact_dedup",
     "stream_sessionize",
     "stream_click_attribution",
