@@ -1,0 +1,58 @@
+"""Repo-wide physical-plan audit: every registry query's executed plan is
+scanned for the three scale cliffs — CartesianProduct, nested-loop joins,
+and single-partition exchanges.  Queries may appear in the allowlist ONLY
+for the bounded patterns below; anything new that trips a flag fails the
+suite until it is either fixed or consciously allowlisted with a reason.
+
+Allowed patterns (all bounded by construction, not data volume):
+- 1-ROW BROADCAST: a global scalar (corpus total, sample count, average)
+  cross-joined back as a 1-row broadcast — plans as BroadcastNestedLoopJoin
+  with a single-row build side.
+- SINGLE-ROW REDUCE: a query whose OUTPUT is one (or a handful of) global
+  aggregate rows needs one final single-partition exchange moving one row
+  per upstream partition — map-side partial aggregation has already run.
+- POST-LIMIT RANK: a row_number over an already-limited/tiny key set
+  (distinct sources, top-k rows).
+- SAMPLE QUADRATIC: dedup_lsh_recall_report's exact ground-truth join is
+  the documented hash-sample-bounded quadratic.
+"""
+
+# query -> flags it is allowed to trip (see module docstring for why)
+ALLOWED = {
+    "text_unigram_surprisal": {"BNLJ", "SinglePartition"},   # 1-row corpus totals
+    "corpus_interleave_sources": {"SinglePartition"},        # rank over distinct sources
+    "q6_forecast_revenue": {"SinglePartition"},              # single-row output
+    "q14_promo_share": {"SinglePartition"},                  # single-row output
+    "q15_top_supplier": {"SinglePartition"},                 # global-max scalar subquery
+    "q19_disjunctive_revenue": {"SinglePartition"},          # single-row output
+    "q22_idle_customers": {"BNLJ", "SinglePartition"},       # 1-row avg-balance scalar
+    "dedup_lsh_recall_report": {"BNLJ", "SinglePartition"},  # sample quadratic + 1-row counts
+    "corpus_dedup_summary": {"BNLJ", "SinglePartition"},     # 1-row aggregates cross-joined
+    "corpus_source_stats": {"BNLJ", "SinglePartition"},      # 1-row corpus-total broadcast
+    "q_approx_distinct": {"SinglePartition"},                # single-row output
+    "q17_small_qty_value": {"SinglePartition"},              # single-row output
+    "q11_acctbal_share": {"BNLJ", "SinglePartition"},        # 1-row global-total broadcast
+    "q_event_funnel": {"SinglePartition"},                   # 3-row stacked output
+    "q_gapfill_daily": {"BNLJ", "SinglePartition"},          # 1-row calendar bounds
+}
+
+
+def test_no_unbounded_plan_cliffs(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    violations = {}
+    for name, fn in qs.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        hits = set()
+        if "CartesianProduct" in plan:
+            hits.add("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            hits.add("BNLJ")
+        if "Exchange SinglePartition" in plan:
+            hits.add("SinglePartition")
+        extra = hits - ALLOWED.get(name, set())
+        if extra:
+            violations[name] = sorted(extra)
+    assert not violations, violations
