@@ -61,7 +61,8 @@ _DEFER_NEW = frozenset(
      "dedup_cc_incremental", "q_market_basket_pairs",
      "corpus_dedup_summary", "sim_diversity_sample",
      "stream_odata_ingest", "sim_embedding_health",
-     "corpus_source_stats", "q_rolling_active_users"}
+     "corpus_source_stats", "q_rolling_active_users",
+     "sim_srp_recall_report"}
 )
 
 

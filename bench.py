@@ -117,6 +117,7 @@ HEADLINE = [
     "sim_embedding_health",
     "corpus_source_stats",
     "q_rolling_active_users",
+    "sim_srp_recall_report",
 ]
 
 

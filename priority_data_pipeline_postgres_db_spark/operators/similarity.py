@@ -903,3 +903,126 @@ ORACLE["sim_embedding_health"] = f"""
              AS DECIMAL(18,4)) AS DOUBLE) AS avg_norm
     FROM m GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# SRP-gate recall calibration (the embedding twin of dedup_lsh_recall_report)
+# ---------------------------------------------------------------------------
+
+SRP_RECALL_MOD = 2
+
+
+def srp_recall_report(
+    emb: DataFrame,
+    dim: int,
+    *,
+    mod: int = SRP_RECALL_MOD,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """One-row SRP-gate calibration: exact all-pairs integer-cosine ground
+    truth on a deterministic md5-60 hash sample vs the production
+    SRP-bucketed pair pipeline on the SAME sample, with measured recall —
+    the number that tells you whether N_TABLES/N_PLANES are right for
+    your threshold (the gate's recall was previously a code-comment
+    derivation; this measures it, the same upgrade VERDICT r3 asked for
+    on IVF).  Verified pairs are a subset of ground truth (same exact
+    verify, same threshold), so recall = |srp| / |exact|.
+
+    Same sample-bounded-quadratic contract as ``dedup_lsh_recall_report``:
+    size ``mod`` so the sample stays ~O(10⁴) vectors; recall is a ratio,
+    so a fixed-size sample estimates it at any corpus size.
+    """
+    from ..operators.dedup import cosine_expr
+
+    key = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = emb.filter(key % mod == 0)
+    from ..util import bounded_cache
+
+    q = bounded_cache(
+        sample.select("vec_id", quantize_expr().alias("qv")).withColumn(
+            "n2", dot_expr(F.col("qv"), F.col("qv"))
+        )
+    )
+    a = q.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    exact = (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(
+            cosine_expr(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select("vec_id_a", "vec_id_b")
+    )
+    srp = (
+        semantic_pairs(sample, dim, threshold=threshold)
+        .select("vec_id_a", "vec_id_b")
+        .withColumn("_v", F.lit(1))
+    )
+    counts = exact.join(srp, ["vec_id_a", "vec_id_b"], "left").agg(
+        F.count("*").cast("long").alias("n_exact_pairs"),
+        F.count("_v").cast("long").alias("n_srp_found"),
+    )
+    nsamp = sample.agg(F.count("*").cast("long").alias("n_sample_vecs"))
+    return counts.crossJoin(F.broadcast(nsamp)).select(
+        "n_sample_vecs",
+        "n_exact_pairs",
+        "n_srp_found",
+        F.when(F.col("n_exact_pairs") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("n_srp_found").cast("double")
+            / F.col("n_exact_pairs").cast("double")
+        )
+        .alias("recall"),
+    )
+
+
+def sim_srp_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return srp_recall_report(emb, dim)
+
+
+QUERIES["sim_srp_recall_report"] = sim_srp_recall_report
+
+from ..operators.dedup import ORACLE as _DD_ORACLE  # noqa: E402
+
+_EMB_SAMPLE_PRED = (
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % "
+    f"{SRP_RECALL_MOD} = 0"
+)
+_EXACT_ON_SAMPLE = _DD_ORACLE["dedup_embedding_exact"].replace(
+    "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})"
+)
+_SRP_ON_SAMPLE = _SRP_PAIR_CTES.replace(
+    "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})"
+)
+
+ORACLE["sim_srp_recall_report"] = f"""
+    WITH exact AS (
+      SELECT vec_id_a, vec_id_b FROM ({_EXACT_ON_SAMPLE}) x
+    ), srp0 AS (
+      WITH {_SRP_ON_SAMPLE}
+      SELECT va AS vec_id_a, vb AS vec_id_b FROM pairs
+    ), cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+             CAST(count(srp0.vec_id_a) AS BIGINT) AS n_srp_found
+      FROM exact LEFT JOIN srp0 USING (vec_id_a, vec_id_b)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE {_EMB_SAMPLE_PRED}) AS n_sample_vecs,
+           n_exact_pairs, n_srp_found,
+           CASE WHEN n_exact_pairs = 0 THEN 1.0
+                ELSE CAST(n_srp_found AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)
+           END AS recall
+    FROM cnt
+"""

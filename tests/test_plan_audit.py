@@ -27,6 +27,7 @@ ALLOWED = {
     "q19_disjunctive_revenue": {"SinglePartition"},          # single-row output
     "q22_idle_customers": {"BNLJ", "SinglePartition"},       # 1-row avg-balance scalar
     "dedup_lsh_recall_report": {"BNLJ", "SinglePartition"},  # sample quadratic + 1-row counts
+    "sim_srp_recall_report": {"BNLJ", "SinglePartition"},    # sample quadratic + 1-row counts
     "corpus_dedup_summary": {"BNLJ", "SinglePartition"},     # 1-row aggregates cross-joined
     "corpus_source_stats": {"BNLJ", "SinglePartition"},      # 1-row corpus-total broadcast
     "q_approx_distinct": {"SinglePartition"},                # single-row output

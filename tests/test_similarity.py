@@ -260,3 +260,28 @@ def test_embedding_health_accounts_for_corpus(spark, sf_dir):
     assert got["n_zero_vecs"] == 1 and got["n_vecs"] == 2
     assert got["min_norm2"] == 0
     assert abs(got["avg_norm"] - 2.5) < 1e-9  # (0 + 5)/2
+
+
+def test_srp_recall_report_ground_truth(spark, sf_dir):
+    """Measured recall is consistent: srp pairs are a subset of exact
+    ground truth, sample size matches the hash predicate, and the floor
+    holds at gate scale."""
+    import hashlib
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        SRP_RECALL_MOD,
+        sim_srp_recall_report,
+    )
+
+    row = sim_srp_recall_report(spark, sf_dir).collect()[0]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    n_sample = sum(
+        1
+        for r in emb
+        if int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:15], 16)
+        % SRP_RECALL_MOD
+        == 0
+    )
+    assert row["n_sample_vecs"] == n_sample
+    assert 0 <= row["n_srp_found"] <= row["n_exact_pairs"]
+    assert 0.5 <= row["recall"] <= 1.0  # gate-scale floor; tuning dial is N_TABLES
