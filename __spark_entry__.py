@@ -21,48 +21,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.q_star_region_summary(spark, "/root/testdata/sf0.001")
 
 
-# Keys that already have driver-artifact correctness rows (CORRECTNESS_r02/r03
-# snapshotted the same 50-entry prefix two rounds running).  The driver checks
-# the first 50 registry entries in insertion order, so ``queries()`` emits the
-# not-yet-driver-checked entries first; these verified keys go last.  Round 5+
-# can rotate again if new entries land.
-_DRIVER_VERIFIED_R03 = frozenset(
-    {
-        "s2_watermark_scan", "s4_limit_probe", "p2_projection_prune",
-        "j1_subform_flatten", "o1_latest_per_key", "k1_incremental_union",
-        "a2_run_report", "q1_pricing_summary", "q3_top_unshipped",
-        "q5_region_revenue", "q_star_region_summary", "q_events_rollup",
-        "q_sessionize", "q_cube_region_nation", "q_pivot_returnflag",
-        "j_asof_join", "set_except_high_qty", "q_approx_distinct",
-        "k1_dedup_append", "q_json_extract", "q_sql_api_revenue",
-        "q9_product_profit", "j_semi_anti", "o_window_running",
-        "set_intersect_buyers", "q4_late_ship_priority",
-        "q13_order_distribution", "q17_small_qty_value", "q11_acctbal_share",
-        "q_profile_orders", "q_event_funnel", "q_cohort_retention",
-        "q_salted_segment_revenue", "q_rollup_orderdate",
-        "q_value_percentiles", "j_range_join_binned",
-        "j_full_outer_reconcile", "q_sliding_event_rate", "q_gapfill_daily",
-        "q_top_parts_per_nation", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_minhash_pairs", "dedup_minhash_incremental",
-        "dedup_minhash_verified", "dedup_simhash_pairs",
-        "dedup_embedding_exact", "sim_cosine_topk", "sim_ann_lsh_topk",
-        "dedup_semantic",
-    }
+# Round-5 rotation (VERDICT r4 #2/#7).  The driver checks the FIRST 50
+# registry entries in insertion order.  ``_WINDOW_R05_HEAD`` pins the
+# entries that MUST land in the r5 window: the two r04 hash failures
+# (q12/q18 — oracles fixed, need re-verification) followed by the 23
+# entries that have never had a driver-artifact row (the r4 _DEFER_NEW
+# set, including the two never-seen rows-only entries
+# multimodal_image_near_dup / stream_odata_ingest).  Any NEW r5 entry is
+# absent from ``_DRIVER_VERIFIED_R04`` and therefore sorts after the
+# head but before the verified tail — filling the remaining ~25 window
+# slots automatically.  After r5 every registry entry will have had at
+# least one driver row.
+_WINDOW_R05_HEAD = (
+    "q12_late_priority_mix", "q18_large_orders",
+    "q_rfm_segmentation", "corpus_quality_histogram",
+    "q_market_basket_pairs", "q_rolling_active_users",
+    "dedup_substring_pairs", "dedup_lsh_recall_report", "sim_knn_join",
+    "sim_diversity_sample", "sim_embedding_health",
+    "sim_srp_recall_report", "text_token_entropy", "text_zipf_fit",
+    "multimodal_image_near_dup", "corpus_exact_substring_dedup",
+    "corpus_keep_best_in_cluster", "corpus_pack_sequences_sharded",
+    "dedup_cc_incremental", "corpus_dedup_summary",
+    "corpus_source_stats", "stream_trending_topk", "stream_exact_dedup",
+    "stream_sessionize_append", "stream_odata_ingest",
 )
 
-# See queries(): added after the r4 window filled; ordered behind it.
-_DEFER_NEW = frozenset(
-    {"stream_exact_dedup", "stream_sessionize_append", "sim_knn_join",
-     "dedup_substring_pairs", "corpus_exact_substring_dedup",
-     "corpus_keep_best_in_cluster", "text_token_entropy",
-     "stream_trending_topk", "text_zipf_fit", "q_rfm_segmentation",
-     "corpus_quality_histogram", "multimodal_image_near_dup",
-     "corpus_pack_sequences_sharded", "dedup_lsh_recall_report",
-     "dedup_cc_incremental", "q_market_basket_pairs",
-     "corpus_dedup_summary", "sim_diversity_sample",
-     "stream_odata_ingest", "sim_embedding_health",
-     "corpus_source_stats", "q_rolling_active_users",
-     "sim_srp_recall_report"}
+# Every key with a driver-artifact row in CORRECTNESS_r01..r04 (computed
+# as the union of those artifacts, minus q12/q18 which failed r04) —
+# goes to the registry tail (the judge's full replica still covers it).
+_DRIVER_VERIFIED_R04 = frozenset(
+    {
+        "a2_run_report", "corpus_build_training_set",
+        "corpus_chunk_documents", "corpus_decontaminate",
+        "corpus_dup_rate_by_source", "corpus_hash_split",
+        "corpus_interleave_sources", "corpus_length_buckets",
+        "corpus_pack_sequences", "corpus_quality_sample",
+        "corpus_redact_pii", "corpus_sample_stratified",
+        "corpus_source_cap", "corpus_token_budget",
+        "dedup_connected_components", "dedup_containment_pairs",
+        "dedup_embedding_exact", "dedup_embedding_incremental",
+        "dedup_embedding_pairs", "dedup_exact", "dedup_minhash_incremental",
+        "dedup_minhash_pairs", "dedup_minhash_verified",
+        "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash_pairs",
+        "events_anomaly_mad", "j1_subform_flatten", "j_asof_join",
+        "j_full_outer_reconcile", "j_range_join_binned", "j_semi_anti",
+        "k1_dedup_append", "k1_incremental_union", "multimodal_features",
+        "o1_latest_per_key", "o_window_running", "p2_projection_prune",
+        "q10_returned_items", "q11_acctbal_share", "q13_order_distribution",
+        "q14_promo_share", "q15_top_supplier", "q16_supplier_part_count",
+        "q17_small_qty_value", "q19_disjunctive_revenue",
+        "q1_pricing_summary", "q20_dominant_shippers",
+        "q21_sole_late_supplier", "q22_idle_customers",
+        "q2_min_cost_supplier", "q3_top_unshipped", "q4_late_ship_priority",
+        "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit", "q_approx_distinct",
+        "q_cohort_retention", "q_cube_region_nation", "q_event_funnel",
+        "q_events_rollup", "q_gapfill_daily", "q_json_extract",
+        "q_pivot_returnflag", "q_profile_orders", "q_rollup_orderdate",
+        "q_salted_segment_revenue", "q_sessionize", "q_sliding_event_rate",
+        "q_sql_api_revenue", "q_star_region_summary",
+        "q_top_parts_per_nation", "q_value_percentiles",
+        "s2_watermark_scan", "s4_limit_probe", "set_except_high_qty",
+        "set_intersect_buyers", "sim_ann_lsh_topk", "sim_cosine_topk",
+        "sim_ivf_topk", "stream_category_rollup",
+        "stream_click_attribution", "stream_event_rollup",
+        "stream_sessionize", "stream_user_totals", "text_bigram_pmi",
+        "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
+        "text_lang_id", "text_ngram_novelty", "text_quality_score",
+        "text_repetition_score", "text_tfidf_top_terms", "text_token_count",
+        "text_unigram_surprisal",
+    }
 )
 
 
@@ -113,20 +141,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_rp.QUERIES)
     except ImportError:
         pass
-    # Emit not-yet-driver-checked entries first so the driver's bounded
-    # correctness window reaches them; already-verified keys keep their
-    # relative order at the tail.  Names are unchanged.  _DEFER_NEW holds
-    # entries added after the round-4 window filled to exactly 50
-    # unchecked keys — they sit between the window and the verified tail
-    # (the judge's full-registry replica still covers them; the next
-    # round's rotation promotes them into the window).
-    ordered = {
-        k: catalog[k]
-        for k in catalog
-        if k not in _DRIVER_VERIFIED_R03 and k not in _DEFER_NEW
-    }
-    ordered.update({k: catalog[k] for k in catalog if k in _DEFER_NEW})
-    ordered.update({k: catalog[k] for k in catalog if k in _DRIVER_VERIFIED_R03})
+    # Ordering = r5 driver window first (fixed q12/q18 + the 23 entries
+    # with no driver row yet), then any other unverified key (new r5
+    # operators land here automatically), then the verified tail.
+    ordered = {k: catalog[k] for k in _WINDOW_R05_HEAD if k in catalog}
+    ordered.update(
+        {
+            k: catalog[k]
+            for k in catalog
+            if k not in ordered and k not in _DRIVER_VERIFIED_R04
+        }
+    )
+    ordered.update({k: catalog[k] for k in catalog if k not in ordered})
     return ordered
 
 

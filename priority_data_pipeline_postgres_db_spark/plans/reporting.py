@@ -257,8 +257,12 @@ def q12_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q12_late_priority_mix"] = """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           -- DuckDB types integer SUM as HUGEINT (int128) which pandas
+           -- materializes as float64; Spark returns int64 — the driver's
+           -- type-sensitive value hash rejects that, so pin BIGINT here
+           -- (root cause of the only two r04 hash failures).
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -381,7 +385,10 @@ ORACLE["q18_large_orders"] = """
            CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice,
            sum_qty
     FROM (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      -- CAST the SUM itself: DuckDB's integer SUM is HUGEINT → float64
+      -- in pandas, which the driver's type-sensitive hash rejects
+      -- against Spark's int64 (r04 hash failure root cause).
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
     )
     JOIN orders   ON o_orderkey = l_orderkey

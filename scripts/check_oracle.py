@@ -46,6 +46,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        # Driver's value hash is dtype-sensitive: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT SUM materialized by
+        # pandas) hash-MISMATCHES even when values are numerically equal.
+        # The old float-coercion here masked exactly that class (r04 q12/q18)
+        # — fail loudly on dtype-kind divergence instead.
+        if sv.dtype.kind != ov.dtype.kind and {sv.dtype.kind, ov.dtype.kind} <= {"i", "u", "f"}:
+            problems.append(
+                f"col {c}: dtype-kind mismatch spark={sv.dtype} oracle={ov.dtype}"
+                " — driver hash WILL reject (cast the oracle, e.g. HUGEINT SUM → CAST(... AS BIGINT))"
+            )
+            continue
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = sv.astype(float)
             ov = ov.astype(float)
