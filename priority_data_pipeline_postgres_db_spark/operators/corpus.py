@@ -940,14 +940,18 @@ def exact_substring_scrub(docs: DataFrame, w: int = SCRUB_W) -> DataFrame:
     base = bounded_cache(
         docs.repartition(par).select("doc_id", tokens_expr().alias("toks"))
     )
+    # full 128-bit md5 as the window key (ADVICE r4): this key DELETES
+    # text, so a cross-window collision would scrub unrelated tokens from
+    # a kept document — and both engines computing the same hash means
+    # the oracle gate could never catch it.  At 60 bits that's expected
+    # once windows reach ~2^30 (well under the design point); at 128 bits
+    # it's ~2^64 windows.  The key is a shuffle-only intermediate, so the
+    # cost is 32-byte vs 8-byte shuffle keys on one exchange — identity-
+    # grade correctness is worth it (same call as files.read_documents_text).
     occ = base.select(
         "doc_id",
         F.posexplode(ngrams_expr(F.col("toks"), w, distinct=False)).alias("pos", "win"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10).cast("long").alias("wh"),
-    )
+    ).select("doc_id", "pos", F.md5("win").alias("wh"))
     firsts = (
         occ.groupBy("wh")
         .agg(
@@ -1003,8 +1007,8 @@ ORACLE["corpus_exact_substring_dedup"] = f"""
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ), occ AS (
       SELECT doc_id, i - 1 AS pos,
-             ('0x' || substr(md5(array_to_string(
-                list_slice(toks, i, i + {SCRUB_W} - 1), ' ')), 1, 15))::BIGINT AS wh
+             md5(array_to_string(
+                list_slice(toks, i, i + {SCRUB_W} - 1), ' ')) AS wh
       FROM toks, unnest(range(1, len(toks) - {SCRUB_W} + 2)) AS t(i)
       WHERE len(toks) >= {SCRUB_W}
     ), marked AS (

@@ -976,13 +976,23 @@ ORACLE["dedup_simhash_pairs"] = f"""
 # LSH recall calibration report
 # ---------------------------------------------------------------------------
 
-RECALL_SAMPLE_MOD = 2  # deterministic 1/mod hash-sample of the corpus
+RECALL_SAMPLE_MOD = 2  # floor: even a tiny corpus stays a strict sample
+# auto-mod target (VERDICT r4 #5): mod = max(floor, ceil(n / TARGET)) so
+# the exact side's pair count stays ~TARGET²/2 at ANY corpus size — the
+# report's cost no longer grows with the corpus, only the (cheap) LSH
+# side does.  Recall is a ratio, so the fixed-size sample estimates it
+# equally well at any scale (stability across mods pinned in tests).
+RECALL_SAMPLE_TARGET = 1000
+
+
+def _auto_mod(n: int, target: int = RECALL_SAMPLE_TARGET) -> int:
+    return max(RECALL_SAMPLE_MOD, -(-n // target))
 
 
 def lsh_recall_report(
     docs: DataFrame,
     *,
-    mod: int = RECALL_SAMPLE_MOD,
+    mod: int | None = None,
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -1002,15 +1012,17 @@ def lsh_recall_report(
     construction, since verify applies the same threshold).  recall
     defaults to 1.0 when the sample nets zero ground-truth pairs.
 
-    SIZE ``mod`` TO THE CORPUS: the sample must stay ~O(10⁴) docs for
-    the exact side to be tractable (pairs ∝ (N/mod)²).  mod=2 fits the
-    fixture SFs; a billion-doc corpus wants mod ~10⁵–10⁶ — recall is a
-    ratio, so a fixed-size sample estimates it equally well at any
-    corpus size.  Do NOT point this at a big corpus with a small mod;
-    unlike the guarded kernels it will not refuse, because the sample
-    fraction is the caller's explicit choice.
+    ``mod`` SIZES ITSELF TO THE CORPUS (VERDICT r4 #5): when None, mod =
+    max(2, ceil(n / RECALL_SAMPLE_TARGET)) from one corpus count — the
+    exact side's pair count then stays ~TARGET²/2 (≈500k comparisons)
+    whether the corpus is 5k docs or a billion (pairs ∝ (N/mod)²).
+    Recall is a ratio, so the fixed-size sample estimates it equally
+    well at any corpus size; stability across mods is pinned in tests.
+    An explicit ``mod`` overrides for tuning experiments.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
+    if mod is None:
+        mod = _auto_mod(docs.count())
     key = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -1058,9 +1070,13 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_lsh_recall_report"] = dedup_lsh_recall_report
 
+# mirrors _auto_mod: mod = max(floor, ceil(corpus_count / target)) as a
+# scalar subquery so the oracle tracks the Spark side at ANY corpus size
 _SAMPLE_PRED = (
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % "
-    f"{RECALL_SAMPLE_MOD} = 0"
+    f"(SELECT GREATEST({RECALL_SAMPLE_MOD}, "
+    f"CAST(ceil(count(*) / {RECALL_SAMPLE_TARGET}.0) AS BIGINT)) "
+    "FROM documents) = 0"
 )
 # the verified-pairs pipeline, scoped to the SAME hash sample (every
 # stage — signatures, band caps, verify — sees only sample docs, exactly

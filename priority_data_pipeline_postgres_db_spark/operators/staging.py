@@ -237,7 +237,17 @@ class StagingWarehouse:
         int/float is nanoseconds since epoch; a datetime converts (naive
         = UTC, matching the session's pinned TZ).  The 'z' suffix sorts
         after every hex uuid suffix, so a timestamp cutoff includes all
-        batches committed in that nanosecond."""
+        batches committed in that nanosecond.
+
+        datetime → ns is computed EXACTLY from integer epoch seconds +
+        microseconds (ADVICE r4): ``timestamp() * 1e9`` routes through a
+        float64 with only ~hundreds-of-ns resolution at current epochs,
+        which could land the cutoff a few hundred ns off the intended
+        batch boundary.  Note the timestamp form only addresses
+        AUTO-generated batch ids (zero-padded ns); explicit user batch
+        ids of another shape sort arbitrarily against a numeric cutoff —
+        pin those by exact string instead."""
+        import calendar
         import datetime as _dt
 
         if isinstance(as_of, str):
@@ -245,7 +255,10 @@ class StagingWarehouse:
         if isinstance(as_of, _dt.datetime):
             if as_of.tzinfo is None:
                 as_of = as_of.replace(tzinfo=_dt.timezone.utc)
-            ns = int(as_of.timestamp() * 1_000_000_000)
+            ns = (
+                calendar.timegm(as_of.utctimetuple()) * 10**9
+                + as_of.microsecond * 1000
+            )
         else:
             ns = int(as_of)
         return f"{ns:020d}-zzzzzzzz"

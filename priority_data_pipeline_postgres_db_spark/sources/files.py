@@ -160,14 +160,19 @@ def read_documents_text(
     """Read a raw text corpus drop — ONE DOCUMENT PER LINE (the classic
     crawl-dump layout) — into the documents shape.
 
-    doc_id is the md5-60 content hash of the line (the same
-    engine-portable hash the dedup families key on): drops carry no ids,
-    a positional id would reshuffle on every re-land, and content keying
-    means byte-identical lines collapse to one id — which IS the exact-
-    dedup semantic, one step early.  Blank lines are dropped.  ``source``
-    is required (provenance is load-bearing for source capping /
-    interleaving); ``lang`` is optional — null routes the doc to the
-    lang-id operator downstream.
+    doc_id is the FULL 128-bit md5 content hash of the line (32-char hex
+    string): drops carry no ids, a positional id would reshuffle on every
+    re-land, and content keying means byte-identical lines collapse to
+    one id — which IS the exact-dedup semantic, one step early.  The
+    width matters: a 60-bit id hits birthday collisions around ~1.2e9
+    documents (50% odds), silently merging two DIFFERENT documents into
+    one identity with no downstream verify to catch it — unacceptable at
+    the engine's design scale, so unlike the LSH-style keys (where a
+    rare collision only costs one wasted verify), identity gets all 128
+    bits (collision odds ~1e-18 at 1e10 docs).  Blank lines are dropped.
+    ``source`` is required (provenance is load-bearing for source
+    capping / interleaving); ``lang`` is optional — null routes the doc
+    to the lang-id operator downstream.
     """
     raw = spark.read.text(path)
     par = spark.sparkContext.defaultParallelism
@@ -175,9 +180,7 @@ def read_documents_text(
         raw.filter(F.length(F.trim(F.col("value"))) > 0)
         .repartition(par)
         .select(
-            F.conv(F.substring(F.md5("value"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("doc_id"),
+            F.md5("value").alias("doc_id"),
             F.col("value").alias("text"),
             F.lit(lang).cast("string").alias("lang"),
             F.lit(source).alias("source"),

@@ -141,7 +141,27 @@ def fake_transport(url: str, headers: dict) -> dict | str:
         fld, bound = m.group(1), m.group(2)
         bdt = datetime.fromisoformat(bound)
         rows = [r for r in rows if datetime.fromisoformat(r[fld]) >= bdt]
-    rows.sort(key=lambda r: r["ORDNAME"])
+    ob = params.get("$orderby", "")
+    if ob:
+        # honor the requested sort (real tenants do; keyset paging
+        # depends on it) — ISO-timestamp strings sort as datetimes
+        fields = [s.strip() for s in ob.split(",") if s.strip()]
+
+        def _k(r):
+            out = []
+            for f in fields:
+                v = r.get(f)
+                if isinstance(v, str):
+                    try:
+                        v = datetime.fromisoformat(v)
+                    except ValueError:
+                        pass
+                out.append(v)
+            return out
+
+        rows.sort(key=_k)
+    else:
+        rows.sort(key=lambda r: r["ORDNAME"])
     if is_count:
         return {"count": len(rows)}
     skip = int(params.get("$skip", 0))
@@ -457,18 +477,45 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
 
     # -- transport ----------------------------------------------------------
     def _fetch_ge(self, wm: str) -> list[dict]:
+        """Fetch every row with ``filter_field ge wm``.
+
+        Two paging modes (``options["paging"]``):
+
+        - ``"skip"`` (default) — classic ``$skip/$top`` offset windows.
+          KNOWN RACE (ADVICE r4): a row inserted between page fetches
+          shifts offsets, so a page boundary can skip or duplicate rows
+          within a single poll (the strict (ts, pk) cut only trims at
+          the batch boundary, not mid-fetch).  Works against ANY server
+          ordering, which is why it stays the default.
+        - ``"keyset"`` — pagination re-anchors on the order key: after
+          each full page the ``ge`` bound advances to the max
+          filter-field value fetched and ``$skip`` counts only the
+          already-consumed ties at that bound, so a concurrent insert
+          with a later timestamp can never shift the page window.
+          REQUIRES the tenant to honor ``$orderby=(filter_field, pk)``;
+          uses only the same universally-spoken ``ge`` filter
+          vocabulary.  Residual window: an insert tying the anchor
+          timestamp exactly, mid-poll, with a smaller pk — the client-
+          side (ts, pk) de-dup turns the duplicate half of that race
+          into a no-op, and a skipped exact-tie row below the advancing
+          watermark is the inherent late-data limit of (ts, pk)
+          watermark streaming.
+        """
         transport = TRANSPORTS[self.options.get("transport", "http")]
         user = self.options.get("user", "")
         headers = auth_headers(user, self.options.get("password", "")) if user else {}
-        clause = f"{self.filter_field} ge {wm}" if wm else None
         page = int(self.options.get("pagesize", 1000))
+        orderby = f"{self.filter_field},{self.pk_field}"
+        if self.options.get("paging", "skip") == "keyset":
+            return self._fetch_ge_keyset(transport, headers, wm, page, orderby)
+        clause = f"{self.filter_field} ge {wm}" if wm else None
         skip, rows = 0, []
         while True:
             url = build_url(
                 self.options["uri"],
                 self.options["entity"],
                 filter_clause=clause,
-                orderby=f"{self.filter_field},{self.pk_field}",
+                orderby=orderby,
                 skip=skip,
                 top=page,
             )
@@ -477,6 +524,42 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
             if len(vals) < page:
                 return rows
             skip += page
+
+    def _fetch_ge_keyset(
+        self, transport, headers: dict, wm: str, page: int, orderby: str
+    ) -> list[dict]:
+        rows: list[dict] = []
+        anchor, n_at_anchor = wm, 0
+        while True:
+            clause = f"{self.filter_field} ge {anchor}" if anchor else None
+            url = build_url(
+                self.options["uri"],
+                self.options["entity"],
+                filter_clause=clause,
+                orderby=orderby,
+                skip=n_at_anchor,
+                top=page,
+            )
+            vals = transport(url, headers).get("value", [])
+            rows.extend(vals)
+            if len(vals) < page:
+                break
+            # advance the ge bound to the last (max) timestamp fetched;
+            # $skip then counts ONLY the consumed ties at that bound, so
+            # inserts with later timestamps cannot shift the window
+            anchor = str(rows[-1][self.filter_field])
+            a_ts = self._ts(anchor)
+            n_at_anchor = sum(
+                1 for r in rows if self._ts(str(r[self.filter_field])) == a_ts
+            )
+        seen: set = set()
+        out: list[dict] = []
+        for r in rows:
+            k = self._sort_key(r)
+            if k not in seen:
+                seen.add(k)
+                out.append(r)
+        return out
 
     def _to_rows(self, recs: list[dict]) -> Iterator[tuple]:
         # a LIST iterator, not a generator: the Simple stream-reader

@@ -258,17 +258,17 @@ def test_lsh_recall_report_ground_truth(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from priority_data_pipeline_postgres_db_spark.operators.dedup import (
-        RECALL_SAMPLE_MOD,
+        _auto_mod,
         dedup_lsh_recall_report,
     )
 
     row = dedup_lsh_recall_report(spark, sf_dir).collect()[0]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    mod = _auto_mod(len(docs))
     sample = [
         r
         for r in docs
-        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
-        % RECALL_SAMPLE_MOD
+        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) % mod
         == 0
     ]
     assert row["n_sample_docs"] == len(sample)

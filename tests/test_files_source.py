@@ -142,6 +142,9 @@ def test_read_documents_text_one_doc_per_line(spark, tmp_path):
         by_text.setdefault(r["text"], []).append(r["doc_id"])
         assert r["source"] == "crawl1" and r["lang"] is None
         assert r["n_chars"] == len(r["text"])
+        # identity carries the FULL 128-bit md5 (collision-safe at
+        # billion-doc scale), not the 60-bit LSH-style truncation
+        assert len(r["doc_id"]) == 32 and int(r["doc_id"], 16) >= 0
     assert len(set(by_text["alpha beta"])) == 1  # same content → same id
     again = read_documents_text(spark, str(p), source="crawl1").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}

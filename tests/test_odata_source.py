@@ -282,6 +282,90 @@ def _stream_schema():
     )
 
 
+def _mutating_tenant_transport(rows, mutate_after_first_page):
+    """In-process OData transport over a MUTABLE (ts, pk)-ordered list that
+    runs ``mutate_after_first_page`` once, right after serving the first
+    page — the mid-poll concurrent-insert race (ADVICE r4)."""
+    import re as relib
+    import urllib.parse as up
+    from datetime import datetime as dtt
+
+    state = {"calls": 0}
+
+    def transport(url, headers):
+        path, _, query = url.partition("?")
+        params = {
+            k: up.unquote(v)
+            for k, v in (p.split("=", 1) for p in query.split("&") if "=" in p)
+        }
+        out = list(rows)
+        m = relib.match(r"(\w+) ge ([0-9T:+\-\.]+)", params.get("$filter", ""))
+        if m:
+            bound = dtt.fromisoformat(m.group(2))
+            out = [r for r in out if dtt.fromisoformat(r[m.group(1)]) >= bound]
+        out.sort(key=lambda r: (dtt.fromisoformat(r["CURDATE"]), r["ORDNAME"]))
+        skip = int(params.get("$skip", 0))
+        top = int(params.get("$top", len(out)))
+        page = out[skip : skip + top]
+        state["calls"] += 1
+        if state["calls"] == 1:
+            mutate_after_first_page()
+        return {"value": page}
+
+    return transport
+
+
+def _race_rows():
+    return [
+        {
+            "ORDNAME": f"SO{i:03d}",
+            "CURDATE": f"2024-03-{i + 1:02d}T00:00:00+02:00",
+            "ORD": i,
+        }
+        for i in range(7)
+    ]
+
+
+def test_stream_reader_keyset_paging_survives_midpoll_insert():
+    """paging=keyset (ADVICE r4): a row inserted between page fetches
+    cannot shift the page window — the poll returns every pre-poll row
+    exactly once.  The default $skip mode demonstrably duplicates under
+    the same insert, which is why keyset exists."""
+    from priority_data_pipeline_postgres_db_spark.sources.odata import (
+        TRANSPORTS,
+        ODataStreamReader,
+    )
+
+    def run(paging):
+        rows = _race_rows()
+
+        def insert_early():
+            # earliest timestamp → lands at global offset 0, shifting
+            # every later row right by one
+            rows.append(
+                {"ORDNAME": "SO999", "CURDATE": "2024-02-01T00:00:00+02:00", "ORD": 999}
+            )
+
+        TRANSPORTS["race-test"] = _mutating_tenant_transport(rows, insert_early)
+        try:
+            r = ODataStreamReader(
+                _stream_schema(),
+                {"uri": "fake://tenant", "entity": "ORDERS",
+                 "filterfield": "CURDATE", "transport": "race-test",
+                 "pagesize": "3", "paging": paging},
+            )
+            batch, _ = r.read(r.initialOffset())
+            return [b[0] for b in batch]
+        finally:
+            del TRANSPORTS["race-test"]
+
+    keyset = run("keyset")
+    assert keyset == [f"SO{i:03d}" for i in range(7)]  # each exactly once
+
+    skip = run("skip")
+    assert len(skip) != len(set(skip))  # the documented offset-shift dup
+
+
 def test_stream_reader_polls_only_new_rows(growing_tenant):
     """Batch 1 delivers the backlog; rows appended between polls (one
     SHARING the boundary timestamp) arrive exactly once; an idle poll
