@@ -1018,3 +1018,46 @@ ORACLE["text_token_entropy"] = f"""
              4) AS DECIMAL(18,4)) AS DOUBLE) AS entropy_nats
     FROM tf GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick features (fixed-width sparse text features)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 16  # feature buckets; production classifiers use 2^18-2^20
+
+
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick unigram features in long form: (doc_id, bucket,
+    n_tokens) where bucket = md5-60(token) mod HASH_DIM — the input every
+    lightweight quality/toxicity/language classifier trains on without a
+    vocabulary (Weinberger et al. 2009).  Long form beats a fixed-width
+    array column at scale: rows are sparse (absent buckets cost nothing),
+    aggregations stay partial-agg shuffles, and downstream pivots to
+    wide only at the (small) model boundary.
+
+    One explode + one (doc_id, bucket) groupBy — the bucket key is the
+    same engine-portable md5-60 every hash family here uses, so the
+    whole featurization replays in the oracle."""
+    ex = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_expr()).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % HASH_DIM
+    )
+    return (
+        ex.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+
+
+QUERIES["text_hashed_features"] = text_hashed_features
+
+ORACLE["text_hashed_features"] = f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % {HASH_DIM} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY doc_id, bucket
+"""

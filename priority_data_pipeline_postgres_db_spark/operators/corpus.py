@@ -1377,3 +1377,334 @@ ORACLE["corpus_source_stats"] = f"""
              / CAST((SELECT SUM(n_tokens) FROM per_src) AS DOUBLE) AS token_share
     FROM per_src
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition gate (MassiveText/Gopher-style keep/drop filter)
+# ---------------------------------------------------------------------------
+
+REP_DUP_TOKEN_MAX = 0.30  # Gopher Table A1: duplicate-mass ceilings
+REP_TOP_BIGRAM_MAX = 0.18
+# the bigram ceiling only binds on docs long enough for the statistic to
+# mean anything — a perfectly diverse 6-token doc has top-bigram mass 1/5
+# and would fail a naive gate (Gopher's fractions likewise assume docs
+# past its 50-word minimum)
+REP_MIN_TOKENS_BIGRAM = 20
+
+
+def corpus_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of ``text_repetition_score``: Gopher-style
+    repetition FILTER with per-document keep/drop and both signals
+    carried for audit (Rae et al. 2021, Table A1 thresholds — duplicate
+    token mass ≤ 0.30, top-bigram mass ≤ 0.18).  Score-only reporting
+    (text_repetition_score) tells you the distribution; curation needs
+    the decision, and keeping the signals on the row makes the drop
+    auditable afterwards.
+
+    Shape identical to the score operator (two partial-agg shuffles on
+    doc_id, no doc×doc term); the gate is a codegen boolean on top.
+    Docs under 2 tokens have no bigram signal and pass by definition.
+    """
+    from ..functions.text import tokenized
+    from .dedup import ngrams_expr
+
+    docs = tokenized(load(spark, sf_dir, "documents"))
+    tok_stats = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(F.size("toks") >= 2,
+               (F.size("toks") - F.size("uniq")) / F.size("toks").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
+    bigrams = docs.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(ngrams_expr(F.col("toks"), 2, distinct=False)).alias("g")
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top"), F.sum("count").alias("total"))
+        .select(
+            "doc_id",
+            (F.col("top") / F.col("total").cast("double")).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        tok_stats.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_token_frac") <= REP_DUP_TOKEN_MAX)
+            & (
+                (F.col("n_tokens") < REP_MIN_TOKENS_BIGRAM)
+                | (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+            ),
+        )
+    )
+
+
+QUERIES["corpus_repetition_gate"] = corpus_repetition_gate
+
+ORACLE["corpus_repetition_gate"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tok_stats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) >= 2
+                  THEN (len(toks) - len(list_distinct(toks)))
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS dup_token_frac,
+             toks
+      FROM d
+    ), bg AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+      FROM d, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ), counts AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.dup_token_frac,
+           COALESCE(p.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (t.dup_token_frac <= {REP_DUP_TOKEN_MAX}
+            AND (t.n_tokens < {REP_MIN_TOKENS_BIGRAM}
+                 OR COALESCE(p.top_bigram_frac, 0.0) <= {REP_TOP_BIGRAM_MAX}))
+             AS keep
+    FROM tok_stats t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocklist gate (wordlist content filter)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST = ("slow", "broken")  # stand-in wordlist; swap for the real one
+BLOCK_FRAC_MAX = 0.05
+
+
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist content gate: per-document count and fraction of
+    blocklisted tokens, keep = fraction ≤ threshold — the standard
+    coarse NSFW/toxicity prefilter (C4 applied exactly this shape with
+    its 'bad words' list before any model-based scoring).
+
+    Shape: the blocklist is a literal array in the plan (at production
+    size, a broadcast variable feeding the same array_intersect-style
+    membership) — the whole gate is one codegen projection over the
+    corpus scan, no shuffle at all.  The fraction denominator is the
+    doc's token count; empty docs pass with 0 hits.
+    """
+    toks = tokens_expr()
+    hits = F.size(F.filter(toks, lambda x: x.isin(*BLOCKLIST)))
+    n = F.size(toks)
+    frac = F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        hits.cast("long").alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (frac <= BLOCK_FRAC_MAX).alias("keep"),
+    )
+
+
+QUERIES["corpus_blocklist_filter"] = corpus_blocklist_filter
+
+_BLOCK_IN = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+ORACLE["corpus_blocklist_filter"] = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(list_filter(toks, x -> x IN ({_BLOCK_IN}))) AS BIGINT)
+             AS n_blocked,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN ({_BLOCK_IN})))
+                     / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS blocked_frac,
+           (CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ({_BLOCK_IN})))
+                      / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END) <= {BLOCK_FRAC_MAX} AS keep
+    FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency report
+# ---------------------------------------------------------------------------
+
+
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing-utilization report at the training sequence
+    length: chunks = ceil(tokens / capacity) per document (the no-
+    cross-doc-packing layout), padding = chunks·capacity − tokens, and
+    utilization = tokens / (chunks·capacity).  This is the number that
+    justifies (or kills) greedy packing: a source full of short docs at
+    30% utilization is paying 3× its token cost in padded compute, and
+    this table says so per source BEFORE a packing job runs
+    (``corpus_pack_sequences`` then fixes it).
+
+    One scan, integer ceil-division in the projection, one groupBy on
+    the tiny source key — all counts integral until the final division.
+    """
+    per_doc = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokens_expr()).cast("long").alias("n_tok"),
+    ).select(
+        "source",
+        "n_tok",
+        (-F.floor(-F.col("n_tok") / F.lit(SEQ_CAPACITY))).cast("long").alias("n_chunks"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chunks").cast("long").alias("n_seqs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_seqs",
+            (F.col("n_seqs") * SEQ_CAPACITY - F.col("n_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+            (
+                F.col("n_tokens").cast("double")
+                / (F.col("n_seqs") * SEQ_CAPACITY).cast("double")
+            ).alias("utilization"),
+        )
+    )
+
+
+QUERIES["corpus_packing_efficiency"] = corpus_packing_efficiency
+
+ORACLE["corpus_packing_efficiency"] = f"""
+    WITH per_doc AS (
+      SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(ceil(len({_TOKS}) / {SEQ_CAPACITY}.0) AS BIGINT) AS n_chunks
+      FROM documents
+    ), per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chunks) AS BIGINT) AS n_seqs
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_seqs,
+           CAST(n_seqs * {SEQ_CAPACITY} - n_tokens AS BIGINT) AS pad_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(n_seqs * {SEQ_CAPACITY} AS DOUBLE) AS utilization
+    FROM per_src
+"""
+
+
+# ---------------------------------------------------------------------------
+# importance weights (DSIR-lite domain reweighting)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_MOD = 10  # deterministic hash-slice of the corpus as the target
+
+
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights, DSIR-style (Xie et al. 2023):
+    score every document by how much its unigram distribution looks like
+    a TARGET domain versus the corpus at large — the weights that drive
+    importance resampling when you want "more like the good subset"
+    without a trained classifier.  The target here is a deterministic
+    md5 slice of the corpus (doc hash % {mod} == 0), standing in for a
+    curated seed set; production swaps in its real target corpus.
+
+    score(doc) = mean over token occurrences of p_target(tok)/p_corpus(tok),
+    add-1 smoothed over the corpus vocabulary.  The DSIR paper works in
+    log space; this variant keeps the LINEAR ratio mean because ln() is
+    libm-dependent (not bit-portable across engines) while +,-,×,÷ are
+    IEEE-exact — and monotone enough for rank-based resampling.  Each
+    token's ratio is a 1e6 fixed-point integer (same trick as
+    text_unigram_surprisal), so the per-doc aggregation is an EXACT
+    integer sum — order-independent, hash-gate-safe — and only the final
+    normalization divides in double.  Fixed-point range note: the
+    numerator is 1e6·(c_t+1)·(T_c+V), which fits int64 up to corpus
+    totals ~9e12·(c_t+1)⁻¹ — switch the oracle-side and Spark-side pair
+    to DECIMAL(38) together beyond that.
+
+    Shape: one explode (narrow), one token-keyed groupBy (Zipf-skewed —
+    AQE splits), a token join back, and a 1-row broadcast of totals.
+    No quadratic term anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ex = docs.select(
+        "doc_id",
+        F.explode(tokens_expr()).alias("tok"),
+        (key % DSIR_TARGET_MOD == 0).cast("long").alias("is_t"),
+    )
+    counts = ex.groupBy("tok").agg(
+        F.count("*").cast("long").alias("c_c"),
+        F.sum("is_t").cast("long").alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_c").cast("long").alias("t_c"),
+        F.sum("c_t").cast("long").alias("t_t"),
+        F.count("*").cast("long").alias("v"),
+    )
+    scored = (
+        ex.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * (c_t + 1) * (t_c + v)) div ((c_c + 1) * (t_t + v))"
+            ).alias("r6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (
+            F.sum("r6").cast("double")
+            / (F.lit(1000000.0) * F.count("*").cast("double"))
+        ).alias("importance"),
+    )
+
+
+QUERIES["corpus_importance_weights"] = corpus_importance_weights
+
+ORACLE["corpus_importance_weights"] = f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {DSIR_TARGET_MOD} = 0 THEN 1 ELSE 0 END AS is_t
+      FROM documents
+    ), counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c_c,
+             CAST(sum(is_t) AS BIGINT) AS c_t
+      FROM ex GROUP BY tok
+    ), totals AS (
+      SELECT CAST(sum(c_c) AS BIGINT) AS t_c,
+             CAST(sum(c_t) AS BIGINT) AS t_t,
+             CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    ), scored AS (
+      SELECT doc_id,
+             (1000000 * (c_t + 1) * (t_c + v)) // ((c_c + 1) * (t_t + v)) AS r6
+      FROM ex JOIN counts USING (tok) CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(r6) AS BIGINT) AS DOUBLE)
+             / (1000000.0 * CAST(count(*) AS DOUBLE)) AS importance
+    FROM scored GROUP BY doc_id
+"""

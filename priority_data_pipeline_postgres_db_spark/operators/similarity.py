@@ -1094,3 +1094,64 @@ ORACLE["sim_srp_recall_report"] = f"""
            END AS recall
     FROM cnt
 """
+
+
+# ---------------------------------------------------------------------------
+# full-coverage kNN join (approximate + exact residue, VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+
+def sim_knn_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_knn_join(full_coverage=True)`` under the hash gate: the
+    SRP-bucketed approximate join UNION an exact top-k pass for vectors
+    no bucket covered.  The oracle replays both halves — the bucket
+    pipeline verbatim plus a NOT IN residue with the brute-force
+    ranking — so total coverage is verified, not asserted."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return ann_knn_join(emb, dim, k=TOP_K, full_coverage=True)
+
+
+QUERIES["sim_knn_join_full"] = sim_knn_join_full
+
+ORACLE["sim_knn_join_full"] = f'''
+        WITH {_SRP_BUCKET_CTES}, cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id
+        ), n AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+        ), scored AS (
+          SELECT cand.va, cand.vb,
+                 list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                   AS cosine
+          FROM cand
+          JOIN n a ON a.vec_id = cand.va
+          JOIN n b ON b.vec_id = cand.vb
+        ), approx AS (
+          SELECT va AS vec_id, vb AS neighbor_id, cosine,
+                 CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY va
+                                         ORDER BY cosine DESC, vb ASC) AS rank
+            FROM scored
+          ) WHERE rank <= {TOP_K}
+        ), resid AS (
+          SELECT vec_id FROM embeddings
+          WHERE vec_id NOT IN (SELECT va FROM cand)
+        ), rs AS (
+          SELECT r.vec_id AS va, m.vec_id AS vb,
+                 list_dot_product(a.qv, m.qv) / (sqrt(a.norm2) * sqrt(m.norm2))
+                   AS cosine
+          FROM resid r
+          JOIN n a ON a.vec_id = r.vec_id
+          JOIN n m ON m.vec_id <> r.vec_id
+        )
+        SELECT * FROM approx
+        UNION ALL
+        SELECT va AS vec_id, vb AS neighbor_id, cosine,
+               CAST(rank AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY va
+                                       ORDER BY cosine DESC, vb ASC) AS rank
+          FROM rs
+        ) WHERE rank <= {TOP_K}
+'''

@@ -197,6 +197,72 @@ ORACLE["k1_dedup_append"] = """
 """
 
 
+def _staged_three_batches(spark: SparkSession, sf_dir: str, table: str):
+    """Shared fixture for the time-travel / schema-evolution entries:
+    three incremental event batches land in a throwaway warehouse, the
+    THIRD adding a column (schema evolution).  The root is rebuilt per
+    call so the composed query is deterministic run over run."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.staging import StagingWarehouse
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{table}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = StagingWarehouse(spark, root)
+    ev = load(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("ts") < "2024-01-10")
+    b2 = ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))
+    b3 = ev.filter(F.col("ts") >= "2024-01-20").withColumn("extra", F.lit("x"))
+    wh.write(b1, table, incremental=True, batch_id="b1")
+    wh.write(b2, table, incremental=True, batch_id="b2")
+    wh.write(b3, table, incremental=True, batch_id="b3")
+    return wh
+
+
+def k1_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the hash gate (VERDICT r4 #8): three committed
+    batches, read ``as_of`` the second — the result must be EXACTLY the
+    first two batches, with the third (and its added column) invisible.
+    The batch cutoff is a partition-column predicate, so excluded
+    batches prune at file listing (cf. staging.StagingWarehouse.read)."""
+    wh = _staged_three_batches(spark, sf_dir, "events_tt")
+    return wh.read("events_tt", as_of="b2").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def k1_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the hash gate (VERDICT r4 #8): the full
+    read after a batch added a column returns the MERGED schema — the
+    new column present, null-filled for pre-evolution batches (the
+    mergeSchema contract; without it Spark silently picks one batch's
+    footer as THE schema and the column vanishes)."""
+    wh = _staged_three_batches(spark, sf_dir, "events_se")
+    return wh.read("events_se").select(
+        "event_id", "ts", "user_id", "event_type", "value", "extra"
+    )
+
+
+QUERIES["k1_time_travel_read"] = k1_time_travel_read
+QUERIES["k1_schema_evolution_read"] = k1_schema_evolution_read
+
+# oracles replay the same batch construction straight from the source
+# parquet: as_of=b2 ≡ the first two batches' predicate; the evolved
+# column is 'x' exactly where batch 3 wrote it and NULL elsewhere
+ORACLE["k1_time_travel_read"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+ORACLE["k1_schema_evolution_read"] = """
+    SELECT event_id, ts, user_id, event_type, value,
+           CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'x' END AS extra
+    FROM events
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions (SURVEY.md §2.7 row): parse the events.props
     JSON payload and aggregate on an extracted field. from_json with an

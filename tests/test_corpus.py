@@ -508,3 +508,138 @@ def test_source_stats_mass_and_shares(spark, sf_dir):
     for r in rows:
         assert r["avg_doc_tokens"] == r["n_tokens"] / r["n_docs"]
         assert r["token_share"] == r["n_tokens"] / total_tok
+
+
+def test_repetition_gate_drops_looping_text(spark, sf_dir):
+    """A token-looping doc trips both Gopher ceilings and is dropped; a
+    diverse doc passes; a 1-token doc has no bigram signal and passes."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam", lang="en",
+                source="s", n_chars=29),
+            Row(doc_id=2, text="one two three four five six", lang="en",
+                source="s", n_chars=27),
+            Row(doc_id=3, text="lonely", lang="en", source="s", n_chars=6),
+        ]
+    )
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in C.corpus_repetition_gate(spark, d).collect()}
+        assert got[1]["keep"] is False and got[1]["dup_token_frac"] > 0.3
+        assert got[2]["keep"] is True and got[2]["dup_token_frac"] == 0.0
+        assert got[3]["keep"] is True and got[3]["top_bigram_frac"] == 0.0
+    finally:
+        shutil.rmtree(d)
+
+
+def test_blocklist_filter_fraction_gate(spark, sf_dir):
+    """Hit fraction above the ceiling drops the doc; zero-token docs pass
+    with 0 hits; the hit count is exact."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="slow slow broken fast", lang="en", source="s",
+                n_chars=21),  # 3/4 blocked
+            Row(doc_id=2, text="fast table scan value data " * 8 + "slow",
+                lang="en", source="s", n_chars=10),  # 1/41 blocked < 5%
+            Row(doc_id=3, text="   ", lang="en", source="s", n_chars=3),
+        ]
+    )
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in C.corpus_blocklist_filter(spark, d).collect()}
+        assert got[1]["n_blocked"] == 3 and got[1]["keep"] is False
+        assert got[2]["n_blocked"] == 1 and got[2]["keep"] is True
+        assert got[3]["n_blocked"] == 0 and got[3]["keep"] is True
+    finally:
+        shutil.rmtree(d)
+
+
+def test_packing_efficiency_hand_computed(spark, sf_dir):
+    """Utilization matches the ceil-division layout exactly."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import SEQ_CAPACITY
+
+    # one doc of exactly capacity tokens (1.0 util), one of capacity+1
+    # (2 chunks, util just over 0.5)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(["t"] * SEQ_CAPACITY), lang="en",
+                source="full", n_chars=1),
+            Row(doc_id=2, text=" ".join(["t"] * (SEQ_CAPACITY + 1)), lang="en",
+                source="spill", n_chars=1),
+        ]
+    )
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["source"]: r for r in C.corpus_packing_efficiency(spark, d).collect()}
+        assert got["full"]["n_seqs"] == 1 and got["full"]["utilization"] == 1.0
+        assert got["spill"]["n_seqs"] == 2
+        assert got["spill"]["pad_tokens"] == SEQ_CAPACITY - 1
+        assert got["spill"]["utilization"] == (SEQ_CAPACITY + 1) / (2 * SEQ_CAPACITY)
+    finally:
+        shutil.rmtree(d)
+
+
+def test_importance_weights_favor_target_vocabulary(spark, sf_dir):
+    """A doc written in the target slice's vocabulary outscores one written
+    in off-target vocabulary; weights are positive and finite."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        DSIR_TARGET_MOD,
+    )
+
+    def is_target(doc_id):
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+            % DSIR_TARGET_MOD
+            == 0
+        )
+
+    target_ids = [i for i in range(200) if is_target(i)][:3]
+    other_ids = [i for i in range(200) if not is_target(i)][:5]
+    rows = [
+        Row(doc_id=i, text="alpha beta gamma delta", lang="en", source="s",
+            n_chars=1)
+        for i in target_ids
+    ] + [
+        Row(doc_id=other_ids[0], text="alpha beta gamma delta", lang="en",
+            source="s", n_chars=1),          # on-target vocab
+        Row(doc_id=other_ids[1], text="zig zag zork quux", lang="en",
+            source="s", n_chars=1),          # off-target vocab
+    ] + [
+        Row(doc_id=i, text="filler words here now", lang="en", source="s",
+            n_chars=1)
+        for i in other_ids[2:]
+    ]
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {r["doc_id"]: r["importance"] for r in
+               C.corpus_importance_weights(spark, d).collect()}
+        assert all(v > 0 for v in got.values())
+        assert got[other_ids[0]] > got[other_ids[1]]
+    finally:
+        shutil.rmtree(d)

@@ -242,3 +242,31 @@ def test_zipf_fit_corpus_shape(spark, sf_dir):
     assert 0 < got["n"] <= 100
     assert got["zipf_slope"] < 0
     assert 0.0 < got["r2"] <= 1.0
+
+
+def test_hashed_features_partition_tokens_exactly(spark, sf_dir):
+    """Buckets stay in [0, HASH_DIM); per-doc bucket counts sum to the
+    doc's token count (the hashing trick loses identity, never mass)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.functions.text import (
+        HASH_DIM,
+        text_hashed_features,
+    )
+
+    feats = text_hashed_features(spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < HASH_DIM for r in feats)
+    per_doc = {}
+    for r in feats:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+            .alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    assert per_doc == truth
