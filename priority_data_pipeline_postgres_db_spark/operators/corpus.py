@@ -1708,3 +1708,135 @@ ORACLE["corpus_importance_weights"] = f"""
              / (1000000.0 * CAST(count(*) AS DOUBLE)) AS importance
     FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup yield curve (threshold tuning table)
+# ---------------------------------------------------------------------------
+
+CURVE_THRESHOLDS = tuple(t / 100.0 for t in range(50, 95, 5))
+
+
+def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield as a function of the Jaccard threshold: for each bar in
+    0.50..0.90, how many verified near-dup pairs survive — the table you
+    read BEFORE picking a production threshold (a cliff between 0.6 and
+    0.7 means the corpus has a distinct boilerplate band there; a flat
+    curve means the threshold hardly matters).
+
+    Cost: the verified pair set is computed ONCE at the loosest bar
+    (every tighter bar is a subset — jaccard is already on the edge), and
+    the curve is a tiny broadcast cross-join of |thresholds| × one pass
+    over the pairs with a conditional count.  No re-verification per bar.
+    """
+    from .dedup import minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=min(CURVE_THRESHOLDS)
+    )
+    bars = spark.createDataFrame(
+        [(t,) for t in CURVE_THRESHOLDS], "threshold double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(bars))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("jaccard") >= F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
+QUERIES["corpus_dedup_rate_curve"] = corpus_dedup_rate_curve
+
+_CURVE_BARS = ", ".join(f"({t})" for t in CURVE_THRESHOLDS)
+
+ORACLE["corpus_dedup_rate_curve"] = f"""
+    WITH ver AS (
+      SELECT * FROM ({{MINHASH_VERIFIED}}) v
+    ), bars(threshold) AS (VALUES {_CURVE_BARS})
+    SELECT threshold,
+           CAST(COALESCE(SUM(CASE WHEN ver.jaccard >= bars.threshold
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+    FROM bars LEFT JOIN ver ON true
+    GROUP BY threshold
+"""
+
+from .dedup import ORACLE as _DD_ORC  # noqa: E402
+
+ORACLE["corpus_dedup_rate_curve"] = ORACLE["corpus_dedup_rate_curve"].replace(
+    "{MINHASH_VERIFIED}", _DD_ORC["dedup_minhash_verified"]
+)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM predictability score
+# ---------------------------------------------------------------------------
+
+
+def corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram predictability: the mean corpus-level
+    conditional probability P(tok | prev) across the doc's bigram
+    positions — the cheap KenLM stand-in curation stacks use between the
+    heuristic gates and a real model score.  Boilerplate scores high
+    (its transitions dominate the corpus LM), genuinely novel text low;
+    unlike ``text_unigram_surprisal`` this sees WORD ORDER, so shuffled
+    token salad that fools a unigram score does not fool this one.
+
+    Exactness: each position's probability is a 1e6 fixed-point integer
+    ((1e6·c_bigram) // c_prev), so the per-doc aggregation is an exact
+    integer sum (order-independent — hash-gate safe) and only the final
+    normalization divides in double.  Shape: one explode, two
+    Zipf-skewed groupBys (AQE splits), two key joins back — the same
+    linear skeleton as the surprisal operator.  Docs under 2 tokens have
+    no bigram positions and are excluded (score undefined).
+    """
+    from .dedup import ngrams_expr
+
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(ngrams_expr(tokens_expr(), 2, distinct=False)).alias("g"),
+    ).withColumn("prev", F.split(F.col("g"), " ")[0])
+    c2 = bg.groupBy("g").agg(F.count("*").cast("long").alias("c_bg"))
+    c1 = bg.groupBy("prev").agg(F.count("*").cast("long").alias("c_prev"))
+    scored = (
+        bg.join(c2, "g")
+        .join(c1, "prev")
+        .select("doc_id", F.expr("(1000000 * c_bg) div c_prev").alias("r6"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (
+            F.sum("r6").cast("double")
+            / (F.lit(1000000.0) * F.count("*").cast("double"))
+        ).alias("avg_cond_prob"),
+    )
+
+
+QUERIES["corpus_bigram_lm_score"] = corpus_bigram_lm_score
+
+ORACLE["corpus_bigram_lm_score"] = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + 1), ' ') AS g,
+             toks[i] AS prev
+      FROM d, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ), c2 AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY g
+    ), c1 AS (
+      SELECT prev, CAST(count(*) AS BIGINT) AS c_prev FROM bg GROUP BY prev
+    ), scored AS (
+      SELECT doc_id, (1000000 * c_bg) // c_prev AS r6
+      FROM bg JOIN c2 USING (g) JOIN c1 USING (prev)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(r6) AS BIGINT) AS DOUBLE)
+             / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_cond_prob
+    FROM scored GROUP BY doc_id
+"""

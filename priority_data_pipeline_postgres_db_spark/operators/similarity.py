@@ -1155,3 +1155,139 @@ ORACLE["sim_knn_join_full"] = f'''
           FROM rs
         ) WHERE rank <= {TOP_K}
 '''
+
+
+# ---------------------------------------------------------------------------
+# recall-vs-tables calibration curve
+# ---------------------------------------------------------------------------
+
+
+def srp_recall_curve(
+    emb: DataFrame,
+    dim: int,
+    *,
+    mod: int | None = None,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """Measured recall as a function of how many SRP tables are in play —
+    one row per table count 1..N_TABLES, against the same exact sample
+    ground truth as ``srp_recall_report``.  This is the curve that SIZES
+    the index: marginal recall per extra table falls off geometrically
+    (1-(1-p^planes)^t), so where the measured curve flattens is where
+    adding tables stops paying for their candidate volume.  The r5
+    retune (16×6 → 24×5) was chosen from exactly this trade; the curve
+    makes it a standing artifact instead of a one-off experiment.
+
+    Cost: the bucket pass runs ONCE — a pair's earliest covering table
+    (min table_id) is a groupBy over the capped bucket join, and every
+    curve point is a conditional sum over ≤ N_TABLES+1 counters (a
+    broadcast nested-loop over a 24-row range, not a re-run per point).
+    The quadratic exact side is sample-bounded by the same auto-mod
+    contract as the reports.
+    """
+    from .dedup import _auto_mod, embedding_near_dup_pairs
+    from ..util import bounded_cache
+
+    spark = emb.sparkSession
+    if mod is None:
+        mod = _auto_mod(emb.count())
+    key = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = bounded_cache(emb.filter(key % mod == 0))
+    exact = embedding_near_dup_pairs(
+        sample, threshold=threshold, max_rows=None
+    ).select("vec_id_a", "vec_id_b")
+    capped = _cap_buckets(_srp_bucketed(sample, dim), SEM_MAX_BUCKET)
+    a, b = capped.alias("a"), capped.alias("b")
+    first_t = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.col("a.table_id").alias("t"),
+        )
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.min("t").alias("first_t"))
+    )
+    hit = exact.join(first_t, ["vec_id_a", "vec_id_b"], "left")
+    per_first = hit.groupBy("first_t").agg(F.count("*").cast("long").alias("c"))
+    totals = hit.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    tables = spark.range(1, N_TABLES + 1).select(
+        F.col("id").cast("int").alias("n_tables")
+    )
+    return (
+        tables.join(F.broadcast(per_first), F.lit(True), "left")
+        .groupBy("n_tables")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("first_t") < F.col("n_tables"), F.col("c"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_found")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_tables",
+            "n_exact_pairs",
+            "n_found",
+            F.when(F.col("n_exact_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.col("n_found").cast("double")
+                / F.col("n_exact_pairs").cast("double")
+            )
+            .alias("recall"),
+        )
+    )
+
+
+def sim_srp_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return srp_recall_curve(emb, dim)
+
+
+QUERIES["sim_srp_recall_curve"] = sim_srp_recall_curve
+
+_SRP_BUCKETS_ON_SAMPLE = _SRP_BUCKET_CTES.replace(
+    "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})"
+)
+
+ORACLE["sim_srp_recall_curve"] = f"""
+    WITH {_SRP_BUCKETS_ON_SAMPLE}, first_t AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             CAST(MIN(a.t) AS INTEGER) AS ft
+      FROM capped a
+      JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), exact AS (
+      SELECT vec_id_a, vec_id_b FROM ({_EXACT_ON_SAMPLE}) x
+    ), hit AS (
+      SELECT e.vec_id_a, e.vec_id_b, f.ft
+      FROM exact e LEFT JOIN first_t f
+        ON f.vec_id_a = e.vec_id_a AND f.vec_id_b = e.vec_id_b
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM hit
+    ), curve AS (
+      SELECT CAST(t.generate_series AS INTEGER) AS n_tables,
+             CAST(COALESCE(SUM(CASE WHEN h.ft < t.generate_series
+                                    THEN 1 END), 0) AS BIGINT) AS n_found
+      FROM generate_series(1, {N_TABLES}) t LEFT JOIN hit h ON true
+      GROUP BY t.generate_series
+    )
+    SELECT n_tables, (SELECT n_exact_pairs FROM tot) AS n_exact_pairs, n_found,
+           CASE WHEN (SELECT n_exact_pairs FROM tot) = 0 THEN 1.0
+                ELSE CAST(n_found AS DOUBLE)
+                     / CAST((SELECT n_exact_pairs FROM tot) AS DOUBLE)
+           END AS recall
+    FROM curve
+"""

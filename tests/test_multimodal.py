@@ -296,3 +296,48 @@ def test_image_near_dup_pairs_connect_plants(spark):
     assert relanded == {(i, i + 200000) for i in range(3, 96, 9)}
     assert all(r["hamming"] == 0 for r in rows if r["asset_id_b"] >= 200000)
     assert all(r["hamming"] <= 3 for r in rows)
+
+
+def test_audio_fingerprint_volume_scale_invariant():
+    """Floor-halving the samples preserves every (x >= 0) sign, so the
+    fingerprint is bit-identical; a different-frequency recording lands
+    far away in Hamming space."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        audio_fingerprint64,
+        scale_wav,
+        synth_wav,
+    )
+
+    a = synth_wav(1)
+    assert audio_fingerprint64(a) == audio_fingerprint64(scale_wav(a))
+    assert audio_fingerprint64(a) == audio_fingerprint64(scale_wav(a, shift=3))
+    b = synth_wav(7)  # different frequency
+    ha, hb = audio_fingerprint64(a), audio_fingerprint64(b)
+    assert bin((ha ^ hb) & (2**64 - 1)).count("1") > 3
+
+
+def test_audio_fingerprint_rejects_non_wav():
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    assert audio_fingerprint64(b"not a wav at all") is None
+
+
+def test_audio_near_dup_connects_planted_copies(spark):
+    """The registry entry pairs every planted volume-scaled copy and every
+    byte-identical re-land with its source at Hamming 0."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        multimodal_audio_near_dup,
+    )
+
+    pairs = multimodal_audio_near_dup(spark, "unused").collect()
+    by_pair = {(r["asset_id_a"], r["asset_id_b"]): r["hamming"] for r in pairs}
+    # audio assets are i % 3 == 1 within n=96; scaled plants at % 9 == 1,
+    # relands at % 9 == 4
+    scaled_sources = [i for i in range(96) if i % 3 == 1 and i % 9 == 1]
+    reland_sources = [i for i in range(96) if i % 3 == 1 and i % 9 == 4]
+    for s in scaled_sources:
+        assert by_pair.get((s, s + 100000)) == 0, (s, "scaled copy missing")
+    for s in reland_sources:
+        assert by_pair.get((s, s + 200000)) == 0, (s, "reland missing")

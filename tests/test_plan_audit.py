@@ -35,6 +35,10 @@ ALLOWED = {
     "q11_acctbal_share": {"BNLJ", "SinglePartition"},        # 1-row global-total broadcast
     "q_event_funnel": {"SinglePartition"},                   # 3-row stacked output
     "q_gapfill_daily": {"BNLJ", "SinglePartition"},          # 1-row calendar bounds
+    # r5 additions
+    "corpus_dedup_rate_curve": {"BNLJ"},                     # 9-row threshold-bar broadcast
+    "corpus_importance_weights": {"BNLJ", "SinglePartition"},  # 1-row vocab totals
+    "sim_srp_recall_curve": {"BNLJ", "SinglePartition"},     # sample quadratic + 24-row table range + 1-row totals
 }
 
 
