@@ -118,6 +118,21 @@ HEADLINE = [
     "corpus_source_stats",
     "q_rolling_active_users",
     "sim_srp_recall_report",
+    # r5 additions
+    "q12_late_priority_mix",
+    "q18_large_orders",
+    "k1_time_travel_read",
+    "k1_schema_evolution_read",
+    "corpus_repetition_gate",
+    "corpus_blocklist_filter",
+    "corpus_packing_efficiency",
+    "corpus_importance_weights",
+    "corpus_bigram_lm_score",
+    "corpus_dedup_rate_curve",
+    "text_hashed_features",
+    "sim_knn_join_full",
+    "sim_srp_recall_curve",
+    "multimodal_audio_near_dup",
 ]
 
 

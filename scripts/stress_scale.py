@@ -135,6 +135,16 @@ STRESS = [
     "stream_sessionize",
     "stream_click_attribution",
     "stream_user_totals",
+    # r5 additions
+    "corpus_repetition_gate",
+    "corpus_blocklist_filter",
+    "corpus_packing_efficiency",
+    "corpus_importance_weights",
+    "corpus_bigram_lm_score",
+    "corpus_dedup_rate_curve",
+    "text_hashed_features",
+    "sim_knn_join_full",
+    "sim_srp_recall_curve",
 ]
 
 

@@ -361,3 +361,30 @@ def test_srp_recall_stable_across_mods(spark, sf_dir):
     r2 = srp_recall_report(emb, dim, mod=2).collect()[0]["recall"]
     r3 = srp_recall_report(emb, dim, mod=3).collect()[0]["recall"]
     assert abs(r2 - r3) < 0.2, f"recall unstable across mods: {r2} vs {r3}"
+
+
+def test_ivf_persisted_matches_in_memory(spark, sf_dir, tmp_path):
+    """The persisted index answers identically to the in-memory path
+    (same centroids, assignment, scoring), and the partition filter lands
+    on the hive label column (pruned file listing)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        N_QUERIES,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    wh = StagingWarehouse(spark, str(tmp_path))
+    build_ivf_index(emb, wh)
+    persisted = ivf_topk_persisted(wh, queries, k=5)
+    fresh = ivf_topk(emb, queries, k=5)
+    p = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in persisted.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in fresh.collect()}
+    assert p == f and len(p) > 0
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan  # probe filter reaches the partitioned scan
