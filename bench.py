@@ -133,6 +133,8 @@ HEADLINE = [
     "sim_knn_join_full",
     "sim_srp_recall_curve",
     "multimodal_audio_near_dup",
+    "multimodal_video_near_dup",
+    "sim_ivf_persisted",
 ]
 
 

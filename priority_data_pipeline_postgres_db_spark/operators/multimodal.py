@@ -982,3 +982,177 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_audio_near_dup"] = multimodal_audio_near_dup
+
+
+# ---------------------------------------------------------------------------
+# video perceptual near-dup (quadrant-motion fingerprint over real AVI)
+# ---------------------------------------------------------------------------
+
+
+def _avi_frames(payload: bytes) -> "tuple[list[bytes], int, int] | None":
+    """Raw BI_RGB frames + dimensions from an uncompressed AVI, or None
+    for non-AVI / codec-bound payloads (same RIFF walk as decode_video)."""
+    import struct
+
+    if not is_avi(bytes(payload)):
+        return None
+    buf = bytes(payload)
+    width = height = 0
+    compression = 0
+
+    def walk(pos: int, end: int):
+        nonlocal width, height, compression
+        frames: list[bytes] = []
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                frames += walk(data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", buf, data_start)
+                width, height = vals[8], vals[9]
+            elif fourcc == b"strf":
+                compression = struct.unpack_from("<I", buf, data_start + 16)[0]
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)
+        return frames
+
+    frames = walk(12, len(buf))
+    if compression != 0 or not frames or not width or not height:
+        return None
+    return frames, int(width), int(height)
+
+
+def video_fingerprint64(payload: bytes) -> int | None:
+    """64-bit video fingerprint: per frame, mean byte intensity of the 4
+    spatial quadrants; bit = quadrant mean rises frame-to-frame (4 bits
+    per frame transition, truncated/zero-padded to 64).  Motion
+    STRUCTURE only — exactly invariant to global brightness offsets and
+    container re-muxing, which is what separates a re-encoded copy from
+    a different recording.  Real decode for uncompressed AVI; mp4/h264
+    return None (codec-bound, the dhash64/audio_fingerprint64 contract)."""
+    got = _avi_frames(payload)
+    if got is None:
+        return None
+    frames, w, h = got
+    stride = w * 3 + (-(w * 3) % 4)  # BI_RGB rows pad to 4 bytes
+    means = []
+    for f in frames:
+        arr = np.frombuffer(f[: stride * h], dtype=np.uint8)
+        if len(arr) < stride * h:
+            return None
+        grid = arr.reshape(h, stride)[:, : w * 3].astype(np.float64)
+        hy, hx = h // 2 or 1, (w * 3) // 2 or 1
+        means.append(
+            (
+                grid[:hy, :hx].mean(),
+                grid[:hy, hx:].mean(),
+                grid[hy:, :hx].mean(),
+                grid[hy:, hx:].mean(),
+            )
+        )
+    if len(means) < 2:
+        return None
+    bits = []
+    for prev, cur in zip(means[:-1], means[1:]):
+        bits.extend(c > p for p, c in zip(prev, cur))
+    bits = (bits + [False] * 64)[:64]
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - 2**64 if v >= 2**63 else v
+
+
+def remux_avi(payload: bytes) -> bytes:
+    """Container-level copy: the same frames re-muxed with an extra JUNK
+    chunk (and updated RIFF size) — decode-identical, byte-different.
+    The video analog of perturb_png/scale_wav for planting duplicates."""
+    import struct
+
+    buf = bytes(payload)
+    if not is_avi(buf):
+        raise ValueError("remux_avi needs a RIFF/AVI payload")
+    junk = b"JUNK" + struct.pack("<I", 16) + b"\x00" * 16
+    out = buf[:12] + junk + buf[12:]
+    (size,) = struct.unpack_from("<I", out, 4)
+    return out[:4] + struct.pack("<I", size + len(junk)) + out[8:]
+
+
+def video_phash(media: DataFrame) -> DataFrame:
+    """(asset_id, vhash) for every video row — decodable (uncompressed
+    AVI) rows fingerprint for real; codec-bound rows surface NULL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "vhash": pd.array(
+                        [
+                            video_fingerprint64(b) if b is not None else None
+                            for b in pdf["payload"]
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("vhash", T.LongType(), True),
+        ]
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .repartition("asset_id")
+        .mapInPandas(batches, schema)
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame, *, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Video near-dup pairs through the shared JVM banded-Hamming path —
+    re-muxed / brightness-shifted copies of the same footage pair up;
+    different recordings (noise-frame fixtures → effectively random
+    motion bits) land ~32 bits apart."""
+    hashed = video_phash(media).filter(F.col("vhash").isNotNull())
+    return banded_hamming_pairs(hashed, "vhash", max_hamming=max_hamming)
+
+
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry (rows-only — DuckDB can't parse AVI):
+    synthetic assets plus planted re-muxed copies (asset_id + 100000 —
+    decode-identical, byte-different, so byte dedup is blind) and
+    byte-identical re-lands (asset_id + 200000); each plant must pair
+    with its source at Hamming 0.  Codec-bound mp4 rows surface NULL
+    fingerprints and simply don't join — the honest boundary, same as
+    every multimodal family here."""
+    base = synthetic_media(spark, n=96)
+    vids = base.filter(F.col("media_type") == "video")
+
+    def remux_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = pdf[pdf["format"] == "avi"]
+            if len(keep) == 0:
+                continue
+            out = keep.copy()
+            out["asset_id"] = out["asset_id"] + 100000
+            out["payload"] = out["payload"].map(lambda b: remux_avi(bytes(b)))
+            yield out
+
+    remuxed = vids.filter(F.col("asset_id") % 9 == 2).mapInPandas(
+        remux_batches, MEDIA_SCHEMA
+    )
+    relanded = vids.filter(
+        (F.col("asset_id") % 9 == 5) & (F.col("format") == "avi")
+    ).withColumn("asset_id", F.col("asset_id") + 200000)
+    media = vids.unionByName(remuxed).unionByName(relanded)
+    return video_near_dup_pairs(media)
+
+
+QUERIES["multimodal_video_near_dup"] = multimodal_video_near_dup

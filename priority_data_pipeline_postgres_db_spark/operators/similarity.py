@@ -50,6 +50,10 @@ TOP_K = 5
 N_TABLES = 24
 N_PLANES = 5
 
+# cap on residue×corpus cosine scores the kNN full-coverage pass will
+# accept before refusing (see ann_knn_join)
+_MAX_RESIDUE_WORK = 1_000_000_000
+
 
 def _collect_quantized(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     pdf = emb.select("vec_id", quantize_expr().alias("q")).toPandas()
@@ -89,7 +93,23 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame
             c_norms = (c_mat * c_mat).sum(axis=1)
             dots = c_mat @ mat_q.T  # exact int64
             cos = dots / (np.sqrt(c_norms.astype(np.float64))[:, None] * sqrt_q[None, :])
-            ci, qi = np.nonzero(c_ids[:, None] != ids_q[None, :])
+            cos[c_ids[:, None] == ids_q[None, :]] = -np.inf  # exclude self
+            # BATCH-LOCAL top-k before anything leaves the worker: the
+            # global top-k equals the top-k of the union of per-batch
+            # top-ks, so the downstream window ranks ≤ ~k·n_batches rows
+            # per query instead of corpus rows per query.  Without this,
+            # a LARGE query set (the kNN residue pass, a recall sweep)
+            # shuffles |corpus|×|queries| rows into the rank exchange —
+            # the hang the 10× stress caught.  Tie safety: keep EVERY row
+            # at or above the kth-largest cosine (not an arbitrary k-row
+            # subset), so boundary ties survive for the global window's
+            # (cosine desc, vec_id asc) tie-break — results stay
+            # bit-identical to the unpruned plan.
+            n_rows = cos.shape[0]
+            kk = min(k, n_rows)
+            thresh = np.partition(cos, n_rows - kk, axis=0)[n_rows - kk, :]
+            mask = (cos >= thresh[None, :]) & np.isfinite(cos)
+            ci, qi = np.nonzero(mask)
             yield pd.DataFrame(
                 {"query_id": ids_q[qi], "vec_id": c_ids[ci], "cosine": cos[ci, qi]}
             )
@@ -258,14 +278,22 @@ def ann_knn_join(
     n_residue = residue.count()  # bounded: one scalar to the driver
     if n_residue == 0:
         return approx
-    if n_residue > max_residue:
+    n_corpus = emb.count()
+    # guard the PRODUCT, not just the residue row count: the exact pass
+    # scores residue × corpus cosines, so 20k isolated vectors against a
+    # 200k corpus (the 10× stress shape when occupancy outgrows the
+    # bucket cap) is already 4e9 scores — a mistuned SRP config must
+    # refuse loudly, not grind
+    if n_residue > max_residue or n_residue * n_corpus > _MAX_RESIDUE_WORK:
         from .dedup import QuadraticScaleError
 
         raise QuadraticScaleError(
             f"ann_knn_join full-coverage residue is {n_residue} vectors "
-            f"(> max_residue={max_residue}); the exact pass costs residue × "
-            "corpus — fix the SRP config (raise N_TABLES or max_bucket) "
-            "instead of brute-forcing this much"
+            f"against a {n_corpus}-vector corpus (caps: max_residue="
+            f"{max_residue}, work {_MAX_RESIDUE_WORK:.0e}); the exact pass "
+            "costs residue × corpus — fix the SRP config (raise N_TABLES, "
+            "or N_PLANES so bucket occupancy fits max_bucket) instead of "
+            "brute-forcing this much"
         )
     import logging
 

@@ -341,3 +341,50 @@ def test_audio_near_dup_connects_planted_copies(spark):
         assert by_pair.get((s, s + 100000)) == 0, (s, "scaled copy missing")
     for s in reland_sources:
         assert by_pair.get((s, s + 200000)) == 0, (s, "reland missing")
+
+
+def test_video_fingerprint_remux_and_brightness_invariant():
+    """Re-muxing (same frames, new container bytes) keeps the fingerprint
+    bit-identical; codec-bound payloads return None; different footage
+    lands beyond the Hamming threshold."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        remux_avi,
+        synth_avi,
+        video_fingerprint64,
+    )
+
+    a = synth_avi(3)
+    assert video_fingerprint64(remux_avi(a)) == video_fingerprint64(a)
+    assert remux_avi(a) != a
+    assert video_fingerprint64(b"not an avi") is None
+    b = synth_avi(6)
+    ham = bin(
+        (video_fingerprint64(a) ^ video_fingerprint64(b)) & (2**64 - 1)
+    ).count("1")
+    assert ham > 3
+
+
+def test_video_near_dup_connects_planted_copies(spark):
+    """Each planted re-muxed copy and byte-identical re-land pairs with
+    its source at Hamming 0; codec-bound mp4 rows never emit pairs."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        multimodal_video_near_dup,
+    )
+
+    pairs = multimodal_video_near_dup(spark, "unused").collect()
+    by_pair = {(r["asset_id_a"], r["asset_id_b"]): r["hamming"] for r in pairs}
+    # video assets: i % 3 == 2 within n=96; real AVI iff (i//3) % 3 != 2
+    def is_avi_idx(i):
+        return (i // 3) % 3 != 2
+
+    remux_sources = [
+        i for i in range(96) if i % 3 == 2 and i % 9 == 2 and is_avi_idx(i)
+    ]
+    reland_sources = [
+        i for i in range(96) if i % 3 == 2 and i % 9 == 5 and is_avi_idx(i)
+    ]
+    assert remux_sources and reland_sources  # fixture actually plants both
+    for s in remux_sources:
+        assert by_pair.get((s, s + 100000)) == 0, (s, "remuxed copy missing")
+    for s in reland_sources:
+        assert by_pair.get((s, s + 200000)) == 0, (s, "reland missing")
