@@ -135,6 +135,7 @@ HEADLINE = [
     "multimodal_audio_near_dup",
     "multimodal_video_near_dup",
     "sim_ivf_persisted",
+    "stream_odata_keyset_ingest",
 ]
 
 

@@ -842,3 +842,51 @@ def stream_odata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_odata_ingest"] = stream_odata_ingest
+
+
+def stream_odata_keyset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEYSET-paged streaming OData drain (rows-only, the
+    ``stream_odata_ingest`` twin): identical tenant and schema but
+    ``paging=keyset`` — pagination re-anchors on the order key instead
+    of raw ``$skip`` offsets (ADVICE r4; requires the tenant to honor
+    ``$orderby``, which the fake does as of r5), so mid-poll concurrent
+    inserts cannot shift page windows.  Same deterministic 57 rows: the
+    two modes MUST agree on a static tenant, and this entry pins that in
+    the driver artifact while the race itself is pinned by the
+    mutating-tenant unit test."""
+    import tempfile
+
+    from ..sources.odata import ODataDataSource
+
+    spark.dataSource.register(ODataDataSource)
+    df = (
+        spark.readStream.format("odata")
+        .option("uri", "fake://tenant")
+        .option("entity", "ORDERS")
+        .option("transport", "fake")
+        .option("filterfield", "CURDATE")
+        .option("streamkey", "ORDNAME")
+        .option("pagesize", "40")
+        .option("paging", "keyset")
+        .option(
+            "schema_ddl",
+            "ORDNAME string, CURDATE timestamp, QPRICE decimal(18,4), ORD long",
+        )
+        .load()
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_odata_keyset_{_STREAM_SERIAL[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_keyset_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress("stream_odata_keyset_ingest", q)
+    return spark.table(name)
+
+
+QUERIES["stream_odata_keyset_ingest"] = stream_odata_keyset_ingest
