@@ -1840,3 +1840,130 @@ ORACLE["corpus_bigram_lm_score"] = f"""
              / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_cond_prob
     FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (RAG/window-granularity exact dedup)
+# ---------------------------------------------------------------------------
+
+
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity: fingerprint every retrieval
+    chunk (full 128-bit md5 — identity keys get full width, r5
+    discipline) and keep the first copy per fingerprint (min (doc_id,
+    chunk_id)).  Document-level dedup misses this entirely: two distinct
+    documents sharing one boilerplate window each stay, but a RAG index
+    or context-window corpus should not embed the same chunk twice.
+    Composition: ``chunk_documents`` (row-local, shuffle-free) → one
+    groupBy on the fingerprint with ``min(struct(...))`` — map-side
+    partial agg, same shape as the substring scrub's first-occurrence
+    stage.
+    """
+    chunks = chunk_documents(load(spark, sf_dir, "documents"))
+    fp = chunks.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("fingerprint")
+    )
+    firsts = fp.groupBy("fingerprint").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("first")
+    )
+    return (
+        fp.join(firsts, "fingerprint")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            "fingerprint",
+            (
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("chunk_id") == F.col("first.chunk_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+QUERIES["corpus_chunk_dedup"] = corpus_chunk_dedup
+
+ORACLE["corpus_chunk_dedup"] = f"""
+    WITH chunks AS ({ORACLE["corpus_chunk_documents"]}), fp AS (
+      SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) AS fingerprint
+      FROM chunks
+    ), marked AS (
+      SELECT doc_id, chunk_id, n_tokens, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, chunk_id, n_tokens, fingerprint, (rn = 1) AS keep
+    FROM marked
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_BARS = (10, 100, 1000, 10000)
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage by vocabulary rank: for each k, the fraction
+    of ALL token occurrences covered by the k most frequent types — the
+    curve that sizes tokenizer vocabularies and stopword lists (a corpus
+    whose top-100 covers 60% wants different filtering than one at 30%).
+
+    Shape: one token groupBy builds the frequency table; each bar is a
+    ``TakeOrderedAndProject`` (global top-k by count — no full sort, no
+    single-partition window) followed by a 1-row sum, unioned.  Boundary
+    ties are sum-invariant (tied types have EQUAL counts, so any k-row
+    tie choice sums identically) — deterministic without a tie-break.
+    """
+    ex = load(spark, sf_dir, "documents").select(
+        F.explode(tokens_expr()).alias("tok")
+    )
+    counts = bounded_cache(
+        ex.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total"))
+    bars = None
+    for k in VOCAB_COVERAGE_BARS:
+        top = (
+            counts.orderBy(F.desc("c"))
+            .limit(k)
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("c").cast("long").alias("covered"),
+            )
+        )
+        bars = top if bars is None else bars.unionByName(top)
+    return bars.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered",
+        "total",
+        (F.col("covered").cast("double") / F.col("total").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+QUERIES["text_vocab_coverage"] = text_vocab_coverage
+
+_COVERAGE_BARS_SQL = ", ".join(f"({k})" for k in VOCAB_COVERAGE_BARS)
+
+ORACLE["text_vocab_coverage"] = f"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM counts
+    ), bars(k) AS (VALUES {_COVERAGE_BARS_SQL})
+    SELECT CAST(bars.k AS BIGINT) AS k,
+           CAST(COALESCE(sum(ranked.c), 0) AS BIGINT) AS covered,
+           (SELECT total FROM tot) AS total,
+           CAST(COALESCE(sum(ranked.c), 0) AS DOUBLE)
+             / CAST((SELECT total FROM tot) AS DOUBLE) AS coverage
+    FROM bars LEFT JOIN ranked ON ranked.rn <= bars.k
+    GROUP BY bars.k
+"""

@@ -643,3 +643,36 @@ def test_importance_weights_favor_target_vocabulary(spark, sf_dir):
         assert got[other_ids[0]] > got[other_ids[1]]
     finally:
         shutil.rmtree(d)
+
+
+def test_chunk_dedup_keeps_first_copy_only(spark, sf_dir):
+    """Every fingerprint has exactly one keep=True, and it is the min
+    (doc_id, chunk_id) holder; duplicated chunks across docs are caught."""
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    rows = C.corpus_chunk_dedup(spark, sf_dir).collect()
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fingerprint"], []).append(r)
+    assert len(rows) > 0
+    for fp, grp in by_fp.items():
+        keeps = [r for r in grp if r["keep"]]
+        assert len(keeps) == 1
+        first = min((r["doc_id"], r["chunk_id"]) for r in grp)
+        assert (keeps[0]["doc_id"], keeps[0]["chunk_id"]) == first
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    """Coverage rises with k, never exceeds 1, and equals covered/total."""
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    rows = sorted(
+        C.text_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [10, 100, 1000, 10000]
+    prev = 0.0
+    for r in rows:
+        assert 0.0 < r["coverage"] <= 1.0
+        assert r["coverage"] >= prev
+        assert r["coverage"] == r["covered"] / r["total"]
+        prev = r["coverage"]

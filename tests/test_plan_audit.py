@@ -39,6 +39,7 @@ ALLOWED = {
     "corpus_dedup_rate_curve": {"BNLJ"},                     # 9-row threshold-bar broadcast
     "corpus_importance_weights": {"BNLJ", "SinglePartition"},  # 1-row vocab totals
     "sim_srp_recall_curve": {"BNLJ", "SinglePartition"},     # sample quadratic + 24-row table range + 1-row totals
+    "text_vocab_coverage": {"BNLJ", "SinglePartition"},      # top-k limit (≤10k rows) + 1-row total
 }
 
 
