@@ -136,6 +136,8 @@ HEADLINE = [
     "multimodal_video_near_dup",
     "sim_ivf_persisted",
     "stream_odata_keyset_ingest",
+    "corpus_chunk_dedup",
+    "text_vocab_coverage",
 ]
 
 

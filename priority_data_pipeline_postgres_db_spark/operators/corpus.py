@@ -1503,14 +1503,29 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, no shuffle at all.  The fraction denominator is the
     doc's token count; empty docs pass with 0 hits.
     """
-    toks = tokens_expr()
-    hits = F.size(F.filter(toks, lambda x: x.isin(*BLOCKLIST)))
-    n = F.size(toks)
-    frac = F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
-    return load(spark, sf_dir, "documents").select(
+    # tokenize/filter ONCE in a first projection: the HOF subtrees are
+    # non-cheap, so Catalyst's CollapseProject leaves the two-step shape
+    # alone — a single select referencing `hits` six times would
+    # re-tokenize every document per reference (review r5)
+    counted = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", tokens_expr().alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*BLOCKLIST)))
+            .cast("long")
+            .alias("n_blocked"),
+            F.size("toks").cast("long").alias("n_tok"),
+        )
+    )
+    frac = F.when(
+        F.col("n_tok") > 0, F.col("n_blocked") / F.col("n_tok").cast("double")
+    ).otherwise(F.lit(0.0))
+    return counted.select(
         "doc_id",
         "source",
-        hits.cast("long").alias("n_blocked"),
+        "n_blocked",
         frac.alias("blocked_frac"),
         (frac <= BLOCK_FRAC_MAX).alias("keep"),
     )
@@ -1563,7 +1578,7 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "n_tok",
-        (-F.floor(-F.col("n_tok") / F.lit(SEQ_CAPACITY))).cast("long").alias("n_chunks"),
+        F.ceil(F.col("n_tok") / F.lit(SEQ_CAPACITY)).cast("long").alias("n_chunks"),
     )
     return (
         per_doc.groupBy("source")
@@ -1737,11 +1752,18 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = spark.createDataFrame(
         [(t,) for t in CURVE_THRESHOLDS], "threshold double"
     )
+    # bars on the LEFT of an always-true join (mirroring the oracle's
+    # LEFT JOIN): a corpus with ZERO verified pairs must still emit one
+    # row per bar with n_pairs=0 — an inner-shaped crossJoin would
+    # return an empty frame and trip the row-count gate (review r5)
     return (
-        pairs.crossJoin(F.broadcast(bars))
+        bars.join(pairs, F.lit(True), "left")
         .groupBy("threshold")
         .agg(
-            F.sum((F.col("jaccard") >= F.col("threshold")).cast("long"))
+            F.coalesce(
+                F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_pairs")
         )

@@ -431,6 +431,53 @@ def is_avi(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
 
 
+def _riff_walk_avi(buf: bytes) -> dict:
+    """The ONE RIFF/AVI walker (decode_video and the perceptual
+    fingerprint both consume it — review r5 deduplicated two copies):
+    frames, dimensions, declared frame count, fps, and the VIDEO
+    stream's compression fourcc.  ``strf`` is only read for the stream
+    whose preceding ``strh`` said ``vids`` — in a multi-stream AVI the
+    audio WAVEFORMATEX strf would otherwise clobber the video
+    compression field and misclassify an uncompressed file as
+    codec-bound (the any-strf-wins quirk both old copies carried)."""
+    import struct
+
+    state = {
+        "width": 0, "height": 0, "n_frames": 0,
+        "fps": float(_AVI_FPS), "compression": 0, "stream": b"",
+    }
+
+    def walk(pos: int, end: int):
+        frames: list[bytes] = []
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                frames += walk(data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", buf, data_start)
+                state["n_frames"] = state["n_frames"] or vals[4]
+                state["width"], state["height"] = vals[8], vals[9]
+                if vals[0]:
+                    state["fps"] = 1_000_000 / vals[0]
+            elif fourcc == b"strh":
+                state["stream"] = buf[data_start : data_start + 4]
+                if state["stream"] == b"vids":
+                    scale, rate = struct.unpack_from("<II", buf, data_start + 20)
+                    if scale:
+                        state["fps"] = rate / scale
+            elif fourcc == b"strf" and state["stream"] == b"vids":
+                state["compression"] = struct.unpack_from("<I", buf, data_start + 16)[0]
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)
+        return frames
+
+    state["frames"] = walk(12, len(buf))
+    return state
+
+
 def decode_video(payload: bytes, sample_fps: float = 1.0) -> dict:
     """REAL decode for uncompressed (BI_RGB) AVI — pure stdlib RIFF walk,
     no codec: dimensions, frame count, fps from the stream header, then
@@ -438,42 +485,12 @@ def decode_video(payload: bytes, sample_fps: float = 1.0) -> dict:
     the standard training-pipeline thinning) with mean pixel intensity
     over the sampled frames only.  Compressed streams (fccHandler other
     than raw DIB) still raise — THAT part is genuinely codec-bound."""
-    import struct
-
     if not is_avi(payload):
         raise ValueError("not a RIFF/AVI payload")
-    width = height = n_frames = 0
-    fps = float(_AVI_FPS)
-    compression = 0
-
-    def walk(buf: bytes, pos: int, end: int):
-        nonlocal width, height, n_frames, fps, compression
-        frames: list[bytes] = []
-        while pos + 8 <= end:
-            fourcc = buf[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
-            data_start = pos + 8
-            if fourcc == b"LIST":
-                frames += walk(buf, data_start + 4, data_start + size)
-            elif fourcc == b"avih":
-                vals = struct.unpack_from("<14I", buf, data_start)
-                n_frames = n_frames or vals[4]
-                width, height = vals[8], vals[9]
-                if vals[0]:
-                    fps = 1_000_000 / vals[0]
-            elif fourcc == b"strh" and buf[data_start : data_start + 4] == b"vids":
-                scale, rate = struct.unpack_from("<II", buf, data_start + 20)
-                if scale:
-                    fps = rate / scale
-            elif fourcc == b"strf":
-                compression = struct.unpack_from("<I", buf, data_start + 16)[0]
-            elif fourcc[2:4] in (b"db", b"dc"):
-                frames.append(buf[data_start : data_start + size])
-            pos = data_start + size + (size % 2)
-        return frames
-
-    frames = walk(payload, 12, len(payload))
-    if compression != 0:
+    st = _riff_walk_avi(bytes(payload))
+    frames = st["frames"]
+    width, height, fps, n_frames = st["width"], st["height"], st["fps"], st["n_frames"]
+    if st["compression"] != 0:
         raise NotImplementedError("compressed AVI streams require a codec")
     n_frames = len(frames) or n_frames
     step = max(1, round(fps / sample_fps))
@@ -864,8 +881,17 @@ def audio_fingerprint64(payload: bytes) -> int | None:
         x = np.frombuffer(raw, dtype="<i2")
     elif width == 1:
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
-    else:
+    elif width == 3:
+        # 24-bit PCM: assemble int32 from little-endian byte triples
+        # (the wave module emits it; a bare '<i4' frombuffer would crash
+        # on non-multiple-of-4 sizes or silently misparse — review r5)
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+        x = b[:, 0] | (b[:, 1] << 8) | ((b[:, 2].astype(np.int8).astype(np.int32)) << 16)
+    elif width == 4:
         x = np.frombuffer(raw, dtype="<i4")
+    else:
+        return None  # codec-bound / malformed width: the None contract
     x = x[::channels]  # channel 0
     if len(x) < AFP_WINDOWS:
         return None
@@ -991,38 +1017,14 @@ QUERIES["multimodal_audio_near_dup"] = multimodal_audio_near_dup
 
 def _avi_frames(payload: bytes) -> "tuple[list[bytes], int, int] | None":
     """Raw BI_RGB frames + dimensions from an uncompressed AVI, or None
-    for non-AVI / codec-bound payloads (same RIFF walk as decode_video)."""
-    import struct
-
+    for non-AVI / codec-bound payloads — thin view over the one shared
+    ``_riff_walk_avi`` walker."""
     if not is_avi(bytes(payload)):
         return None
-    buf = bytes(payload)
-    width = height = 0
-    compression = 0
-
-    def walk(pos: int, end: int):
-        nonlocal width, height, compression
-        frames: list[bytes] = []
-        while pos + 8 <= end:
-            fourcc = buf[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
-            data_start = pos + 8
-            if fourcc == b"LIST":
-                frames += walk(data_start + 4, data_start + size)
-            elif fourcc == b"avih":
-                vals = struct.unpack_from("<14I", buf, data_start)
-                width, height = vals[8], vals[9]
-            elif fourcc == b"strf":
-                compression = struct.unpack_from("<I", buf, data_start + 16)[0]
-            elif fourcc[2:4] in (b"db", b"dc"):
-                frames.append(buf[data_start : data_start + size])
-            pos = data_start + size + (size % 2)
-        return frames
-
-    frames = walk(12, len(buf))
-    if compression != 0 or not frames or not width or not height:
+    st = _riff_walk_avi(bytes(payload))
+    if st["compression"] != 0 or not st["frames"] or not st["width"] or not st["height"]:
         return None
-    return frames, int(width), int(height)
+    return st["frames"], int(st["width"]), int(st["height"])
 
 
 def video_fingerprint64(payload: bytes) -> int | None:

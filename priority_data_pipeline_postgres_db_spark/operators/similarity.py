@@ -91,6 +91,16 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
             c_norms = (c_mat * c_mat).sum(axis=1)
+            # zero-norm corpus rows have UNDEFINED cosine (0/0 → NaN) and
+            # can never be a meaningful neighbor — and worse, np.partition
+            # sorts NaN ABOVE every finite value, so ≥k NaN rows in one
+            # batch would poison the local threshold and silently drop the
+            # batch's real candidates (review r5).  Drop them up front.
+            valid = c_norms > 0
+            if not valid.all():
+                c_ids, c_mat, c_norms = c_ids[valid], c_mat[valid], c_norms[valid]
+            if len(c_ids) == 0:
+                continue
             dots = c_mat @ mat_q.T  # exact int64
             cos = dots / (np.sqrt(c_norms.astype(np.float64))[:, None] * sqrt_q[None, :])
             cos[c_ids[:, None] == ids_q[None, :]] = -np.inf  # exclude self
@@ -259,6 +269,13 @@ def ann_knn_join(
         .select("vec_id_a", "vec_id_b")
         .distinct()
     )
+    if full_coverage:
+        # the candidate self-join (the operator's dominant exchange) is
+        # consumed by the approx scoring AND the coverage anti-join AND
+        # the residue count — materialize once (review r5)
+        from ..util import bounded_cache
+
+        cand = bounded_cache(cand)
     scored = _verify_pairs(cand, emb, threshold=-2.0)  # pure kNN: no bar
     w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
     approx = (
@@ -800,13 +817,30 @@ def ivf_topk(
     probe decision is numpy on the (small) query set; candidate retrieval
     is a broadcast equi-join on the computed label — search cost
     ∝ corpus/k_clusters × nprobe instead of corpus."""
-    spark = emb.sparkSession
-
     cents = fit_ivf_centroids(emb, k_clusters)
     assign = assign_cluster_udf(cents)
     q_all = emb.select("vec_id", quantize_expr().alias("q")).withColumn(
         "label", assign(F.col("q"))
     )
+    return _ivf_probe_and_score(q_all, queries, cents, k=k, nprobe=nprobe)
+
+
+def _ivf_probe_and_score(
+    q_all: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    *,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The shared IVF query path over a LABELED corpus (vec_id, q, label)
+    — probe selection, candidate retrieval, exact scoring, top-k window —
+    used by both the in-memory (`ivf_topk`) and persisted
+    (`ivf_topk_persisted`) indexes, so their docstring-pinned identity is
+    structural, not just test-enforced (review r5).  The label isin
+    filter lands before the join: harmless on an in-memory frame, and on
+    the hive-partitioned persisted index it IS the partition pruning."""
+    spark = queries.sparkSession
 
     # probe assignment: nearest nprobe centroids per query (cosine, numpy;
     # centroids are unit-norm so the dot IS the cosine up to query scale)
@@ -817,10 +851,13 @@ def ivf_topk(
         (int(q_ids[i]), int(j)) for i in range(len(q_ids)) for j in order[i]
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, label int")
+    needed = sorted({lbl for _, lbl in probe_rows})
 
     # candidates: corpus rows in a probed list of the query
-    cand = q_all.join(F.broadcast(probes), "label").filter(
-        F.col("vec_id") != F.col("query_id")
+    cand = (
+        q_all.filter(F.col("label").isin(needed))
+        .join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
 
     # exact cosine over candidates with the broadcast query matrix
@@ -1374,54 +1411,13 @@ def ivf_topk_persisted(
     k: int = TOP_K,
     nprobe: int = N_PROBE,
 ) -> DataFrame:
-    """Query the PERSISTED IVF index: nearest-``nprobe`` centroids per
-    query (numpy on the tiny query set), then a label-pruned read of only
-    those inverted-list partitions, exact cosine over candidates, window
-    top-k.  Identical results to the in-memory path by construction
-    (same centroids, same assignment, same scoring) — the unit test pins
-    that identity."""
-    spark = queries.sparkSession
+    """Query the PERSISTED IVF index through the SHARED query path
+    (`_ivf_probe_and_score` — same code object as the in-memory
+    ``ivf_topk``, so the two can't drift): the label isin filter lands on
+    the hive partition column BEFORE the join, so unprobed inverted
+    lists are pruned at file listing."""
     cents = load_ivf_centroids(wh, table)
-    q_ids, q_mat, q_norms = _collect_quantized(queries)
-    cos_qc = q_mat.astype(np.float64) @ cents.T
-    order = np.argsort(-cos_qc, axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(q_ids[i]), int(j)) for i in range(len(q_ids)) for j in order[i]
-    ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, label int")
-    needed = sorted({lbl for _, lbl in probe_rows})
-
-    # the isin filter lands on the hive partition column BEFORE the join,
-    # so unprobed inverted lists are pruned at file listing
-    q_all = wh.read(table).filter(F.col("label").isin(needed))
-    cand = q_all.join(F.broadcast(probes), "label").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
-
-    def score(it):
-        ids_q, mat_q, norms_q = bc.value
-        sqrt_q = np.sqrt(norms_q.astype(np.float64))
-        pos = {int(v): i for i, v in enumerate(ids_q)}
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
-            c_norms = (c_mat * c_mat).sum(axis=1)
-            qi = pdf["query_id"].map(pos).to_numpy()
-            dots = np.einsum("ij,ij->i", c_mat, mat_q[qi])
-            cos = dots / (np.sqrt(c_norms.astype(np.float64)) * sqrt_q[qi])
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cosine": cos}
-            )
-
-    scored = cand.select("query_id", "vec_id", "q").mapInPandas(score, _SCORED_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
-    )
+    return _ivf_probe_and_score(wh.read(table), queries, cents, k=k, nprobe=nprobe)
 
 
 def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -388,3 +388,81 @@ def test_video_near_dup_connects_planted_copies(spark):
         assert by_pair.get((s, s + 100000)) == 0, (s, "remuxed copy missing")
     for s in reland_sources:
         assert by_pair.get((s, s + 200000)) == 0, (s, "reland missing")
+
+
+def test_audio_fingerprint_handles_all_pcm_widths():
+    """8/16/24/32-bit PCM all fingerprint (24-bit crashed pre-review-fix:
+    '<i4' frombuffer on a non-multiple-of-4 buffer); sign structure is
+    preserved across widths for the same waveform."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    t = np.arange(801, dtype=np.float64)  # odd length → 3*801 not %4
+    sig = np.sin(2 * np.pi * 440.0 * t / 8000.0)
+
+    def pcm(width):
+        if width == 1:
+            raw = ((sig * 100) + 128).astype(np.uint8).tobytes()
+        elif width == 2:
+            raw = (sig * 12000).astype("<i2").tobytes()
+        elif width == 3:
+            s = (sig * 3_000_000).astype(np.int32)
+            b = np.zeros((len(s), 3), dtype=np.uint8)
+            b[:, 0] = s & 0xFF
+            b[:, 1] = (s >> 8) & 0xFF
+            b[:, 2] = (s >> 16) & 0xFF
+            raw = b.tobytes()
+        else:
+            raw = (sig * 200_000_000).astype("<i4").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(raw)
+        return buf.getvalue()
+
+    fps = {w: audio_fingerprint64(pcm(w)) for w in (1, 2, 3, 4)}
+    assert all(v is not None for v in fps.values())
+    # same waveform, same sign structure → identical fingerprints for the
+    # signed widths (8-bit is offset-binary; sign pattern still matches
+    # after the -128 recentering)
+    assert fps[2] == fps[3] == fps[4] == fps[1]
+
+
+def test_dedup_rate_curve_empty_corpus_keeps_bars(spark):
+    """Zero verified pairs must still emit one row per threshold bar with
+    n_pairs=0 (the oracle's LEFT JOIN shape — review r5)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        CURVE_THRESHOLDS,
+        corpus_dedup_rate_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"totally unique document number {i} "
+                f"with words {i*7} {i*13} {i*29}", lang="en", source="s",
+                n_chars=10)
+            for i in range(8)
+        ]
+    )
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = corpus_dedup_rate_curve(spark, d).collect()
+        assert len(rows) == len(CURVE_THRESHOLDS)
+        assert all(r["n_pairs"] == 0 for r in rows)
+    finally:
+        shutil.rmtree(d)
