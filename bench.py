@@ -138,6 +138,11 @@ HEADLINE = [
     "stream_odata_keyset_ingest",
     "corpus_chunk_dedup",
     "text_vocab_coverage",
+    "j_interval_overlap",
+    "q_yoy_growth",
+    "q_orphan_audit",
+    "corpus_cluster_size_histogram",
+    "corpus_source_drift",
 ]
 
 

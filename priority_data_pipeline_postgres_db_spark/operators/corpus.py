@@ -1989,3 +1989,154 @@ ORACLE["text_vocab_coverage"] = f"""
     FROM bars LEFT JOIN ranked ON ranked.rn <= bars.k
     GROUP BY bars.k
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster-size histogram (dedup observability)
+# ---------------------------------------------------------------------------
+
+
+def corpus_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes: (cluster_size →
+    n_clusters, n_docs) over the LSH-verified transitive closure — the
+    curve behind the one-number dashboard (``corpus_dedup_summary``
+    reports the LARGEST cluster; this shows whether dup mass sits in a
+    few giant mirror families or a long tail of pairs, which decides
+    keep-best vs drop-all-but-one strategy).
+
+    Two bounded groupBys on top of the already-linear CC labels:
+    component → size (≤ doc count rows), size → histogram (≤ distinct
+    sizes rows).  Nothing quadratic, nothing collected.
+    """
+    from .dedup import minhash_verified_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(docs, n=3, threshold=0.5)
+    labels = connected_components(docs.select("doc_id"), pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+QUERIES["corpus_cluster_size_histogram"] = corpus_cluster_size_histogram
+
+ORACLE["corpus_cluster_size_histogram"] = f"""
+    WITH cc AS (
+      SELECT * FROM ({ORACLE["dedup_connected_components"]}) c
+    ), sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM cc GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution drift (total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram drift from the corpus-wide distribution, as
+    TOTAL-VARIATION distance: TV(s) = ½ Σ_tok |p_s(tok) − p_corpus(tok)|
+    — the distribution-shift alarm between ingest sources (a source
+    whose TV jumps release-over-release changed its content mix; a
+    source far from the corpus center dominates mixture corrections).
+    TV instead of KL/JS: it needs no logarithm, and ln() is the one
+    operation that is NOT bit-portable across engines — every term here
+    is a 1e6 fixed-point integer, so the big per-token sum is EXACT and
+    order-independent (hash-gate safe), with one double division at the
+    end.
+
+    Absent-token handling without a vocab×source grid: tokens a source
+    never uses contribute p_corpus each, so TV_s = ½·(Σ_{{tok∈s}}
+    (|p6_s−p6_c| − p6_c) + Σ_all p6_c) — the per-(source, token) table
+    stays |observed pairs|, never |vocab|×|sources|.  Shape: one
+    explode, three partial-agg groupBys, a token join, a 1-row
+    broadcast.
+    """
+    ex = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_expr()).alias("tok")
+    )
+    st = ex.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
+    tok_c = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    corpus_tot = tok_c.agg(F.sum("c_t").cast("long").alias("t_c"))
+    # p6_c per token and the global Σ p6_c (both need t_c — broadcast it)
+    joined = (
+        st.join(s_tot, "source")
+        .join(tok_c, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            F.expr("(c_st * 1000000) div t_s").alias("p6_s"),
+            F.expr("(c_t * 1000000) div t_c").alias("p6_c"),
+        )
+    )
+    tot_p6c = (
+        tok_c.crossJoin(F.broadcast(corpus_tot))
+        .agg(F.sum(F.expr("(c_t * 1000000) div t_c")).cast("long").alias("sum_p6c"))
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("p6_s") - F.col("p6_c")) - F.col("p6_c")
+            ).cast("long").alias("_partial")
+        )
+        .crossJoin(F.broadcast(tot_p6c))
+        .select(
+            "source",
+            (
+                (F.col("_partial") + F.col("sum_p6c")).cast("double")
+                / F.lit(2_000_000.0)
+            ).alias("tv_distance"),
+        )
+    )
+
+
+QUERIES["corpus_source_drift"] = corpus_source_drift
+
+ORACLE["corpus_source_drift"] = f"""
+    WITH ex AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ), st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+      FROM ex GROUP BY source, tok
+    ), s_tot AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY source
+    ), tok_c AS (
+      SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+    ), corpus_tot AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS t_c FROM tok_c
+    ), joined AS (
+      SELECT st.source,
+             (st.c_st * 1000000) // s_tot.t_s AS p6_s,
+             (tok_c.c_t * 1000000) // corpus_tot.t_c AS p6_c
+      FROM st JOIN s_tot USING (source)
+              JOIN tok_c USING (tok)
+              CROSS JOIN corpus_tot
+    ), tot_p6c AS (
+      SELECT CAST(sum((c_t * 1000000) // t_c) AS BIGINT) AS sum_p6c
+      FROM tok_c CROSS JOIN corpus_tot
+    )
+    SELECT source,
+           CAST(CAST(sum(abs(p6_s - p6_c) - p6_c) AS BIGINT)
+                + (SELECT sum_p6c FROM tot_p6c) AS DOUBLE)
+             / 2000000.0 AS tv_distance
+    FROM joined GROUP BY source
+"""

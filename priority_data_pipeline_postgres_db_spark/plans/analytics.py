@@ -1442,3 +1442,171 @@ ORACLE["q_rolling_active_users"] = """
            CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
     FROM dau JOIN wau ON dau.day = wau.day
 """
+
+
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join, binned: each order owns the interval
+    [o_orderdate, o_orderdate + 7 days); find every pair of SAME-CUSTOMER
+    orders whose intervals overlap — the contention/session-merge shape
+    (two bookings colliding, two validity ranges intersecting) that a
+    naive theta-join turns into a per-key cross product.
+
+    The bin move, one step past ``j_range_join_binned``: a 7-day interval
+    is covered by at most two 7-day bins, so each side explodes to ≤2
+    (custkey, bin) rows and the overlap join becomes a pure EQUI-join
+    with the exact predicate (start_a < end_b AND start_b < end_a) as a
+    residual — per-key cost min(k_a, k_b)·4 bins, never k².  Pairs
+    deduplicate on (a < b) orientation because an overlapping pair can
+    meet in both bins."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").cast("date").alias("start"),
+        F.date_add(F.col("o_orderdate"), 7).alias("end"),
+    )
+    binned = o.select(
+        "o_custkey",
+        "ok",
+        "start",
+        "end",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.unix_date(F.col("start")) / 7),
+                    F.floor((F.unix_date(F.col("end")) - 1) / 7),
+                )
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        "o_custkey", "bin",
+        F.col("ok").alias("ok_a"), F.col("start").alias("sa"), F.col("end").alias("ea"),
+    )
+    b = binned.select(
+        "o_custkey", "bin",
+        F.col("ok").alias("ok_b"), F.col("start").alias("sb"), F.col("end").alias("eb"),
+    )
+    return (
+        a.join(b, ["o_custkey", "bin"])
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select("o_custkey", "ok_a", "ok_b")
+        .distinct()
+    )
+
+
+QUERIES["j_interval_overlap"] = j_interval_overlap
+
+ORACLE["j_interval_overlap"] = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey AS ok,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders
+    )
+    SELECT a.o_custkey, a.ok AS ok_a, b.ok AS ok_b
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.ok < b.ok
+     AND a.s < b.e AND b.s < a.e
+"""
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the lag-window report
+    every BI deck carries.  Revenue aggregates FIRST (partial-agg
+    shuffle on the (nation, year) key), then the lag window runs over
+    ≤ nations × years rows — the window never sees fact-table rows.
+    Exact decimal sums cast to double only at the division."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("p").alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev_dec").over(w)
+    return rev.select(
+        "n_name",
+        F.col("yr").cast("long").alias("yr"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("rev_dec") - prev).cast("double") / prev.cast("double"),
+        ).alias("yoy_growth"),
+    )
+
+
+QUERIES["q_yoy_growth"] = q_yoy_growth
+
+ORACLE["q_yoy_growth"] = """
+    WITH rev AS (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, yr
+    )
+    SELECT n_name, yr,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec - lag(rev_dec) OVER (PARTITION BY n_name ORDER BY yr)
+                AS DOUBLE)
+             / CAST(lag(rev_dec) OVER (PARTITION BY n_name ORDER BY yr)
+                    AS DOUBLE) AS yoy_growth
+    FROM rev
+"""
+
+
+def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the three core
+    FK relationships (lineitem→orders, orders→customer,
+    customer→nation) — the data-quality gate a warehouse runs after
+    every load, here as three LEFT-ANTI counts unioned into one small
+    report.  Anti-joins broadcast the (smaller) parent key sets where
+    the optimizer sees fit; the clean fixture reports zeros, and a
+    broken incremental load reports exactly where."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child, parent, on_child, on_parent, name):
+        orphans = child.join(
+            parent, child[on_child] == parent[on_parent], "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("relationship"),
+            F.count("*").cast("long").alias("n_orphans"),
+        )
+
+    return (
+        audit(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, c.select("c_custkey"), "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(audit(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+    )
+
+
+QUERIES["q_orphan_audit"] = q_orphan_audit
+
+ORACLE["q_orphan_audit"] = """
+    SELECT 'lineitem->orders' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem ANTI JOIN orders ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders ANTI JOIN customer ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(count(*) AS BIGINT)
+    FROM customer ANTI JOIN nation ON n_nationkey = c_nationkey
+"""

@@ -676,3 +676,43 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
         assert r["coverage"] >= prev
         assert r["coverage"] == r["covered"] / r["total"]
         prev = r["coverage"]
+
+
+def test_cluster_size_histogram_accounts_every_doc(spark, sf_dir):
+    """Σ n_docs over the histogram equals the corpus size; singleton bin
+    dominates on the fixture; n_docs = size × n_clusters per row."""
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    rows = C.corpus_cluster_size_histogram(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+    by_size = {r["cluster_size"]: r["n_clusters"] for r in rows}
+    assert by_size.get(1, 0) > 0
+
+
+def test_source_drift_bounds_and_identical_source(spark, sf_dir):
+    """TV distances live in [0, 1); a corpus with one source has TV ≈ 0
+    (only fixed-point floor residue)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    rows = C.corpus_source_drift(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["tv_distance"] < 1.0 for r in rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "source", F.lit("only")
+    )
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        one = C.corpus_source_drift(spark, d).collect()
+        assert len(one) == 1 and one[0]["tv_distance"] < 0.01
+    finally:
+        shutil.rmtree(d)

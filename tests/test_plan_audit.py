@@ -40,6 +40,8 @@ ALLOWED = {
     "corpus_importance_weights": {"BNLJ", "SinglePartition"},  # 1-row vocab totals
     "sim_srp_recall_curve": {"BNLJ", "SinglePartition"},     # sample quadratic + 24-row table range + 1-row totals
     "text_vocab_coverage": {"BNLJ", "SinglePartition"},      # top-k limit (≤10k rows) + 1-row total
+    "corpus_source_drift": {"BNLJ", "SinglePartition"},      # 1-row corpus totals broadcast
+    "q_orphan_audit": {"SinglePartition"},                   # 3 single-row audit aggregates
 }
 
 

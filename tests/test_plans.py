@@ -456,3 +456,82 @@ def test_rolling_active_users_matches_python(spark, sf_dir):
         assert rows[day]["wau"] == len(wau)
         assert rows[day]["stickiness"] == len(users) / len(wau)
     assert set(rows) == set(by_day)
+
+
+def test_interval_overlap_binned_matches_naive(spark, sf_dir):
+    """The binned equi-join equals a naive theta-join on the fixture, and
+    overlapping pairs are oriented (a < b) exactly once."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        j_interval_overlap,
+    )
+
+    got = {(r["o_custkey"], r["ok_a"], r["ok_b"])
+           for r in j_interval_overlap(spark, sf_dir).collect()}
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_custkey", F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.date_add("o_orderdate", 7).alias("e"),
+        )
+        .collect()
+    )
+    by_cust = {}
+    for r in o:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    naive = set()
+    for ck, rows in by_cust.items():
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                lo, hi = (a, b) if a["ok"] < b["ok"] else (b, a)
+                if lo["s"] < hi["e"] and hi["s"] < lo["e"]:
+                    naive.add((ck, lo["ok"], hi["ok"]))
+    assert got == naive and got
+
+
+def test_orphan_audit_detects_planted_orphan(spark, tmp_path, sf_dir):
+    """A lineitem pointing at a missing order shows up with count 1."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_orphan_audit,
+    )
+
+    d = str(tmp_path)
+    for t in ("orders", "customer", "nation"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    # lineitem becomes a directory so the orphan can land as a second file
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base.write.parquet(f"{d}/lineitem.parquet")
+    base.limit(1).withColumn(
+        "l_orderkey", F.lit(999_999_999)
+    ).write.mode("append").parquet(f"{d}/lineitem.parquet")
+    got = {r["relationship"]: r["n_orphans"]
+           for r in q_orphan_audit(spark, d).collect()}
+    assert got["lineitem->orders"] == 1
+    assert got["orders->customer"] == 0
+    assert got["customer->nation"] == 0
+
+
+def test_yoy_growth_lag_semantics(spark, sf_dir):
+    """First year per nation has NULL growth; growth matches the revenue
+    ratio recomputed from the same rows."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_yoy_growth,
+    )
+
+    rows = q_yoy_growth(spark, sf_dir).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append(r)
+    for name, rs in by_nation.items():
+        rs.sort(key=lambda r: r["yr"])
+        assert rs[0]["yoy_growth"] is None
+        for prev, cur in zip(rs[:-1], rs[1:]):
+            if cur["yoy_growth"] is not None:
+                expect = (cur["revenue"] - prev["revenue"]) / prev["revenue"]
+                assert abs(cur["yoy_growth"] - expect) < 1e-9
