@@ -143,6 +143,9 @@ HEADLINE = [
     "q_orphan_audit",
     "corpus_cluster_size_histogram",
     "corpus_source_drift",
+    "q_percent_rank_customers",
+    "q_customer_tenure",
+    "corpus_dedup_savings",
 ]
 
 

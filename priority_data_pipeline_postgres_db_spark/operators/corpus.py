@@ -2140,3 +2140,61 @@ ORACLE["corpus_source_drift"] = f"""
              / 2000000.0 AS tv_distance
     FROM joined GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup savings (the number the compute bill cares about)
+# ---------------------------------------------------------------------------
+
+
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row answer to "what does dedup buy us": token mass of the
+    docs the min-id survivor rule would DROP (non-survivors of the
+    LSH-verified transitive closure), as absolute tokens and a fraction
+    of corpus mass — dashboards report pair counts, the training-run
+    budget wants tokens.  Composition of verified stages (CC labels →
+    survivor flag → token sum vs corpus sum), all partial-agg linear,
+    1-row output."""
+    from .dedup import minhash_verified_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(tokens_expr()).cast("long").alias("n_tok"))
+    pairs = minhash_verified_pairs(docs, n=3, threshold=0.5)
+    labels = connected_components(docs.select("doc_id"), pairs)
+    dropped = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    saved = dropped.join(toks, "doc_id").agg(
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_saved"),
+        F.count("*").cast("long").alias("docs_dropped"),
+    )
+    total = toks.agg(F.sum("n_tok").cast("long").alias("tokens_total"))
+    return saved.crossJoin(F.broadcast(total)).select(
+        "docs_dropped",
+        "tokens_saved",
+        "tokens_total",
+        (
+            F.col("tokens_saved").cast("double")
+            / F.col("tokens_total").cast("double")
+        ).alias("savings_frac"),
+    )
+
+
+QUERIES["corpus_dedup_savings"] = corpus_dedup_savings
+
+ORACLE["corpus_dedup_savings"] = f"""
+    WITH cc AS (
+      SELECT * FROM ({ORACLE["dedup_connected_components"]}) c
+    ), toks AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+    ), dropped AS (
+      SELECT cc.doc_id FROM cc WHERE cc.doc_id <> cc.component
+    ), saved AS (
+      SELECT CAST(COALESCE(sum(t.n_tok), 0) AS BIGINT) AS tokens_saved,
+             CAST(count(*) AS BIGINT) AS docs_dropped
+      FROM dropped d JOIN toks t ON t.doc_id = d.doc_id
+    )
+    SELECT docs_dropped, tokens_saved,
+           (SELECT CAST(sum(n_tok) AS BIGINT) FROM toks) AS tokens_total,
+           CAST(tokens_saved AS DOUBLE)
+             / CAST((SELECT sum(n_tok) FROM toks) AS DOUBLE) AS savings_frac
+    FROM saved
+"""

@@ -1610,3 +1610,70 @@ ORACLE["q_orphan_audit"] = """
            CAST(count(*) AS BIGINT)
     FROM customer ANTI JOIN nation ON n_nationkey = c_nationkey
 """
+
+
+def q_percent_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distribution windows (percent_rank + cume_dist) over
+    customer account balance WITHIN each nation — the only rank-family
+    members the registry didn't yet exercise.  Partitioned by nation, so
+    no single-partition window; ties resolved by the (c_acctbal,
+    c_custkey) total order making both fractions deterministic."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "bal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+QUERIES["q_percent_rank_customers"] = q_percent_rank_customers
+
+ORACLE["q_percent_rank_customers"] = """
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS bal,
+           percent_rank() OVER (PARTITION BY c_nationkey
+                                ORDER BY CAST(c_acctbal AS DOUBLE), c_custkey)
+             AS pct_rank,
+           cume_dist() OVER (PARTITION BY c_nationkey
+                             ORDER BY CAST(c_acctbal AS DOUBLE), c_custkey)
+             AS cume_dist
+    FROM customer
+"""
+
+
+def q_customer_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer lifecycle span: first order, last order, tenure days,
+    and order count — the activation/churn base table.  One partial-agg
+    groupBy on the fact table; no window needed for min/max."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        )
+        .cast("long")
+        .alias("tenure_days"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+QUERIES["q_customer_tenure"] = q_customer_tenure
+
+ORACLE["q_customer_tenure"] = """
+    SELECT o_custkey,
+           CAST(min(o_orderdate) AS DATE) AS first_order,
+           CAST(max(o_orderdate) AS DATE) AS last_order,
+           CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                          CAST(max(o_orderdate) AS DATE)) AS BIGINT)
+             AS tenure_days,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+"""

@@ -716,3 +716,21 @@ def test_source_drift_bounds_and_identical_source(spark, sf_dir):
         assert len(one) == 1 and one[0]["tv_distance"] < 0.01
     finally:
         shutil.rmtree(d)
+
+
+def test_dedup_savings_consistent_with_cc(spark, sf_dir):
+    """docs_dropped equals the number of CC non-survivors; fractions are
+    internally consistent and bounded."""
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+
+    row = C.corpus_dedup_savings(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_verified_pairs(docs, n=3, threshold=0.5)
+    labels = C.connected_components(docs.select("doc_id"), pairs)
+    n_dropped = labels.filter("doc_id != component").count()
+    assert row["docs_dropped"] == n_dropped
+    assert 0 <= row["tokens_saved"] <= row["tokens_total"]
+    assert row["savings_frac"] == row["tokens_saved"] / row["tokens_total"]

@@ -42,6 +42,7 @@ ALLOWED = {
     "text_vocab_coverage": {"BNLJ", "SinglePartition"},      # top-k limit (≤10k rows) + 1-row total
     "corpus_source_drift": {"BNLJ", "SinglePartition"},      # 1-row corpus totals broadcast
     "q_orphan_audit": {"SinglePartition"},                   # 3 single-row audit aggregates
+    "corpus_dedup_savings": {"BNLJ", "SinglePartition"},     # 1-row saved/total aggregates
 }
 
 
