@@ -145,6 +145,9 @@ STRESS = [
     "text_hashed_features",
     "sim_knn_join_full",
     "sim_srp_recall_curve",
+    "corpus_cluster_size_histogram",
+    "corpus_source_drift",
+    "corpus_dedup_savings",
 ]
 
 
