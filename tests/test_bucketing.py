@@ -7,7 +7,12 @@ from priority_data_pipeline_postgres_db_spark.plans.catalog import BucketedWareh
 
 
 def test_bucketed_join_no_exchange(spark, orders, lineitem, tmp_path):
-    wh = BucketedWarehouse(spark, "buckets01")
+    # unique db name: a FIXED name leaves a stale warehouse directory if
+    # a run is killed mid-test, and the next session's saveAsTable then
+    # fails on the existing managed-table location
+    import uuid
+
+    wh = BucketedWarehouse(spark, f"bk{uuid.uuid4().hex[:10]}")
     wh.create_db()
     try:
         wh.write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4)

@@ -507,8 +507,12 @@ def test_orphan_audit_detects_planted_orphan(spark, tmp_path, sf_dir):
     # lineitem becomes a directory so the orphan can land as a second file
     base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     base.write.parquet(f"{d}/lineitem.parquet")
+    # cast matters: a bare lit() is int32, and a directory whose two
+    # files disagree on the column's physical type reads through ONE
+    # file's footer — which footer wins depends on listing order, so the
+    # type clash only exploded when other tests shifted the ordering
     base.limit(1).withColumn(
-        "l_orderkey", F.lit(999_999_999)
+        "l_orderkey", F.lit(999_999_999).cast("long")
     ).write.mode("append").parquet(f"{d}/lineitem.parquet")
     got = {r["relationship"]: r["n_orphans"]
            for r in q_orphan_audit(spark, d).collect()}
