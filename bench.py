@@ -146,6 +146,7 @@ HEADLINE = [
     "q_percent_rank_customers",
     "q_customer_tenure",
     "corpus_dedup_savings",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -2198,3 +2198,79 @@ ORACLE["corpus_dedup_savings"] = f"""
              / CAST((SELECT sum(n_tok) FROM toks) AS DOUBLE) AS savings_frac
     FROM saved
 """
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline (the r5 gates, end to end)
+# ---------------------------------------------------------------------------
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation gates composed end-to-end, per document:
+    repetition gate → blocklist gate → exact-dup survivor → the final
+    keep decision plus every intermediate verdict as audit columns.
+    This is the shape a production run actually executes — one pass
+    computing all gate signals, one boolean reduction — and composing
+    the three SEPARATELY-verified entries under a single oracle pins
+    that the composition itself (joins on doc_id, null handling for
+    docs a stage never scored) introduces no drift.
+
+    Shape: union of the three gates' linear plans joined on doc_id —
+    nothing here is more than a partial-agg shuffle; the exact-dup
+    survivor is the same min-doc_id-per-fingerprint groupBy as
+    ``dedup_exact``.
+    """
+    from .dedup import normalized_text
+
+    rep = corpus_repetition_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    blk = corpus_blocklist_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_blocklist")
+    )
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
+    firsts = fp.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    dup = fp.join(firsts, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("first_doc")).alias("keep_exact_dup")
+    )
+    return (
+        rep.join(blk, "doc_id")
+        .join(dup, "doc_id")
+        .select(
+            "doc_id",
+            "keep_repetition",
+            "keep_blocklist",
+            "keep_exact_dup",
+            (
+                F.col("keep_repetition")
+                & F.col("keep_blocklist")
+                & F.col("keep_exact_dup")
+            ).alias("keep"),
+        )
+    )
+
+
+QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
+
+from .dedup import _NORM  # noqa: E402 — the normalized-text SQL the fp uses
+
+ORACLE["corpus_curation_pipeline"] = f"""
+    WITH rep AS (
+      SELECT doc_id, keep AS keep_repetition
+      FROM ({ORACLE["corpus_repetition_gate"]}) r
+    ), blk AS (
+      SELECT doc_id, keep AS keep_blocklist
+      FROM ({ORACLE["corpus_blocklist_filter"]}) b
+    ), fp AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    ), firsts AS (
+      SELECT fp, min(doc_id) AS first_doc FROM fp GROUP BY fp
+    ), dup AS (
+      SELECT fp.doc_id, (fp.doc_id = firsts.first_doc) AS keep_exact_dup
+      FROM fp JOIN firsts USING (fp)
+    )
+    SELECT rep.doc_id, keep_repetition, keep_blocklist, keep_exact_dup,
+           (keep_repetition AND keep_blocklist AND keep_exact_dup) AS keep
+    FROM rep JOIN blk USING (doc_id) JOIN dup USING (doc_id)
+"""
