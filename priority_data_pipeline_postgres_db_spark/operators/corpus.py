@@ -1752,21 +1752,24 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = spark.createDataFrame(
         [(t,) for t in CURVE_THRESHOLDS], "threshold double"
     )
-    # bars on the LEFT of an always-true join (mirroring the oracle's
-    # LEFT JOIN): a corpus with ZERO verified pairs must still emit one
-    # row per bar with n_pairs=0 — an inner-shaped crossJoin would
-    # return an empty frame and trip the row-count gate (review r5)
-    return (
-        bars.join(pairs, F.lit(True), "left")
+    # empty-pair-set shape (review r5, both passes): the aggregate runs
+    # over pairs × broadcast(9-row bars) — the SMALL side broadcasts; an
+    # unkeyed bars-left join would instead force a BNLJ that broadcasts
+    # the UNBOUNDED pair set.  The 9-row aggregate result then left-joins
+    # back onto bars on the threshold key so a corpus with ZERO verified
+    # pairs still emits one row per bar with n_pairs=0 (the oracle's
+    # LEFT JOIN shape).
+    agg = (
+        pairs.crossJoin(F.broadcast(bars))
         .groupBy("threshold")
         .agg(
-            F.coalesce(
-                F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")),
-                F.lit(0),
-            )
+            F.sum((F.col("jaccard") >= F.col("threshold")).cast("long"))
             .cast("long")
             .alias("n_pairs")
         )
+    )
+    return bars.join(agg, "threshold", "left").select(
+        "threshold", F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs")
     )
 
 
@@ -1882,8 +1885,13 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage.
     """
     chunks = chunk_documents(load(spark, sf_dir, "documents"))
-    fp = chunks.select(
-        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("fingerprint")
+    # fp is both groupBy input and join probe side — uncached, the chunk
+    # explosion + per-chunk md5 (the operator's dominant cost) runs
+    # twice (review r5)
+    fp = bounded_cache(
+        chunks.select(
+            "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("fingerprint")
+        )
     )
     firsts = fp.groupBy("fingerprint").agg(
         F.min(F.struct("doc_id", "chunk_id")).alias("first")
@@ -2072,9 +2080,16 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = load(spark, sf_dir, "documents").select(
         "source", F.explode(tokens_expr()).alias("tok")
     )
-    st = ex.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c_st"))
+    # st feeds three consumers and tok_c another three — uncached, each
+    # branch re-runs the full tokenize→explode→groupBy corpus pass
+    # (~5 passes total; review r5)
+    st = bounded_cache(
+        ex.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c_st"))
+    )
     s_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
-    tok_c = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    tok_c = bounded_cache(
+        st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    )
     corpus_tot = tok_c.agg(F.sum("c_t").cast("long").alias("t_c"))
     # p6_c per token and the global Σ p6_c (both need t_c — broadcast it)
     joined = (
@@ -2253,8 +2268,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
 
-from .dedup import _NORM  # noqa: E402 — the normalized-text SQL the fp uses
-
 ORACLE["corpus_curation_pipeline"] = f"""
     WITH rep AS (
       SELECT doc_id, keep AS keep_repetition
@@ -2263,7 +2276,7 @@ ORACLE["corpus_curation_pipeline"] = f"""
       SELECT doc_id, keep AS keep_blocklist
       FROM ({ORACLE["corpus_blocklist_filter"]}) b
     ), fp AS (
-      SELECT doc_id, md5({_NORM}) AS fp FROM documents
+      SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
     ), firsts AS (
       SELECT fp, min(doc_id) AS first_doc FROM fp GROUP BY fp
     ), dup AS (

@@ -1060,7 +1060,20 @@ def video_fingerprint64(payload: bytes) -> int | None:
     bits = []
     for prev, cur in zip(means[:-1], means[1:]):
         bits.extend(c > p for p, c in zip(prev, cur))
-    bits = (bits + [False] * 64)[:64]
+    # a clip with F frames carries only 4·(F-1) distinct bits; ZERO-pad
+    # filling would let unrelated short clips share 50+ pad bits and
+    # collide inside the Hamming threshold (review r5: two 3-frame clips
+    # differ in ≤8 of 64 padded bits → ~36% false-pair odds).  TILE the
+    # delta sequence instead: identical content tiles identically
+    # (remux/brightness invariance preserved, Hamming stays 0) while any
+    # d-bit difference amplifies to ~d·(64/len) ≥ 8 — far beyond the
+    # threshold.  Residual caveat: same-length clips with IDENTICAL
+    # quadrant-motion sign patterns (2^-4(F-1) odds per pair) still
+    # collide, as do genuinely static clips (all-False deltas IS the
+    # signal) — short-clip corpora should raise the Hamming bar or add a
+    # content hash tie-break.
+    reps = -(-64 // len(bits))
+    bits = (bits * reps)[:64]
     v = 0
     for bit in bits:
         v = (v << 1) | int(bit)

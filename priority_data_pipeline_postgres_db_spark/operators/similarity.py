@@ -217,6 +217,10 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", cos.alias("cosine"))
+        # zero-norm vectors score NaN (0/0) and Spark's desc sort puts
+        # NaN FIRST — drop them like every other similarity path (and
+        # like the oracle's norm2 > 0 filter)
+        .filter(~F.isnan("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
@@ -566,7 +570,11 @@ ORACLE = {
                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
           FROM embeddings
         ), n AS (
+          -- zero-norm vectors have UNDEFINED cosine (0/0); the Spark
+          -- kernel drops them as both query and neighbor (NaN would
+          -- poison its batch-local threshold) and the oracle must agree
           SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM q
+          WHERE list_dot_product(qv, qv) > 0
         ), scored AS (
           SELECT que.vec_id AS query_id, c.vec_id AS neighbor_id,
                  list_dot_product(que.qv, c.qv) / (sqrt(que.norm2) * sqrt(c.norm2)) AS cosine
@@ -609,7 +617,11 @@ ORACLE = {
           FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
           WHERE qb.vec_id < {N_QUERIES} AND cb.vec_id <> qb.vec_id
         ), n AS (
+          -- exclude zero-norm vectors: undefined cosine; Spark's verify
+          -- drops their NaN rows, and without a threshold the rank here
+          -- would otherwise sort NaN first (oracle-side divergence)
           SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+          WHERE list_dot_product(qv, qv) > 0
         ), scored AS (
           SELECT cand.query_id, cand.vec_id AS neighbor_id,
                  list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
@@ -683,7 +695,11 @@ ORACLE["sim_knn_join"] = f'''
           FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
           WHERE a.vec_id <> b.vec_id
         ), n AS (
+          -- exclude zero-norm vectors: undefined cosine; Spark's verify
+          -- drops their NaN rows, and without a threshold the rank here
+          -- would otherwise sort NaN first (oracle-side divergence)
           SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+          WHERE list_dot_product(qv, qv) > 0
         ), scored AS (
           SELECT cand.va, cand.vb,
                  list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
@@ -1185,7 +1201,11 @@ ORACLE["sim_knn_join_full"] = f'''
           FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
           WHERE a.vec_id <> b.vec_id
         ), n AS (
+          -- exclude zero-norm vectors: undefined cosine; Spark's verify
+          -- drops their NaN rows, and without a threshold the rank here
+          -- would otherwise sort NaN first (oracle-side divergence)
           SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+          WHERE list_dot_product(qv, qv) > 0
         ), scored AS (
           SELECT cand.va, cand.vb,
                  list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))

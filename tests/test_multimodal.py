@@ -343,25 +343,58 @@ def test_audio_near_dup_connects_planted_copies(spark):
         assert by_pair.get((s, s + 200000)) == 0, (s, "reland missing")
 
 
+def _darken_avi(payload: bytes) -> bytes:
+    """Halve every frame byte in place — a global brightness change with
+    identical container bytes elsewhere (test helper)."""
+    import struct
+
+    import numpy as np
+
+    buf = bytearray(payload)
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            fourcc = bytes(buf[pos : pos + 4])
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            ds = pos + 8
+            if fourcc == b"LIST":
+                walk(ds + 4, ds + size)
+            elif fourcc[2:4] in (b"db", b"dc"):
+                arr = np.frombuffer(bytes(buf[ds : ds + size]), dtype=np.uint8) >> 1
+                buf[ds : ds + size] = arr.tobytes()
+            pos = ds + size + (size % 2)
+
+    walk(12, len(buf))
+    return bytes(buf)
+
+
 def test_video_fingerprint_remux_and_brightness_invariant():
-    """Re-muxing (same frames, new container bytes) keeps the fingerprint
-    bit-identical; codec-bound payloads return None; different footage
-    lands beyond the Hamming threshold."""
+    """Re-muxing (same frames, new container bytes) AND a global
+    brightness halving keep the fingerprint bit-identical; codec-bound
+    payloads return None; different footage lands far beyond the Hamming
+    threshold (bit TILING amplifies short-clip differences — zero
+    padding used to leave two 3-frame clips ≤8 bits apart)."""
     from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
         remux_avi,
         synth_avi,
         video_fingerprint64,
     )
 
-    a = synth_avi(3)
-    assert video_fingerprint64(remux_avi(a)) == video_fingerprint64(a)
-    assert remux_avi(a) != a
+    for i in (3, 5, 11):  # includes 3- and 4-frame short clips
+        a = synth_avi(i)
+        fa = video_fingerprint64(a)
+        assert fa is not None
+        assert video_fingerprint64(remux_avi(a)) == fa
+        assert remux_avi(a) != a
+        assert video_fingerprint64(_darken_avi(a)) == fa
     assert video_fingerprint64(b"not an avi") is None
-    b = synth_avi(6)
-    ham = bin(
-        (video_fingerprint64(a) ^ video_fingerprint64(b)) & (2**64 - 1)
-    ).count("1")
-    assert ham > 3
+    pairs = [(3, 6), (5, 11), (2, 14)]
+    for i, j in pairs:
+        ham = bin(
+            (video_fingerprint64(synth_avi(i)) ^ video_fingerprint64(synth_avi(j)))
+            & (2**64 - 1)
+        ).count("1")
+        assert ham > 3, (i, j, ham)
 
 
 def test_video_near_dup_connects_planted_copies(spark):

@@ -388,3 +388,37 @@ def test_ivf_persisted_matches_in_memory(spark, sf_dir, tmp_path):
     assert p == f and len(p) > 0
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "label" in plan  # probe filter reaches the partitioned scan
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """A planted all-zero embedding must vanish from every similarity
+    surface — as query and as neighbor — instead of NaN-poisoning ranks
+    (Spark sorts NaN FIRST under desc) or batch-local thresholds; the
+    oracles filter norm2 > 0 to match (review r5)."""
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        ann_knn_join,
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    dim = 8
+    rows = [
+        Row(vec_id=0, embedding=[1.0] + [0.0] * (dim - 1)),
+        Row(vec_id=1, embedding=[0.9, 0.1] + [0.0] * (dim - 2)),
+        Row(vec_id=2, embedding=[0.0] * (dim - 1) + [1.0]),
+        Row(vec_id=3, embedding=[0.0] * dim),  # zero-norm plant
+    ]
+    emb = spark.createDataFrame(rows)
+
+    exact = cosine_topk(emb, emb, k=3).collect()
+    assert all(r["neighbor_id"] != 3 for r in exact)
+    assert all(r["query_id"] != 3 for r in exact)
+    assert {r["query_id"] for r in exact} == {0, 1, 2}
+
+    lsh = ann_lsh_topk(emb, emb, dim, k=3).collect()
+    assert all(r["neighbor_id"] != 3 and not (r["cosine"] != r["cosine"]) for r in lsh)
+
+    knn = ann_knn_join(emb, dim, k=3, full_coverage=True).collect()
+    assert all(r["neighbor_id"] != 3 for r in knn)
