@@ -147,6 +147,7 @@ HEADLINE = [
     "q_customer_tenure",
     "corpus_dedup_savings",
     "corpus_curation_pipeline",
+    "q_abc_analysis",
 ]
 
 

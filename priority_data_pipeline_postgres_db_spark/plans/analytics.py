@@ -1677,3 +1677,80 @@ ORACLE["q_customer_tenure"] = """
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY o_custkey
 """
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue within each
+    nation: parts are ranked by revenue, the running share of nation
+    revenue accumulates down the rank, and class A/B/C falls out of the
+    0.8/0.95 cuts — the classic inventory-concentration report.
+
+    Scale shape: revenue aggregates FIRST (one fact shuffle keyed on
+    (nation, part)); the rank and running-sum windows then run over the
+    aggregated grid partitioned BY NATION — bounded partitions, no
+    single-partition exchange (the plan-audit invariant).  Decimal sums
+    keep the running accumulation exact; one double division per row at
+    the end."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,4)")
+         * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+         ).alias("rev"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_part = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "l_partkey")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rev_dec"), F.asc("l_partkey")
+    )
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("c_nationkey")
+    share = (
+        F.sum("rev_dec").over(w_run).cast("double")
+        / F.sum("rev_dec").over(w_tot).cast("double")
+    )
+    return per_part.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "l_partkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+
+
+QUERIES["q_abc_analysis"] = q_abc_analysis
+
+ORACLE["q_abc_analysis"] = """
+    WITH per_part AS (
+      SELECT c_nationkey, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+               AS rev_dec
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey, l_partkey
+    ), ranked AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, l_partkey,
+             CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(row_number() OVER w AS BIGINT) AS rnk,
+             CAST(SUM(rev_dec) OVER (PARTITION BY c_nationkey
+                                     ORDER BY rev_dec DESC, l_partkey ASC
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               AS cum_share
+      FROM per_part
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY rev_dec DESC, l_partkey ASC)
+    )
+    SELECT c_nationkey, l_partkey, revenue, rnk, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM ranked
+"""

@@ -539,3 +539,29 @@ def test_yoy_growth_lag_semantics(spark, sf_dir):
             if cur["yoy_growth"] is not None:
                 expect = (cur["revenue"] - prev["revenue"]) / prev["revenue"]
                 assert abs(cur["yoy_growth"] - expect) < 1e-9
+
+
+def test_abc_analysis_pareto_invariants(spark, sf_dir):
+    """Cumulative share is monotone within nation, ends at 1.0, and the
+    A/B/C cuts respect the 0.8/0.95 boundaries."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_abc_analysis,
+    )
+
+    rows = q_abc_analysis(spark, sf_dir).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["c_nationkey"], []).append(r)
+    for nk, rs in by_nation.items():
+        rs.sort(key=lambda r: r["rnk"])
+        prev = 0.0
+        for r in rs:
+            assert r["cum_share"] >= prev - 1e-12
+            prev = r["cum_share"]
+            if r["abc"] == "A":
+                assert r["cum_share"] <= 0.8
+            elif r["abc"] == "B":
+                assert 0.8 < r["cum_share"] <= 0.95
+            else:
+                assert r["cum_share"] > 0.95
+        assert abs(rs[-1]["cum_share"] - 1.0) < 1e-9
