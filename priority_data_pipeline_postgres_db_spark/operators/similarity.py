@@ -1445,14 +1445,15 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     float k-means centroids aren't engine-portable): build the
     partitioned index in a throwaway warehouse, then answer the
     benchmark queries through it."""
-    import os
-    import shutil
     import tempfile
 
     from .staging import StagingWarehouse
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index")
-    shutil.rmtree(root, ignore_errors=True)
+    # fresh mkdtemp per invocation (ADVICE r5): a fixed shared /tmp path
+    # raced between concurrent sessions — one could probe the other's
+    # half-built index.  No eager cleanup: the returned DataFrame reads
+    # the partitioned index lazily (same contract as stream checkpoints).
+    root = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
     wh = StagingWarehouse(spark, root)
     emb = load(spark, sf_dir, "embeddings")
     build_ivf_index(emb, wh)

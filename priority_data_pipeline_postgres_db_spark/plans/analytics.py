@@ -200,16 +200,17 @@ ORACLE["k1_dedup_append"] = """
 def _staged_three_batches(spark: SparkSession, sf_dir: str, table: str):
     """Shared fixture for the time-travel / schema-evolution entries:
     three incremental event batches land in a throwaway warehouse, the
-    THIRD adding a column (schema evolution).  The root is rebuilt per
-    call so the composed query is deterministic run over run."""
-    import os
-    import shutil
+    THIRD adding a column (schema evolution).  The root is a fresh
+    ``mkdtemp`` per call (ADVICE r5: a fixed shared path raced between
+    concurrent sessions — one could read the other's half-built
+    warehouse).  No eager cleanup: the returned DataFrame reads the
+    directory lazily, so the path must outlive this call — same
+    contract as the streaming checkpoint dirs."""
     import tempfile
 
     from ..operators.staging import StagingWarehouse
 
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{table}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=f"spark_graft_{table}_")
     wh = StagingWarehouse(spark, root)
     ev = load(spark, sf_dir, "events")
     b1 = ev.filter(F.col("ts") < "2024-01-10")
