@@ -38,6 +38,13 @@ from ..plans.tables import load
 from ..util import bounded_cache
 from .dedup import _TOKS, minhash_verified_pairs, tokens_expr
 
+
+class FixedPointOverflowError(ValueError):
+    """A fixed-point integer score would exceed int64, where Spark
+    (non-ANSI) wraps silently while DuckDB raises — refused loudly
+    instead, like :class:`~.dedup.QuadraticScaleError` (ADVICE r5)."""
+
+
 # ---------------------------------------------------------------------------
 # connected components over near-dup pairs
 # ---------------------------------------------------------------------------
@@ -1631,6 +1638,27 @@ ORACLE["corpus_packing_efficiency"] = f"""
 
 DSIR_TARGET_MOD = 10  # deterministic hash-slice of the corpus as the target
 
+# 1e6 fixed-point DSIR ratio in DECIMAL(38,0): products exact to 1e38,
+# quotient exact whenever it fits int64 (guarded below — Spark's div
+# WRAPS past that; measured, see corpus_importance_weights docstring)
+_R6_EXPR = (
+    "CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_t + 1) * (t_c + v))"
+    " div (CAST(c_c + 1 AS DECIMAL(38,0)) * (t_t + v)) AS BIGINT)"
+)
+
+
+def _check_fixed_point_bound(t_c: int, t_t: int, v: int) -> None:
+    """Raise when the global ratio bound 1e6·(t_c+v)/(t_t+v) — an upper
+    bound on every per-token r6 because c_c ≥ c_t — exceeds int64."""
+    if 1_000_000 * (t_c + v) // (t_t + v) > (1 << 63) - 1:
+        raise FixedPointOverflowError(
+            f"corpus_importance_weights: target slice holds {t_t} of "
+            f"{t_c} token occurrences — the 1e6 fixed-point ratio bound "
+            f"1e6*(t_c+v)/(t_t+v) exceeds int64, where Spark's div wraps "
+            "silently. Use a larger target slice or rescale the "
+            "fixed-point base."
+        )
+
 
 def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-selection importance weights, DSIR-style (Xie et al. 2023):
@@ -1649,10 +1677,21 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     token's ratio is a 1e6 fixed-point integer (same trick as
     text_unigram_surprisal), so the per-doc aggregation is an EXACT
     integer sum — order-independent, hash-gate-safe — and only the final
-    normalization divides in double.  Fixed-point range note: the
-    numerator is 1e6·(c_t+1)·(T_c+V), which fits int64 up to corpus
-    totals ~9e12·(c_t+1)⁻¹ — switch the oracle-side and Spark-side pair
-    to DECIMAL(38) together beyond that.
+    normalization divides in double.
+
+    Fixed-point range contract (ADVICE r5): the numerator
+    1e6·(c_t+1)·(T_c+V) overflows int64 at moderate corpus sizes for
+    frequent tokens, and Spark (non-ANSI) would WRAP silently where
+    DuckDB raises — so all products run in DECIMAL(38,0) on the Spark
+    side and HUGEINT on the DuckDB side (both exact integer arithmetic
+    to ≥1e38; a 100 TB corpus peaks around 6e32).  The remaining int64
+    boundary is the QUOTIENT: Spark's ``div`` wraps when the integral
+    quotient itself exceeds int64 (measured, not hypothetical).  Since
+    c_c ≥ c_t for every token, r6 ≤ 1e6·(T_c+V)/(T_t+V) globally, so a
+    1-row totals collect guards that bound and raises
+    :class:`FixedPointOverflowError` — loudly, like QuadraticScaleError
+    — when the target slice is too small a fraction of the corpus
+    (< ~1e-13 of token mass) for the fixed-point quotient to stay exact.
 
     Shape: one explode (narrow), one token-keyed groupBy (Zipf-skewed —
     AQE splits), a token join back, and a 1-row broadcast of totals.
@@ -1667,29 +1706,32 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens_expr()).alias("tok"),
         (key % DSIR_TARGET_MOD == 0).cast("long").alias("is_t"),
     )
-    counts = ex.groupBy("tok").agg(
-        F.count("*").cast("long").alias("c_c"),
-        F.sum("is_t").cast("long").alias("c_t"),
+    counts = bounded_cache(
+        ex.groupBy("tok").agg(
+            F.count("*").cast("long").alias("c_c"),
+            F.sum("is_t").cast("long").alias("c_t"),
+        )
     )
     totals = counts.agg(
         F.sum("c_c").cast("long").alias("t_c"),
         F.sum("c_t").cast("long").alias("t_t"),
         F.count("*").cast("long").alias("v"),
     )
+    # quotient-bound guard (see docstring): 1-row collect, vocab-bounded
+    # upstream (counts is cached so the guard pass is reused by the plan)
+    t_c, t_t, v = totals.collect()[0]
+    _check_fixed_point_bound(t_c, t_t, v)
     scored = (
         ex.join(counts, "tok")
         .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id",
-            F.expr(
-                "(1000000 * (c_t + 1) * (t_c + v)) div ((c_c + 1) * (t_t + v))"
-            ).alias("r6"),
-        )
+        .select("doc_id", F.expr(_R6_EXPR).alias("r6"))
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         (
-            F.sum("r6").cast("double")
+            # decimal(38,0) sum: exact and overflow-proof (a HUGEINT sum
+            # on the oracle side), divided once in double at the end
+            F.sum(F.col("r6").cast("decimal(38,0)")).cast("double")
             / (F.lit(1000000.0) * F.count("*").cast("double"))
         ).alias("importance"),
     )
@@ -1713,13 +1755,17 @@ ORACLE["corpus_importance_weights"] = f"""
              CAST(count(*) AS BIGINT) AS v
       FROM counts
     ), scored AS (
+      -- HUGEINT intermediates mirror Spark's DECIMAL(38,0): both sides
+      -- are exact integer arithmetic to >=1e38, and the quotient fits
+      -- BIGINT under the Spark-side totals guard (ADVICE r5)
       SELECT doc_id,
-             (1000000 * (c_t + 1) * (t_c + v)) // ((c_c + 1) * (t_t + v)) AS r6
+             CAST((1000000::HUGEINT * (c_t + 1) * (t_c + v))
+                  // ((c_c + 1)::HUGEINT * (t_t + v)) AS BIGINT) AS r6
       FROM ex JOIN counts USING (tok) CROSS JOIN totals
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(CAST(sum(r6) AS BIGINT) AS DOUBLE)
+           CAST(sum(r6) AS DOUBLE)
              / (1000000.0 * CAST(count(*) AS DOUBLE)) AS importance
     FROM scored GROUP BY doc_id
 """

@@ -734,3 +734,54 @@ def test_dedup_savings_consistent_with_cc(spark, sf_dir):
     assert row["docs_dropped"] == n_dropped
     assert 0 <= row["tokens_saved"] <= row["tokens_total"]
     assert row["savings_frac"] == row["tokens_saved"] / row["tokens_total"]
+
+
+def test_importance_ratio_exact_beyond_int64_products(spark):
+    """ADVICE r5: the 1e6 fixed-point DSIR numerator overflows int64 at
+    moderate corpus sizes — the DECIMAL(38,0)/div pair must stay exact
+    (vs Python bigint math) on operand magnitudes where the old int64
+    expression demonstrably wrapped."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import _R6_EXPR
+
+    # (c_t, c_c, t_c, t_t, v): 100 TB-scale totals; numerator up to ~6e32
+    cases = [
+        (9_000_000_000_000, 9_500_000_000_000, 25_000_000_000_000,
+         2_500_000_000_000, 50_000_000),
+        (1, 7, 25_000_000_000_000, 2_500_000_000_000, 50_000_000),
+        (0, 123_456, 9_000_000_000_000_000, 900_000_000_000_000, 1_000_000),
+        (42, 42, 1_000, 100, 10),
+    ]
+    df = spark.createDataFrame(
+        cases, "c_t long, c_c long, t_c long, t_t long, v long"
+    )
+    got = [r[0] for r in df.select(F.expr(_R6_EXPR)).collect()]
+    want = [
+        (1_000_000 * (c_t + 1) * (t_c + v)) // ((c_c + 1) * (t_t + v))
+        for c_t, c_c, t_c, t_t, v in cases
+    ]
+    assert got == want
+    # and at least one case actually exceeds the int64 product range,
+    # i.e. the old expression would have wrapped
+    assert any(
+        1_000_000 * (c_t + 1) * (t_c + v) > (1 << 63) - 1
+        for c_t, c_c, t_c, t_t, v in cases
+    )
+
+
+def test_importance_fixed_point_guard_refuses_quotient_overflow():
+    """The quotient bound 1e6·(t_c+v)/(t_t+v) is where Spark's div wraps
+    silently — the guard must refuse loudly there and accept below."""
+    import pytest
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        FixedPointOverflowError,
+        _check_fixed_point_bound,
+    )
+
+    _check_fixed_point_bound(t_c=25_000_000_000_000, t_t=2_500_000_000_000,
+                             v=50_000_000)  # healthy 10% target slice
+    with pytest.raises(FixedPointOverflowError):
+        # degenerate target: ~1e-14 of corpus mass -> ratio bound > int64
+        _check_fixed_point_bound(t_c=10**19, t_t=0, v=1)
