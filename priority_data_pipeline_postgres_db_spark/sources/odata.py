@@ -470,6 +470,25 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
     def _sort_key(self, rec: dict) -> tuple:
         return (self._ts(str(rec[self.filter_field])), str(rec[self.pk_field]))
 
+    def _literal(self, raw: str) -> str:
+        """Serialize a filter-field value as the same typed OData literal
+        form ``_fmt_value`` gives the batch source's pushed ``$filter``
+        (ADVICE r5): a raw ``str()`` of a server row value is not a valid
+        literal on real tenants — e.g. a ``Z``-suffixed or
+        fractional-second timestamp echoed verbatim 400s where the
+        canonical ISO datetimeoffset form is accepted, and a string key
+        needs its quotes.  Timestamp-typed fields round-trip through
+        ``fromisoformat`` (tz preserved, canonical ``+HH:MM`` offset);
+        string-typed fields are single-quoted; numerics pass through."""
+        for _, src, dtype in self._fields:
+            if src == self.filter_field:
+                if isinstance(dtype, T.TimestampType):
+                    return _fmt_value(datetime.fromisoformat(raw))
+                if isinstance(dtype, T.StringType):
+                    return _fmt_value(raw)
+                break
+        return raw
+
     def _offset_cut(self, off: dict) -> tuple | None:
         if not off.get("wm"):
             return None
@@ -508,7 +527,7 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
         orderby = f"{self.filter_field},{self.pk_field}"
         if self.options.get("paging", "skip") == "keyset":
             return self._fetch_ge_keyset(transport, headers, wm, page, orderby)
-        clause = f"{self.filter_field} ge {wm}" if wm else None
+        clause = f"{self.filter_field} ge {self._literal(wm)}" if wm else None
         skip, rows = 0, []
         while True:
             url = build_url(
@@ -531,7 +550,11 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
         rows: list[dict] = []
         anchor, n_at_anchor = wm, 0
         while True:
-            clause = f"{self.filter_field} ge {anchor}" if anchor else None
+            clause = (
+                f"{self.filter_field} ge {self._literal(anchor)}"
+                if anchor
+                else None
+            )
             url = build_url(
                 self.options["uri"],
                 self.options["entity"],

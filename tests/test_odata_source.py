@@ -487,3 +487,70 @@ def test_stream_odata_to_atomic_staging_exactly_once(spark, tmp_path):
     again = wh.read("orders_stream")
     assert again.count() == _FAKE_N
     assert len(wh.snapshots("orders_stream")) <= 2  # at most an empty epoch
+
+
+def test_stream_reader_serializes_anchor_as_typed_literal():
+    """ADVICE r5: keyset re-anchoring (and the initial watermark clause)
+    must serialize the bound through the typed-literal formatter, not a
+    raw str() of the server's row value.  This tenant echoes Z-suffixed
+    fractional-second timestamps — a verbatim echo is not the canonical
+    OData datetimeoffset literal and a strict server 400s on it."""
+    import re as relib
+    import urllib.parse as up
+    from datetime import datetime as dtt
+
+    from priority_data_pipeline_postgres_db_spark.sources.odata import (
+        TRANSPORTS,
+        ODataStreamReader,
+    )
+
+    rows = [
+        {"ORDNAME": f"SO{i:03d}", "CURDATE": f"2024-03-{i + 1:02d}T00:00:00.250Z", "ORD": i}
+        for i in range(7)
+    ]
+    seen_bounds = []
+
+    def strict_transport(url, headers):
+        path, _, query = url.partition("?")
+        params = {
+            k: up.unquote(v)
+            for k, v in (p.split("=", 1) for p in query.split("&") if "=" in p)
+        }
+        flt = params.get("$filter", "")
+        if flt:
+            m = relib.match(r"(\w+) ge (.+)$", flt)
+            assert m, flt
+            bound = m.group(2)
+            seen_bounds.append(bound)
+            # a strict tenant accepts the canonical +HH:MM offset form
+            # only — a verbatim 'Z' echo is the bug being pinned here
+            assert bound.endswith("+00:00"), f"non-canonical literal: {bound}"
+            bdt = dtt.fromisoformat(bound)
+            out = [r for r in rows if dtt.fromisoformat(r["CURDATE"]) >= bdt]
+        else:
+            out = list(rows)
+        out.sort(key=lambda r: (dtt.fromisoformat(r["CURDATE"]), r["ORDNAME"]))
+        skip = int(params.get("$skip", 0))
+        top = int(params.get("$top", len(out)))
+        return {"value": out[skip : skip + top]}
+
+    TRANSPORTS["strict-literal"] = strict_transport
+    try:
+        r = ODataStreamReader(
+            _stream_schema(),
+            {"uri": "fake://tenant", "entity": "ORDERS",
+             "filterfield": "CURDATE", "transport": "strict-literal",
+             "pagesize": "3", "paging": "keyset"},
+        )
+        batch, off = r.read(r.initialOffset())
+        names = [b[0] for b in batch]
+    finally:
+        del TRANSPORTS["strict-literal"]
+
+    assert names == [f"SO{i:03d}" for i in range(7)]  # each exactly once
+    # keyset paging re-anchored at least once, and every bound the
+    # server saw was the canonical typed literal
+    assert seen_bounds and all(b.endswith("+00:00") for b in seen_bounds)
+    # the offset keeps the RAW server form (replay fidelity) — only the
+    # wire literal is canonicalized
+    assert off["wm"] == "2024-03-07T00:00:00.250Z"
