@@ -2333,3 +2333,194 @@ ORACLE["corpus_curation_pipeline"] = f"""
            (keep_repetition AND keep_blocklist AND keep_exact_dup) AS keep
     FROM rep JOIN blk USING (doc_id) JOIN dup USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (r6)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_MIN = 3  # rule: 3·n_words ≤ word_chars
+GOPHER_MEAN_LEN_MAX = 10  # rule: word_chars ≤ 10·n_words
+GOPHER_STOP_MIN_PCT = 2  # rule: 100·stop_cnt ≥ 2·n_words
+GOPHER_TOP_MAX_PCT = 20  # rule: 100·max_tok_cnt ≤ 20·n_words
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document rule gate (Rae et al. 2021 §A1.1, adapted to
+    this corpus's whitespace-token shape): per document, the raw counts
+    plus one boolean per rule — word-count bounds, mean-word-length
+    bounds, minimum stopword density, and a repetition cap on the single
+    most frequent token — and the conjunction ``keep``.  Unlike
+    ``text_quality_score`` (a soft [0,1] blend for ranking), this is the
+    HARD filter form production gates run, with per-rule observability
+    so a corpus owner can see WHICH rule fires before tuning it.
+
+    Every rule is an integer comparison on exact token counts (e.g. the
+    mean-length band is ``3·n ≤ chars ≤ 10·n``, never ``chars/n``), so
+    the verdicts are bit-portable across engines — no float thresholds
+    under the hash gate.
+
+    Shape: one explode (narrow), a (doc, tok) count, a doc-level
+    aggregate — two shuffles, both on high-cardinality keys; no joins,
+    no windows, linear at any corpus size.
+    """
+    from ..functions.text import STOPWORDS
+
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    docs = load(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.length("tok") * F.col("c")).cast("long").alias("word_chars"),
+        F.max("c").cast("long").alias("max_tok_cnt"),
+        F.sum(
+            F.when(F.col("tok").isin(*stops), F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("stop_cnt"),
+    )
+    n = F.col("n_words")
+    flags = stats.select(
+        "doc_id",
+        "n_words",
+        "word_chars",
+        "stop_cnt",
+        "max_tok_cnt",
+        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        (
+            (F.col("word_chars") >= GOPHER_MEAN_LEN_MIN * n)
+            & (F.col("word_chars") <= GOPHER_MEAN_LEN_MAX * n)
+        ).alias("ok_mean_word_len"),
+        (F.col("stop_cnt") * 100 >= GOPHER_STOP_MIN_PCT * n).alias("ok_stopwords"),
+        (F.col("max_tok_cnt") * 100 <= GOPHER_TOP_MAX_PCT * n).alias(
+            "ok_repetition"
+        ),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition"),
+    )
+
+
+QUERIES["corpus_gopher_rules"] = corpus_gopher_rules
+
+
+def _gopher_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+    )
+    return f"""
+    WITH per_tok AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(length(tok) * c) AS BIGINT) AS word_chars,
+             CAST(max(c) AS BIGINT) AS max_tok_cnt,
+             CAST(sum(CASE WHEN tok IN ({stops}) THEN c ELSE 0 END) AS BIGINT)
+               AS stop_cnt
+      FROM per_tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, word_chars, stop_cnt, max_tok_cnt,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AS ok_word_count,
+           (word_chars >= {GOPHER_MEAN_LEN_MIN} * n_words
+            AND word_chars <= {GOPHER_MEAN_LEN_MAX} * n_words)
+             AS ok_mean_word_len,
+           (stop_cnt * 100 >= {GOPHER_STOP_MIN_PCT} * n_words) AS ok_stopwords,
+           (max_tok_cnt * 100 <= {GOPHER_TOP_MAX_PCT} * n_words)
+             AS ok_repetition,
+           ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+            AND (word_chars >= {GOPHER_MEAN_LEN_MIN} * n_words
+                 AND word_chars <= {GOPHER_MEAN_LEN_MAX} * n_words)
+            AND (stop_cnt * 100 >= {GOPHER_STOP_MIN_PCT} * n_words)
+            AND (max_tok_cnt * 100 <= {GOPHER_TOP_MAX_PCT} * n_words)) AS keep
+    FROM stats
+"""
+
+
+ORACLE["corpus_gopher_rules"] = _gopher_oracle()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility report (r6)
+# ---------------------------------------------------------------------------
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (lang, source): sub-word tokens per
+    whitespace word and chars per sub-word token — the table a tokenizer
+    choice is judged on (fertility ≫ 1 for a language means the
+    vocabulary under-serves it, so its documents burn more sequence
+    budget per word; budget planners divide token targets by it).
+
+    Uses the shared BPE-ish pre-tokenization (``bpe_ish_count_expr``) as
+    the sub-word stand-in.  All sums are exact integer counts; the two
+    ratios divide once in double at the end.  One narrow projection plus
+    one tiny groupBy on (lang, source) — no joins, no explode.
+    """
+    from ..functions.text import bpe_ish_count_expr, token_count_expr
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        token_count_expr().cast("long").alias("n_words"),
+        bpe_ish_count_expr().cast("long").alias("n_bpe"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        (
+            F.sum("n_bpe").cast("double") / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+QUERIES["corpus_tokenizer_fertility"] = corpus_tokenizer_fertility
+
+def _fertility_oracle() -> str:
+    from ..functions.text import _NORM, BPE_ISH_PATTERN
+
+    return f"""
+    WITH per_doc AS (
+      SELECT lang, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all({_NORM}, '{BPE_ISH_PATTERN}'))
+                  AS BIGINT) AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE) AS fertility,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE) AS chars_per_token
+    FROM per_doc GROUP BY lang, source
+"""
+
+
+ORACLE["corpus_tokenizer_fertility"] = _fertility_oracle()

@@ -1461,3 +1461,97 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_ivf_persisted"] = sim_ivf_persisted
+
+
+# ---------------------------------------------------------------------------
+# cross-split embedding contamination (r6)
+# ---------------------------------------------------------------------------
+
+
+def corpus_crosssplit_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination at the EMBEDDING level: every semantic
+    near-dup pair that straddles the train / held-out boundary of the
+    deterministic hash split — the leak n-gram decontamination
+    (``corpus_decontaminate``) cannot see, because a paraphrased or
+    reformatted eval document shares no 13-gram with its train twin but
+    still sits inside the ``SEM_THRESHOLD`` cosine bar of it.  Output is one row per
+    (eval doc, contaminating train doc, cosine): the removal list an
+    eval-hygiene pass feeds back into the train side.
+
+    Scale: the pair set is ``semantic_pairs`` — SRP-bucketed candidates,
+    bucket-capped, exact integer-cosine verify — so cost tracks bucket
+    occupancy, never |train|×|eval|.  The split lookup is a projection
+    of the same md5-60 bucket expression ``corpus_hash_split`` uses
+    (one narrow column, no extra shuffle: it joins on the pair's own
+    vec_id keys).
+    """
+    from .corpus import _TRAIN_LT, _VAL_LT, hash_bucket_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = semantic_pairs(emb, dim)
+    bucket = hash_bucket_expr("vec_id")
+    splits = emb.select(
+        "vec_id",
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("split").alias("split_b")
+    )
+    crossing = (
+        pairs.join(sa, "vec_id_a")
+        .join(sb, "vec_id_b")
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+    )
+    is_a_train = F.col("split_a") == "train"
+    return crossing.select(
+        F.when(is_a_train, F.col("vec_id_b")).otherwise(F.col("vec_id_a")).alias(
+            "eval_vec_id"
+        ),
+        F.when(is_a_train, F.col("split_b")).otherwise(F.col("split_a")).alias(
+            "eval_split"
+        ),
+        F.when(is_a_train, F.col("vec_id_a")).otherwise(F.col("vec_id_b")).alias(
+            "train_vec_id"
+        ),
+        "cosine",
+    )
+
+
+QUERIES["corpus_crosssplit_contamination"] = corpus_crosssplit_contamination
+
+
+def _crosssplit_oracle() -> str:
+    from .corpus import _SPLIT_BUCKETS, _TRAIN_LT, _VAL_LT
+
+    bucket = (
+        f"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_SPLIT_BUCKETS}"
+    )
+    return f'''
+        WITH {_SRP_PAIR_CTES}, splits AS (
+          SELECT vec_id,
+                 CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train'
+                      WHEN {bucket} < {_VAL_LT} THEN 'validation'
+                      ELSE 'test' END AS split
+          FROM embeddings
+        )
+        SELECT CASE WHEN sa.split = 'train' THEN vb ELSE va END AS eval_vec_id,
+               CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+                 AS eval_split,
+               CASE WHEN sa.split = 'train' THEN va ELSE vb END AS train_vec_id,
+               cosine
+        FROM pairs
+        JOIN splits sa ON sa.vec_id = pairs.va
+        JOIN splits sb ON sb.vec_id = pairs.vb
+        WHERE (sa.split = 'train') <> (sb.split = 'train')
+'''
+
+
+ORACLE["corpus_crosssplit_contamination"] = _crosssplit_oracle()

@@ -785,3 +785,88 @@ def test_importance_fixed_point_guard_refuses_quotient_overflow():
     with pytest.raises(FixedPointOverflowError):
         # degenerate target: ~1e-14 of corpus mass -> ratio bound > int64
         _check_fixed_point_bound(t_c=10**19, t_t=0, v=1)
+
+
+def test_gopher_rules_fire_on_planted_pathologies(spark, sf_dir):
+    """Each Gopher rule catches the pathology it is named for, and a
+    healthy document passes all four."""
+    import os
+    import shutil
+    import tempfile
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    healthy = " ".join(
+        ["the", "a", "of"] * 4 + [f"token{i} value{i} part{i}" for i in range(12)]
+    )
+    rows = [
+        (1, healthy, "en", "s", len(healthy)),
+        (2, "too short", "en", "s", 9),  # word count
+        (3, " ".join(["xx"] * 50), "en", "s", 149),  # mean len + repetition
+        (4, " ".join(f"w{i}" * 9 for i in range(50)), "en", "s", 500),  # no stopwords
+        (5, " ".join(["the"] * 25 + [f"u{i}" for i in range(25)]), "en", "s", 200),  # top token 50%
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in C.corpus_gopher_rules(spark, d).collect()}
+    finally:
+        shutil.rmtree(d)
+    assert got[1]["keep"]
+    assert not got[2]["ok_word_count"] and not got[2]["keep"]
+    assert not got[3]["ok_mean_word_len"] and not got[3]["ok_repetition"]
+    assert not got[4]["ok_stopwords"] and not got[4]["keep"]
+    assert got[5]["ok_word_count"] and not got[5]["ok_repetition"]
+
+
+def test_tokenizer_fertility_ordering(spark, sf_dir):
+    """Fertility ≥ 1 by construction (a whitespace word yields ≥1 BPE-ish
+    piece) and group sums reconcile with the per-doc token counts."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.functions.text import (
+        text_token_count,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    rows = C.corpus_tokenizer_fertility(spark, sf_dir).collect()
+    assert rows and all(r["fertility"] >= 1.0 for r in rows)
+    total_words = sum(r["words"] for r in rows)
+    per_doc = text_token_count(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("s")
+    ).collect()[0]["s"]
+    assert total_words == per_doc
+
+
+def test_crosssplit_contamination_only_crossing_pairs(spark, sf_dir):
+    """Every reported pair straddles the train boundary: the train side
+    hashes into the train band, the eval side does not — and the pair set
+    is a subset of the full semantic near-dup pairs."""
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        corpus_crosssplit_contamination,
+        semantic_pairs,
+    )
+
+    rows = corpus_crosssplit_contamination(spark, sf_dir).collect()
+    assert rows, "sf0.01 fixture has cross-split near-dups"
+
+    def bucket(v):
+        import hashlib
+
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % C._SPLIT_BUCKETS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    allp = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs(emb, dim).collect()
+    }
+    for r in rows:
+        assert bucket(r["train_vec_id"]) < C._TRAIN_LT
+        assert bucket(r["eval_vec_id"]) >= C._TRAIN_LT
+        a, b = sorted((r["train_vec_id"], r["eval_vec_id"]))
+        assert (a, b) in allp
