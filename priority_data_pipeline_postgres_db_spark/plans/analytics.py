@@ -1755,3 +1755,262 @@ ORACLE["q_abc_analysis"] = """
                 ELSE 'C' END AS abc
     FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (r6)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 7 * 86400  # lookback: touches within 7 days before purchase
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 7-day
+    window before a purchase by the same user shares that conversion's
+    credit equally — the batch complement of the streaming last-touch
+    model in ``stream_click_attribution``.  Output: per touch channel
+    (event_type), how many touch rows earned credit and how many
+    conversions they sum to.
+
+    Determinism under the hash gate: each touch's share is the integer
+    ``1e6 div n_touches`` (micro-credits; the remainder is dropped the
+    same way in both engines), summed exactly as int64 and divided once
+    at the end — never a float ``1/n`` sum whose order could differ.
+
+    Scale: the purchase×touch join is keyed on user_id with a time-range
+    predicate, so cost is Σ_user (purchases·touches) inside the window —
+    bounded by per-user activity, not corpus size.  AQE splits skewed
+    whale users; if one user's window pairing still dominates, bin the
+    range predicate into day buckets first (the j_range_join_binned
+    shape) to make it an equi-join.
+    """
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), epoch.alias("tp")
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("touch_id"),
+        epoch.alias("tt"),
+    )
+    j = purch.join(touch, "user_id").filter(
+        (F.col("tt") < F.col("tp")) & (F.col("tt") >= F.col("tp") - ATTR_WINDOW_S)
+    )
+    n = j.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_touches"))
+    credited = j.join(n, "conv_id").withColumn(
+        "credit_micro", F.expr("1000000 div n_touches")
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").cast("long").alias("touch_rows"),
+        F.countDistinct("conv_id").cast("long").alias("conversions_touched"),
+        (
+            F.sum("credit_micro").cast("double") / F.lit(1_000_000.0)
+        ).alias("attributed_conversions"),
+    )
+
+
+QUERIES["q_attribution_linear"] = q_attribution_linear
+
+ORACLE["q_attribution_linear"] = f"""
+    WITH purch AS (
+      SELECT user_id, event_id AS conv_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tp
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_type AS channel, event_id AS touch_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tt
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.conv_id, t.channel
+      FROM purch p JOIN touch t ON p.user_id = t.user_id
+      WHERE t.tt < p.tp AND t.tt >= p.tp - {ATTR_WINDOW_S}
+    ), n AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_touches
+      FROM j GROUP BY conv_id
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS touch_rows,
+           CAST(count(DISTINCT j.conv_id) AS BIGINT) AS conversions_touched,
+           CAST(CAST(sum(1000000 // n_touches) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS attributed_conversions
+    FROM j JOIN n ON j.conv_id = n.conv_id
+    GROUP BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert (r6)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long the view→purchase hop takes: for every user with a view,
+    the FIRST purchase strictly after their FIRST view, reported as one
+    corpus-level row — viewers, converters, conversion rate, and
+    avg/min/max seconds-to-convert.  The latency companion to
+    ``q_event_funnel`` (which counts stage completion, not dwell time).
+
+    Single-shuffle shape (same trick as q_event_funnel): the first-view
+    timestamp is an unordered window min over the user partition, the
+    conditional first-purchase min reuses that exchange in the per-user
+    rollup, and the final global aggregate is a 1-row reduce.  Seconds
+    are exact second-truncated epoch int64 differences summed exactly;
+    the average divides once in double.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull())
+    )
+    delta = F.col("t2").cast("long") - F.col("t1").cast("long")
+    return per_user.select(delta.alias("sec")).agg(
+        F.count("*").cast("long").alias("viewers"),
+        F.count("sec").cast("long").alias("converters"),
+        (F.count("sec").cast("double") / F.count("*").cast("double")).alias(
+            "conversion_rate"
+        ),
+        (F.sum("sec").cast("double") / F.count("sec").cast("double")).alias(
+            "avg_seconds"
+        ),
+        F.min("sec").cast("long").alias("min_seconds"),
+        F.max("sec").cast("long").alias("max_seconds"),
+    )
+
+
+QUERIES["q_funnel_conversion_time"] = q_funnel_conversion_time
+
+ORACLE["q_funnel_conversion_time"] = """
+    WITH staged AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), per_user AS (
+      SELECT user_id, min(t1) AS t1,
+             min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+               AS t2
+      FROM staged GROUP BY user_id
+      HAVING min(t1) IS NOT NULL
+    ), d AS (
+      SELECT CAST(floor(epoch(t2)) AS BIGINT)
+               - CAST(floor(epoch(t1)) AS BIGINT) AS sec
+      FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS viewers,
+           CAST(count(sec) AS BIGINT) AS converters,
+           CAST(count(sec) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS conversion_rate,
+           CAST(CAST(sum(sec) AS BIGINT) AS DOUBLE) / CAST(count(sec) AS DOUBLE)
+             AS avg_seconds,
+           CAST(min(sec) AS BIGINT) AS min_seconds,
+           CAST(max(sec) AS BIGINT) AS max_seconds
+    FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# user lifetime-value deciles (r6)
+# ---------------------------------------------------------------------------
+
+
+def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile table: users ranked by total purchase value,
+    cut into 10 equal-count bands (decile 1 = highest spenders), with
+    each band's user count, revenue, revenue share, and average — the
+    "top 10% of users drive X% of revenue" report.
+
+    Purchase values accumulate as 1e6-quantized int64 (the
+    stream_user_totals idiom: ``floor(v·1e6 + 0.5)`` per event, integer
+    sums are order-insensitive) and each output double divides exactly
+    once.  The decile cut is ``ntile(10)`` over the deterministic total
+    order (value desc, user_id) — both engines place the first
+    ``n mod 10`` groups one user larger.
+
+    Shape: one user-keyed aggregate, one global ntile sort (users ≪
+    events; at 1e9-user scale swap ntile for a percent_rank bucket over
+    a range-partitioned sort — operators.ranking has the machinery),
+    one 10-row aggregate plus a 1-row broadcast total.
+    """
+    ev = load(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", micro.alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("v").cast("long").alias("micro"),
+        )
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("micro").desc(), F.col("user_id").asc())
+    )
+    cut = per_user.withColumn("decile", decile.cast("long"))
+    total = cut.agg(F.sum("micro").cast("long").alias("t_micro"))
+    return (
+        cut.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            F.sum("micro").cast("long").alias("d_micro"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "n_purchases",
+            (F.col("d_micro").cast("double") / F.lit(1_000_000.0)).alias("revenue"),
+            (F.col("d_micro").cast("double") / F.col("t_micro").cast("double")).alias(
+                "revenue_share"
+            ),
+            (
+                F.col("d_micro").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_users").cast("double"))
+            ).alias("avg_revenue_per_user"),
+        )
+    )
+
+
+QUERIES["q_user_ltv_deciles"] = q_user_ltv_deciles
+
+ORACLE["q_user_ltv_deciles"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS micro
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), cut AS (
+      SELECT *, CAST(ntile(10) OVER (ORDER BY micro DESC, user_id ASC)
+                     AS BIGINT) AS decile
+      FROM per_user
+    ), totals AS (
+      SELECT CAST(sum(micro) AS BIGINT) AS t_micro FROM cut
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE)
+             / CAST(t_micro AS DOUBLE) AS revenue_share,
+           CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE)
+             / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_revenue_per_user
+    FROM cut CROSS JOIN totals
+    GROUP BY decile, t_micro
+"""

@@ -565,3 +565,88 @@ def test_abc_analysis_pareto_invariants(spark, sf_dir):
             else:
                 assert r["cum_share"] > 0.95
         assert abs(rs[-1]["cum_share"] - 1.0) < 1e-9
+
+
+def test_attribution_linear_credits_split_exactly(spark, tmp_path):
+    """Planted journey: purchase P1 has two in-window touches (view+click)
+    -> each gets 0.5; P2 has one click -> 1.0; a touch OUTSIDE the 7-day
+    lookback and a touch AFTER the purchase earn nothing."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_attribution_linear,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def row(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": 1.0, "props": "{}"}
+
+    rows = [
+        row(1, t0 - dt.timedelta(days=2), 7, "view"),     # in window for P1
+        row(2, t0 - dt.timedelta(hours=1), 7, "click"),   # in window for P1
+        row(3, t0 - dt.timedelta(days=9), 7, "view"),     # outside 7-day window
+        row(4, t0 + dt.timedelta(hours=1), 7, "view"),    # after purchase
+        row(5, t0, 7, "purchase"),                        # P1
+        row(6, t0 - dt.timedelta(days=1), 8, "click"),    # sole touch for P2
+        row(7, t0, 8, "purchase"),                        # P2
+        row(8, t0, 9, "view"),                            # user with no purchase
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {r["channel"]: r for r in q_attribution_linear(spark, str(tmp_path)).collect()}
+    assert got["view"]["touch_rows"] == 1 and got["view"]["attributed_conversions"] == 0.5
+    assert got["click"]["touch_rows"] == 2
+    assert got["click"]["attributed_conversions"] == 1.5
+    assert got["click"]["conversions_touched"] == 2
+
+
+def test_funnel_conversion_time_strictly_after_first_view(spark, sf_dir):
+    """The aggregate reconciles with a driver-side replay on the raw
+    events: converters counts users whose first purchase is strictly
+    after their first view; avg is the exact mean of the deltas."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_funnel_conversion_time,
+    )
+
+    row = q_funnel_conversion_time(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    deltas = []
+    viewers = 0
+    for evs in by_user.values():
+        views = [e["ts"] for e in evs if e["event_type"] == "view"]
+        if not views:
+            continue
+        viewers += 1
+        t1 = min(views)
+        purch = [e["ts"] for e in evs if e["event_type"] == "purchase" and e["ts"] > t1]
+        if purch:
+            t2 = min(purch)
+            deltas.append(int(t2.timestamp()) - int(t1.timestamp()))
+    assert row["viewers"] == viewers
+    assert row["converters"] == len(deltas)
+    assert row["avg_seconds"] == sum(deltas) / len(deltas)
+    assert row["min_seconds"] == min(deltas) and row["max_seconds"] == max(deltas)
+
+
+def test_ltv_deciles_shape_and_share(spark, sf_dir):
+    """10 deciles, near-equal user counts (first n%10 one larger), shares
+    sum to 1, and decile 1 (top spenders) dominates decile 10."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_user_ltv_deciles,
+    )
+
+    rows = {r["decile"]: r for r in q_user_ltv_deciles(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 11))
+    counts = [rows[d]["n_users"] for d in range(1, 11)]
+    assert max(counts) - min(counts) <= 1
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-9
+    assert rows[1]["revenue"] > rows[10]["revenue"]
+    assert rows[1]["avg_revenue_per_user"] >= rows[10]["avg_revenue_per_user"]
