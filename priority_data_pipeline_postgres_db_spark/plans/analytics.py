@@ -1937,15 +1937,19 @@ def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Purchase values accumulate as 1e6-quantized int64 (the
     stream_user_totals idiom: ``floor(v·1e6 + 0.5)`` per event, integer
     sums are order-insensitive) and each output double divides exactly
-    once.  The decile cut is ``ntile(10)`` over the deterministic total
-    order (value desc, user_id) — both engines place the first
-    ``n mod 10`` groups one user larger.
+    once.  The decile cut is NTILE(10) semantics over the deterministic
+    total order (value desc, user_id) — both engines place the first
+    ``n mod 10`` groups one user larger — computed via
+    ``operators.ranking.global_ntile`` (range partition + partition-id
+    windows + broadcast prefix offsets), so there is NO single-partition
+    sort even at 1e9 users; the oracle keeps plain ``ntile()``, pinning
+    the distributed path to the textbook semantics.
 
-    Shape: one user-keyed aggregate, one global ntile sort (users ≪
-    events; at 1e9-user scale swap ntile for a percent_rank bucket over
-    a range-partitioned sort — operators.ranking has the machinery),
+    Shape: one user-keyed aggregate, the rank pass's range exchange,
     one 10-row aggregate plus a 1-row broadcast total.
     """
+    from ..operators.ranking import global_ntile
+
     ev = load(spark, sf_dir, "events")
     micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
     per_user = (
@@ -1957,10 +1961,12 @@ def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("long").alias("micro"),
         )
     )
-    decile = F.ntile(10).over(
-        Window.orderBy(F.col("micro").desc(), F.col("user_id").asc())
-    )
-    cut = per_user.withColumn("decile", decile.cast("long"))
+    cut = global_ntile(
+        per_user,
+        [F.col("micro").desc(), F.col("user_id").asc()],
+        k=10,
+        alias="decile",
+    ).withColumn("decile", F.col("decile").cast("long"))
     total = cut.agg(F.sum("micro").cast("long").alias("t_micro"))
     return (
         cut.groupBy("decile")

@@ -43,6 +43,9 @@ ALLOWED = {
     "corpus_source_drift": {"BNLJ", "SinglePartition"},      # 1-row corpus totals broadcast
     "q_orphan_audit": {"SinglePartition"},                   # 3 single-row audit aggregates
     "corpus_dedup_savings": {"BNLJ", "SinglePartition"},     # 1-row saved/total aggregates
+    # r6 additions
+    "q_funnel_conversion_time": {"SinglePartition"},         # single-row output
+    "q_user_ltv_deciles": {"BNLJ", "SinglePartition"},       # 1-row revenue-total reduce + broadcast
 }
 
 
