@@ -890,3 +890,66 @@ def stream_odata_keyset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["stream_odata_keyset_ingest"] = stream_odata_keyset_ingest
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the change stream lands through
+    ``foreachBatch`` idempotent appends into a warehouse table whose
+    upsert contract (pk=user_id, version=event_id) makes the read
+    newest-wins per key: MERGE semantics on plain parquet, driven by
+    Structured Streaming.  This is the managed form of the reference's
+    poll-then-replace refresh (priorityDataSource.py lastRun +
+    sqlDwh.py overwrite), upgraded to per-KEY upsert: a re-delivered or
+    updated row shadows its stale copy instead of duplicating it.
+
+    Exactly-once composition: foreachBatch may replay a batch after a
+    crash — the warehouse's deterministic ``batch_id`` commit makes the
+    replay a no-op (already-committed batches are skipped), so the final
+    table is identical however the stream is chopped or retried.
+    ``event_id`` is the version stamp (the LSN / kafka-offset stand-in):
+    monotone per logical row change and unique, so the newest-wins
+    window is deterministic — ordering by a timestamp would tie.
+
+    Scale: state lives in the TABLE, not the stream (no in-memory
+    streaming state at all); each micro-batch costs one append, and the
+    read-side window is bounded by ``compact()`` cadence exactly as in
+    the batch upsert path (k1 staging).
+    """
+    import tempfile
+
+    from ..operators.staging import StagingWarehouse
+
+    root = tempfile.mkdtemp(prefix="stream_cdc_wh_")
+    wh = StagingWarehouse(spark, root)
+    wh.set_upsert_keys("user_state", pk=["user_id"], order_col="event_id")
+    ev = _event_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        wh.write(bdf, "user_state", incremental=True, batch_id=f"cdc-{bid:08d}")
+
+    with _state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="stream_cdc_ckpt_")
+            )
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_cdc_upsert", q)
+    return wh.read("user_state")
+
+
+QUERIES["stream_cdc_upsert"] = stream_cdc_upsert
+
+ORACLE["stream_cdc_upsert"] = """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+               AS rn
+      FROM events
+    ) WHERE rn = 1
+"""

@@ -432,3 +432,48 @@ def test_stream_trending_topk_matches_batch(spark, sf_dir):
         assert r["rank"] == expect_rank <= 3
         total = sum(-n for n, _ in by_win[r["window_start"]])
         assert r["share"] == r["n_events"] / total
+
+
+def test_stream_cdc_upsert_matches_latest_wins_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """CDC apply: however the change stream is chopped into micro-batches,
+    the warehouse read equals batch latest-wins per user by the version
+    stamp (event_id)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+    from priority_data_pipeline_postgres_db_spark.streaming import incremental as S
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    expected = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+
+    # single-batch drain on the plain sf_dir
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in S.stream_cdc_upsert(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # multi-batch: 4 files, one per trigger — same final table
+    landing = os.path.join(tmp_path, "cdc_landing")
+    os.makedirs(landing)
+    ev.repartition(4).write.parquet(os.path.join(landing, "events.parquet"))
+    old = S.MAX_FILES_PER_TRIGGER
+    S.MAX_FILES_PER_TRIGGER = 1
+    try:
+        got_mb = {
+            r["user_id"]: (r["event_id"], r["event_type"])
+            for r in S.stream_cdc_upsert(spark, landing).collect()
+        }
+    finally:
+        S.MAX_FILES_PER_TRIGGER = old
+    assert got_mb == expected
