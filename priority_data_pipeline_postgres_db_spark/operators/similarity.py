@@ -1555,3 +1555,122 @@ def _crosssplit_oracle() -> str:
 
 
 ORACLE["corpus_crosssplit_contamination"] = _crosssplit_oracle()
+
+
+# ---------------------------------------------------------------------------
+# per-source centroid similarity (r6)
+# ---------------------------------------------------------------------------
+
+
+def sim_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    source/domain drift matrix at the embedding level (labels stand in
+    for sources here; production points the group key at the document
+    source).  Two labels with cosine ≈ 1 are interchangeable domains;
+    a label far from every other is out-of-distribution — the
+    embedding-space companion to ``corpus_source_drift``'s token-level
+    TV distance.
+
+    Portability: cosine is scale-invariant, so cos(mean_a, mean_b) =
+    cos(sum_a, sum_b) and the centroid MEAN (a per-dimension float
+    division) never needs to exist — the whole computation runs on
+    exact integer sums of 1e7-quantized components, with the dot/norm
+    products in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): exact up to
+    ~1e9 rows per label at this QUANT, far past any per-source corpus.
+    Only the final cosine divides in double.
+
+    Shape: one narrow posexplode (rows = corpus × dim), one (label, pos)
+    aggregate, then everything downstream is |labels|-bounded: a
+    |labels|·dim self-join on pos and a |labels|²/2 output — never a
+    row-level pairwise term.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(quantize_expr()).alias("pos", "q")
+    )
+    sums = ex.groupBy("label", "pos").agg(F.sum("q").cast("long").alias("s"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    norms = (
+        sums.groupBy("label")
+        .agg(F.sum(dec("s") * dec("s")).alias("n2"))
+        .filter(F.col("n2") > 0)
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(dec("a.s") * dec("b.s")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2_b"))
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .join(ca, "label_a")
+        .join(cb, "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+QUERIES["sim_source_centroid_similarity"] = sim_source_centroid_similarity
+
+ORACLE["sim_source_centroid_similarity"] = f"""
+    WITH dims AS (
+      SELECT len(embedding) AS d FROM embeddings LIMIT 1
+    ), qv AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), pos AS (
+      SELECT unnest(range(0, (SELECT d FROM dims))) AS pos
+    ), ex AS (
+      SELECT label, pos, qv[pos + 1] AS q FROM qv CROSS JOIN pos
+    ), sums AS (
+      SELECT label, pos, CAST(sum(q) AS BIGINT) AS s
+      FROM ex GROUP BY label, pos
+    ), norms AS (
+      SELECT label, sum(s::HUGEINT * s::HUGEINT) AS n2
+      FROM sums GROUP BY label
+      HAVING sum(s::HUGEINT * s::HUGEINT) > 0
+    ), counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s::HUGEINT * b.s::HUGEINT) AS dot
+      FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT CAST(d.label_a AS BIGINT) AS label_a,
+           CAST(d.label_b AS BIGINT) AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    JOIN counts ca ON ca.label = d.label_a
+    JOIN counts cb ON cb.label = d.label_b
+"""

@@ -422,3 +422,51 @@ def test_zero_norm_vectors_excluded_everywhere(spark):
 
     knn = ann_knn_join(emb, dim, k=3, full_coverage=True).collect()
     assert all(r["neighbor_id"] != 3 for r in knn)
+
+
+def test_source_centroid_similarity_planted_geometry(spark, tmp_path):
+    """Labels with identical mean direction hit cosine 1.0; orthogonal
+    centroids hit 0.0 - computed without ever materializing a float
+    centroid (integer-sum scale invariance)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        sim_source_centroid_similarity,
+    )
+
+    rows = []
+    vid = 0
+    # label 0 and 1: same direction e0 (different magnitudes/counts)
+    for scale, lab in ((1.0, 0), (0.5, 1)):
+        for _ in range(3 + lab):
+            rows.append((vid, [scale, 0.0, 0.0, 0.0], lab))
+            vid += 1
+    # label 2: orthogonal direction e1
+    for _ in range(5):
+        rows.append((vid, [0.0, 2.0, 0.0, 0.0], 2))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in sim_source_centroid_similarity(spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 1)]["cosine"] == 1.0
+    assert got[(0, 2)]["cosine"] == 0.0
+    assert got[(1, 2)]["cosine"] == 0.0
+    assert got[(0, 1)]["n_a"] == 3 and got[(0, 1)]["n_b"] == 4
+
+
+def test_source_centroid_similarity_full_matrix(spark, sf_dir):
+    """All label pairs present exactly once (a<b), cosines bounded."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        sim_source_centroid_similarity,
+    )
+
+    rows = sim_source_centroid_similarity(spark, sf_dir).collect()
+    labs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label"
+    ).distinct().count()
+    assert len(rows) == labs * (labs - 1) // 2
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    assert all(r["label_a"] < r["label_b"] for r in rows)
