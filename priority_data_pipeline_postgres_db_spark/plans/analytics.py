@@ -2020,3 +2020,136 @@ ORACLE["q_user_ltv_deciles"] = """
     FROM cut CROSS JOIN totals
     GROUP BY decile, t_micro
 """
+
+
+# ---------------------------------------------------------------------------
+# compaction round-trip under the hash gate (r6)
+# ---------------------------------------------------------------------------
+
+
+def k1_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE materialization under the hash gate: three overlapping event
+    batches (rising version stamps) land incrementally in a throwaway
+    warehouse with an upsert contract, ``compact()`` collapses the
+    history into one physical batch, and the post-compact read must
+    still be exact newest-wins per key — the oracle replays the same
+    three appends and takes latest-per-pk directly.  This pins the
+    maintenance half of the k1 upsert path (``stream_cdc_upsert`` /
+    ``k1_dedup_append`` pin the read-side half): compaction must be a
+    pure physical rewrite, never a semantic change.
+
+    Scale: compaction cost is one newest-wins window over the live
+    batches — the bounded read-side window the warehouse pays anyway —
+    and resets the per-read history cost to one batch (SCALE.md pins the
+    cadence math at 164k physical rows).
+    """
+    import tempfile
+
+    from ..operators.staging import StagingWarehouse
+
+    root = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    wh = StagingWarehouse(spark, root)
+    wh.set_upsert_keys("ev_c", pk=["event_id"], order_col="ver")
+    ev = load(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("ts") < "2024-01-20").withColumn("ver", F.lit(1))
+    b2 = ev.filter(F.col("ts") >= "2024-01-10").withColumn("ver", F.lit(2))
+    b3 = ev.filter(F.col("ts") < "2024-01-05").withColumn("ver", F.lit(3))
+    wh.write(b1, "ev_c", incremental=True, batch_id="b1")
+    wh.write(b2, "ev_c", incremental=True, batch_id="b2")
+    wh.write(b3, "ev_c", incremental=True, batch_id="b3")
+    wh.compact("ev_c")
+    return wh.read("ev_c")
+
+
+QUERIES["k1_compact_roundtrip"] = k1_compact_roundtrip
+
+ORACLE["k1_compact_roundtrip"] = """
+    WITH appended AS (
+      SELECT *, 1 AS ver FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      UNION ALL
+      SELECT *, 2 AS ver FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      UNION ALL
+      SELECT *, 3 AS ver FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+    )
+    SELECT event_id, ts, user_id, event_type, value, props, ver FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ver DESC)
+               AS rn
+      FROM appended
+    ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build (r6)
+# ---------------------------------------------------------------------------
+
+
+def o_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change log: per
+    user, consecutive runs of the same event_type collapse into validity
+    intervals ``[valid_from, valid_to)`` with a version counter — the
+    classic gaps-and-islands transform that turns an event stream into
+    the dimension table a point-in-time join consumes (``j_asof_join``
+    is the consuming half).  ``valid_to`` is the next interval's start,
+    NULL for the current state.
+
+    Determinism: islands are defined by the total order (ts, event_id)
+    per user — the lag-compare + running change-count idiom; every
+    boundary is an exact comparison, no floats anywhere.
+
+    Scale: two windows and one aggregate, all partitioned BY USER —
+    per-task work is one user's history, parallel across users; no
+    global sort or single-partition stage.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("version", F.sum("chg").over(w).cast("long"))
+    iv = marked.groupBy("user_id", "version").agg(
+        # event_type is constant within an island by construction
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return iv.withColumn("valid_to", F.lead("valid_from").over(wv)).select(
+        "user_id", "version", "event_type", "valid_from", "valid_to", "n_events"
+    )
+
+
+QUERIES["o_scd2_intervals"] = o_scd2_intervals
+
+ORACLE["o_scd2_intervals"] = """
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), versioned AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM marked
+    ), iv AS (
+      SELECT user_id, version,
+             min(event_type) AS event_type,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM versioned GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           n_events
+    FROM iv
+"""

@@ -650,3 +650,59 @@ def test_ltv_deciles_shape_and_share(spark, sf_dir):
     assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-9
     assert rows[1]["revenue"] > rows[10]["revenue"]
     assert rows[1]["avg_revenue_per_user"] >= rows[10]["avg_revenue_per_user"]
+
+
+def test_compact_roundtrip_is_pure_physical_rewrite(spark, sf_dir):
+    """Read-before-compact equals read-after-compact row-for-row, and
+    compaction actually collapses the physical batch count to one."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    root = tempfile.mkdtemp(prefix="compact_rt_test_")
+    wh = StagingWarehouse(spark, root)
+    wh.set_upsert_keys("ev_c", pk=["event_id"], order_col="ver")
+    ev = load(spark, sf_dir, "events")
+    wh.write(ev.withColumn("ver", F.lit(1)), "ev_c", incremental=True, batch_id="b1")
+    wh.write(
+        ev.filter(F.col("ts") >= "2024-01-15").withColumn("ver", F.lit(2)),
+        "ev_c",
+        incremental=True,
+        batch_id="b2",
+    )
+    before = {(r["event_id"], r["ver"]) for r in wh.read("ev_c").collect()}
+    assert len(wh.snapshots("ev_c")) == 2
+    wh.compact("ev_c")
+    after = {(r["event_id"], r["ver"]) for r in wh.read("ev_c").collect()}
+    assert before == after
+    assert len(wh.snapshots("ev_c")) == 1
+
+
+def test_scd2_intervals_reconstruct_history(spark, sf_dir):
+    """Intervals tile each user's timeline: versions are contiguous from
+    1, consecutive intervals differ in event_type, valid_to chains to
+    the next valid_from, and n_events sums to the user's event count."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        o_scd2_intervals,
+    )
+
+    rows = o_scd2_intervals(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    total = 0
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["event_type"] != b["event_type"]
+            assert a["valid_to"] == b["valid_from"]
+        assert ivs[-1]["valid_to"] is None
+        total += sum(r["n_events"] for r in ivs)
+    assert total == ev.count()
