@@ -2524,3 +2524,97 @@ def _fertility_oracle() -> str:
 
 
 ORACLE["corpus_tokenizer_fertility"] = _fertility_oracle()
+
+
+# ---------------------------------------------------------------------------
+# per-source safety profile (r6)
+# ---------------------------------------------------------------------------
+
+
+def corpus_safety_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source safety dashboard: PII span counts (email / IPv4 /
+    phone-shaped, the ``corpus_redact_pii`` patterns) and blocklist
+    pressure (the ``corpus_blocklist_filter`` gate), aggregated to one
+    row per source — the table that decides which ingest feeds need
+    redaction or exclusion BEFORE paying per-document treatment.  A
+    source with pii_docs ≈ n_docs gets routed through redaction; one
+    with a high blocked_docs share gets dropped wholesale.
+
+    Per-document work is pure codegen regex/HOF projections over the
+    corpus scan (no shuffle); the aggregate is one groupBy on the tiny
+    source key.  The blocked-doc verdict reuses the blocklist gate's
+    exact double comparison so the two entries can never disagree.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0))
+        .cast("long")
+        .alias("ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("phones"),
+        tokens_expr().alias("toks"),
+    ).select(
+        "source",
+        "emails",
+        "ips",
+        "phones",
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*BLOCKLIST)))
+        .cast("long")
+        .alias("blocked"),
+        F.size("toks").cast("long").alias("n_tok"),
+    )
+    frac = F.when(
+        F.col("n_tok") > 0, F.col("blocked") / F.col("n_tok").cast("double")
+    ).otherwise(F.lit(0.0))
+    flagged = per_doc.withColumn(
+        "is_pii", (F.col("emails") + F.col("ips") + F.col("phones")) > 0
+    ).withColumn("is_blocked", frac > BLOCK_FRAC_MAX)
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("emails").cast("long").alias("email_hits"),
+        F.sum("ips").cast("long").alias("ip_hits"),
+        F.sum("phones").cast("long").alias("phone_hits"),
+        F.sum(F.col("is_pii").cast("long")).cast("long").alias("pii_docs"),
+        F.sum("blocked").cast("long").alias("blocked_tokens"),
+        F.sum(F.col("is_blocked").cast("long")).cast("long").alias("blocked_docs"),
+    )
+
+
+QUERIES["corpus_safety_profile"] = corpus_safety_profile
+
+ORACLE["corpus_safety_profile"] = f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS emails,
+             CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT)
+               AS ips,
+             CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS phones,
+             CAST(len(list_filter({_TOKS}, x -> x IN ({_BLOCK_IN})))
+                  AS BIGINT) AS blocked,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), flagged AS (
+      SELECT *,
+             (emails + ips + phones) > 0 AS is_pii,
+             (CASE WHEN n_tok > 0 THEN blocked / CAST(n_tok AS DOUBLE)
+                   ELSE 0.0 END) > {BLOCK_FRAC_MAX} AS is_blocked
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(emails) AS BIGINT) AS email_hits,
+           CAST(sum(ips) AS BIGINT) AS ip_hits,
+           CAST(sum(phones) AS BIGINT) AS phone_hits,
+           CAST(sum(CASE WHEN is_pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+           CAST(sum(blocked) AS BIGINT) AS blocked_tokens,
+           CAST(sum(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS blocked_docs
+    FROM flagged GROUP BY source
+"""

@@ -870,3 +870,38 @@ def test_crosssplit_contamination_only_crossing_pairs(spark, sf_dir):
         assert bucket(r["eval_vec_id"]) >= C._TRAIN_LT
         a, b = sorted((r["train_vec_id"], r["eval_vec_id"]))
         assert (a, b) in allp
+
+
+def test_safety_profile_counts_planted_pii_and_blocklist(spark):
+    """Planted PII and blocklist pathologies roll up into the right
+    source rows; a clean source reports zeros."""
+    import os
+    import shutil
+    import tempfile
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as C
+
+    rows = [
+        (1, "contact bob@example.com or 10.0.0.1 now", "en", "dirty", 40),
+        (2, "call +1 (555) 123-4567 today", "en", "dirty", 28),
+        (3, "slow slow slow slow fast", "en", "blocked", 24),  # 80% blocked
+        (4, "clean words only here always", "en", "clean", 28),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["source"]: r for r in C.corpus_safety_profile(spark, d).collect()}
+    finally:
+        shutil.rmtree(d)
+    assert got["dirty"]["email_hits"] == 1
+    assert got["dirty"]["ip_hits"] == 1
+    assert got["dirty"]["phone_hits"] >= 1
+    assert got["dirty"]["pii_docs"] == 2
+    assert got["blocked"]["blocked_tokens"] == 4
+    assert got["blocked"]["blocked_docs"] == 1
+    clean = got["clean"]
+    assert (clean["email_hits"], clean["ip_hits"], clean["pii_docs"],
+            clean["blocked_docs"]) == (0, 0, 0, 0)
