@@ -39,16 +39,35 @@ from .dedup import QUANT, dot_expr, quantize_expr
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
 TOP_K = 5
 
-# 5 sign bits × 24 tables, tuned against the measured recall harness
-# (sim_srp_recall_report, VERDICT r4 #3): at the SEM_THRESHOLD boundary
-# cosine 0.35 (angle ~69.5°, per-plane agreement p = 1-θ/π ≈ 0.614)
-# per-table collision is p^5 ≈ 0.087 and recall ≈ 1-(1-p^5)^24 ≈ 0.89.
-# Measured at sf0.1: recall 0.898 (was 0.611 at the old 16×6), candidate
-# pairs 2.3× the old config (theoretical bucket-pair mass tables/2^planes:
-# 24/32 = 3× the old 16/64).  Raise N_PLANES as the corpus grows
-# (occupancy ∝ n/2^planes) and add tables to buy recall back.
+# 24 tables with a CORPUS-ADAPTIVE sign-bit count (r6): expected bucket
+# occupancy is n/2^planes, so a fixed plane count that is right at one
+# corpus size is wrong at every other — r5's fixed 5 planes measured
+# recall 0.898 at sf0.1 (5k vectors, occupancy ~156) but at 10× the
+# data every bucket blew past SEM_MAX_BUCKET and the capped pair
+# pipeline silently found ZERO pairs (caught by the r6 stress run).
+# ``n_planes_for`` holds occupancy at ~TARGET_OCCUPANCY by pure integer
+# math (mirrored exactly in the oracle's ``np`` CTE), so the cap stays a
+# hot-bucket outlier guard instead of a recall cliff.  sf0.1 still lands
+# on 5 planes, keeping the r5 recall measurements valid.  The honest
+# trade: per-table collision at the SEM_THRESHOLD boundary is
+# p_agree^planes (p_agree = 1-θ/π ≈ 0.614 at cosine 0.35), so recall at
+# FIXED tables decays as planes grow — tables must scale like
+# ln(1-R)/ln(1-p_agree^planes) to hold recall R; the in-band harness
+# (sim_srp_recall_report / _curve) measures exactly that number per
+# corpus, which is the instrument to tune N_TABLES with.
 N_TABLES = 24
-N_PLANES = 5
+TARGET_OCCUPANCY = 160  # expected rows per (table, bucket) the planes aim at
+
+
+def n_planes_for(n: int) -> int:
+    """Sign bits so that ceil(n / TARGET_OCCUPANCY) ≤ 2^planes: the
+    smallest plane count holding expected bucket occupancy at or under
+    target.  Pure integer math (bit_length), mirrored bit-for-bit by the
+    oracle's ``np`` CTE; clamped to [1, 30] (≥1 so both engines always
+    emit bucket rows; ≤30 so packed bucket ids fit int32 — 30 planes
+    covers ~1.7e11 vectors at the default target)."""
+    ceil_div = (n + TARGET_OCCUPANCY - 1) // TARGET_OCCUPANCY
+    return min(max((ceil_div - 1).bit_length(), 1), 30)
 
 # cap on residue×corpus cosine scores the kNN full-coverage pass will
 # accept before refusing (see ann_knn_join)
@@ -143,8 +162,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _hyperplane_matrix(dim: int) -> np.ndarray:
-    """(N_TABLES*N_PLANES, dim) deterministic pseudo-random integer planes.
+def _hyperplane_matrix(dim: int, n_planes: int) -> np.ndarray:
+    """(N_TABLES*n_planes, dim) deterministic pseudo-random integer planes.
 
     Coefficients derive from the engine-portable md5-60 contract
     (int(md5("t_p_i")[:15], 16) — the same hash every LSH family uses), so
@@ -155,29 +174,29 @@ def _hyperplane_matrix(dim: int) -> np.ndarray:
     re-rank)."""
     import hashlib
 
-    planes = np.empty((N_TABLES * N_PLANES, dim), dtype=np.int64)
+    planes = np.empty((N_TABLES * n_planes, dim), dtype=np.int64)
     for t in range(N_TABLES):
-        for p in range(N_PLANES):
+        for p in range(n_planes):
             for i in range(dim):
                 h = int(hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()[:15], 16)
-                planes[t * N_PLANES + p, i] = (h % 2001) - 1000
+                planes[t * n_planes + p, i] = (h % 2001) - 1000
     return planes
 
 
-def bucket_ids_udf(dim: int):
+def bucket_ids_udf(dim: int, n_planes: int):
     """pandas UDF: quantized vector → N_TABLES bucket ids (sign bits of the
     hyperplane dots, packed per table). One numpy matmul per batch instead
-    of 96 interpreted aggregate expressions."""
+    of tables×planes interpreted aggregate expressions."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    planes = _hyperplane_matrix(dim)  # (96, dim) int64
-    weights = (1 << np.arange(N_PLANES, dtype=np.int64))[None, :]
+    planes = _hyperplane_matrix(dim, n_planes)  # (tables*planes, dim) int64
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _buckets(qs: pd.Series) -> pd.Series:
         mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.int64)))
-        signs = (mat @ planes.T) > 0  # (n, 96) — exact int64 dots
-        signs = signs.reshape(len(mat), N_TABLES, N_PLANES)
+        signs = (mat @ planes.T) > 0  # (n, tables*planes) — exact int64 dots
+        signs = signs.reshape(len(mat), N_TABLES, n_planes)
         buckets = (signs * weights[None, :, :]).sum(axis=2).astype(np.int32)
         return pd.Series(list(buckets))
 
@@ -190,8 +209,9 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
 
     Scale: the corpus is hashed once (narrow pandas-UDF pass), candidates
     come from an equi-join on (table_id, bucket) — no cross product. Recall
-    grows with N_TABLES; cost with bucket occupancy, not corpus size."""
-    buckets = bucket_ids_udf(dim)
+    grows with N_TABLES; cost with bucket occupancy, not corpus size (the
+    plane count adapts to the corpus, see ``n_planes_for``)."""
+    buckets = bucket_ids_udf(dim, n_planes_for(emb.count()))
 
     def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
         q = df.select(
@@ -216,11 +236,15 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.select("query_id", "vec_id", cos.alias("cosine"))
-        # zero-norm vectors score NaN (0/0) and Spark's desc sort puts
-        # NaN FIRST — drop them like every other similarity path (and
-        # like the oracle's norm2 > 0 filter)
-        .filter(~F.isnan("cosine"))
+        # zero-norm vectors have undefined cosine — exclude them BEFORE
+        # the division (the oracle's norm2 > 0 filter), as query and as
+        # neighbor; filtering NaN after the fact both orders wrong under
+        # desc sort AND raises under ANSI division
+        cand.filter(
+            (dot_expr(F.col("qq"), F.col("qq")) > 0)
+            & (dot_expr(F.col("cq"), F.col("cq")) > 0)
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
@@ -264,7 +288,9 @@ def ann_knn_join(
     brute force is the answer.  Default stays approximate-only so the
     registry entry's oracle is unchanged.
     """
-    hashed = _cap_buckets(_srp_bucketed(emb, dim), max_bucket)
+    hashed = _cap_buckets(
+        _srp_bucketed(emb, dim, n_planes_for(emb.count())), max_bucket
+    )
     a = hashed.select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
     b = hashed.select(F.col("vec_id").alias("vec_id_b"), "table_id", "bucket")
     cand = (
@@ -313,8 +339,8 @@ def ann_knn_join(
             f"against a {n_corpus}-vector corpus (caps: max_residue="
             f"{max_residue}, work {_MAX_RESIDUE_WORK:.0e}); the exact pass "
             "costs residue × corpus — fix the SRP config (raise N_TABLES, "
-            "or N_PLANES so bucket occupancy fits max_bucket) instead of "
-            "brute-forcing this much"
+            "or TARGET_OCCUPANCY/max_bucket so fewer buckets get pruned) "
+            "instead of brute-forcing this much"
         )
     import logging
 
@@ -341,10 +367,14 @@ SEM_THRESHOLD = 0.35  # same cosine bar as operators.dedup.embedding_near_dup
 SEM_MAX_BUCKET = 256  # hot-bucket cap, same discipline as minhash/ngram
 
 
-def _srp_bucketed(emb: DataFrame, dim: int) -> DataFrame:
+def _srp_bucketed(emb: DataFrame, dim: int, n_planes: int) -> DataFrame:
     """(vec_id, table_id, bucket) rows from the deterministic SRP
-    quantizer — one narrow Arrow pass over the corpus."""
-    buckets = bucket_ids_udf(dim)
+    quantizer — one narrow Arrow pass over the corpus.  ``n_planes`` is
+    explicit because the RIGHT count depends on the corpus the buckets
+    will be compared across (callers bucketing a sample or an
+    old/new split must pass the planes of the FULL corpus, or their
+    buckets are incomparable / mis-tuned)."""
+    buckets = bucket_ids_udf(dim, n_planes)
     return (
         emb.select("vec_id", quantize_expr().alias("q"))
         .withColumn("buckets", buckets(F.col("q")))
@@ -434,6 +464,7 @@ def semantic_pairs(
     dim: int,
     threshold: float = SEM_THRESHOLD,
     max_bucket: int = SEM_MAX_BUCKET,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup candidate pairs: same SRP bucket in ≥1 of the
     N_TABLES hash tables, then EXACT integer-cosine verify ≥ threshold.
@@ -442,10 +473,15 @@ def semantic_pairs(
     only within clusters) with the deterministic md5-60 SRP quantizer
     standing in for k-means, so the whole path replays in the DuckDB
     oracle.  Scale: the corpus is hashed in one narrow Arrow pass; the
-    quadratic term is per-(table, bucket) and capped at ``max_bucket``
-    (oversized buckets are skipped, as in minhash_candidate_pairs — at
-    production scale raise N_PLANES so occupancy stays bounded instead)."""
-    capped = _cap_buckets(_srp_bucketed(emb, dim), max_bucket)
+    quadratic term is per-(table, bucket) and capped at ``max_bucket`` —
+    a hot-bucket OUTLIER guard, not the occupancy control: the plane
+    count adapts to the corpus (``n_planes_for``) so typical occupancy
+    stays ~TARGET_OCCUPANCY at any scale and the cap only trims true
+    pile-ups.  ``n_planes`` overrides for callers bucketing a sample of
+    a larger corpus (the recall harness)."""
+    if n_planes is None:
+        n_planes = n_planes_for(emb.count())
+    capped = _cap_buckets(_srp_bucketed(emb, dim, n_planes), max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
@@ -468,6 +504,7 @@ def incremental_semantic_pairs(
     dim: int,
     threshold: float = SEM_THRESHOLD,
     max_bucket: int = SEM_MAX_BUCKET,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup: verified pairs that INVOLVE a
     new-batch vector — (new, old) and (new, new) — without materializing
@@ -480,11 +517,20 @@ def incremental_semantic_pairs(
     test pins that identity).  At warehouse scale the old side's bucket
     table comes from a persisted index (the SRP bucket ids are
     deterministic, so they never need re-hashing); only the new batch
-    runs the bucket UDF."""
+    runs the bucket UDF.
+
+    The plane count derives from the COMBINED corpus size — bucketing
+    each side by its own count would hash old and new into incomparable
+    bucket spaces (and tune the new batch's occupancy to the batch, not
+    the corpus it joins)."""
+    if n_planes is None:
+        n_planes = n_planes_for(old_emb.count() + new_emb.count())
     union = (
-        _srp_bucketed(old_emb, dim)
+        _srp_bucketed(old_emb, dim, n_planes)
         .withColumn("is_new", F.lit(0))
-        .unionByName(_srp_bucketed(new_emb, dim).withColumn("is_new", F.lit(1)))
+        .unionByName(
+            _srp_bucketed(new_emb, dim, n_planes).withColumn("is_new", F.lit(1))
+        )
     )
     capped = _cap_buckets(union, max_bucket)
     a = capped.filter(F.col("is_new") == 1).alias("a")
@@ -599,7 +645,9 @@ ORACLE = {
                        || CAST(i AS VARCHAR)), 1, 15))::BIGINT
                      % 2001) - 1000)) AS pl
           FROM generate_series(0, {N_TABLES - 1}) t,
-               generate_series(0, {N_PLANES - 1}) p
+               (SELECT CAST(r.i AS INTEGER) AS generate_series
+                FROM range(0, 62) r(i)
+                WHERE r.i < (SELECT p FROM np)) p
         ), qv AS (
           SELECT vec_id,
                  list_transform(embedding,
@@ -640,7 +688,22 @@ ORACLE = {
 # shared SRP bucket CTE prefix (planes -> quantize -> sign buckets ->
 # hot-bucket cap): the pair chain, the semantic CC chain, and the kNN
 # join all extend this ONE definition so the oracles can never drift
-_SRP_BUCKET_CTES = f'''dims AS (
+# corpus-adaptive plane count (r6): the exact SQL twin of
+# ``n_planes_for`` — count of i with 2^i < ceil(n / TARGET_OCCUPANCY)
+# is bit_length(ceil_div - 1), clamped to [1, 30]; pure integer math so
+# both engines always agree.  Kept as its OWN constant so the
+# sample-scoped oracle variants can rewrite the bucket/pair tail to read
+# the sample while the plane count still derives from the FULL corpus
+# (the production config under measurement).
+_SRP_NP_CTE = f'''np AS (
+          SELECT LEAST(GREATEST(CAST((SELECT count(*) FROM range(0, 62) r(i)
+                   WHERE (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))
+                         < (SELECT (count(*) + {TARGET_OCCUPANCY - 1})
+                                    // {TARGET_OCCUPANCY} FROM embeddings))
+                 AS INTEGER), 1), 30) AS p
+        )'''
+
+_SRP_BUCKET_TAIL = f'''dims AS (
           SELECT len(embedding) AS d FROM embeddings LIMIT 1
         ), pl AS (
           SELECT t.generate_series AS t, p.generate_series AS p,
@@ -651,7 +714,9 @@ _SRP_BUCKET_CTES = f'''dims AS (
                        || CAST(i AS VARCHAR)), 1, 15))::BIGINT
                      % 2001) - 1000)) AS pl
           FROM generate_series(0, {N_TABLES - 1}) t,
-               generate_series(0, {N_PLANES - 1}) p
+               (SELECT CAST(r.i AS INTEGER) AS generate_series
+                FROM range(0, 62) r(i)
+                WHERE r.i < (SELECT p FROM np)) p
         ), qv AS (
           SELECT vec_id,
                  list_transform(embedding,
@@ -670,9 +735,17 @@ _SRP_BUCKET_CTES = f'''dims AS (
           ) WHERE bn <= {SEM_MAX_BUCKET}
         )'''
 
+_SRP_BUCKET_CTES = _SRP_NP_CTE + ", " + _SRP_BUCKET_TAIL
+
+# the ann-lsh oracle predates the shared constants (dict literal above):
+# splice the same np CTE into its WITH so its plane count adapts too
+ORACLE["sim_ann_lsh_topk"] = ORACLE["sim_ann_lsh_topk"].replace(
+    "WITH dims AS", "WITH " + _SRP_NP_CTE + ", dims AS", 1
+)
+
 # pair chain: undirected candidates + threshold — dedup_embedding_pairs
 # stops at `pairs`, dedup_semantic continues into the recursive CC
-_SRP_PAIR_CTES = f'''{_SRP_BUCKET_CTES}, cand AS (
+_SRP_PAIR_TAIL = f''', cand AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
           FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
           WHERE a.vec_id < b.vec_id
@@ -688,6 +761,8 @@ _SRP_PAIR_CTES = f'''{_SRP_BUCKET_CTES}, cand AS (
           WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
                   >= {SEM_THRESHOLD}
         )'''
+
+_SRP_PAIR_CTES = _SRP_BUCKET_CTES + _SRP_PAIR_TAIL
 
 ORACLE["sim_knn_join"] = f'''
         WITH {_SRP_BUCKET_CTES}, cand AS (
@@ -953,7 +1028,7 @@ def diversity_sample(emb: DataFrame, dim: int, table_id: int = 0) -> DataFrame:
     hash-matches the SQL replay.
     """
     return (
-        _srp_bucketed(emb, dim)
+        _srp_bucketed(emb, dim, n_planes_for(emb.count()))
         .filter(F.col("table_id") == table_id)
         .groupBy("bucket")
         .agg(
@@ -1075,7 +1150,8 @@ def srp_recall_report(
     """One-row SRP-gate calibration: exact all-pairs integer-cosine ground
     truth on a deterministic md5-60 hash sample vs the production
     SRP-bucketed pair pipeline on the SAME sample, with measured recall —
-    the number that tells you whether N_TABLES/N_PLANES are right for
+    the number that tells you whether N_TABLES (at the corpus-adaptive
+    plane count) is right for
     your threshold (the gate's recall was previously a code-comment
     derivation; this measures it, the same upgrade VERDICT r3 asked for
     on IVF).  Verified pairs are a subset of ground truth (same exact
@@ -1089,8 +1165,9 @@ def srp_recall_report(
     """
     from ..operators.dedup import _auto_mod, embedding_near_dup_pairs
 
+    n_corpus = emb.count()
     if mod is None:
-        mod = _auto_mod(emb.count())
+        mod = _auto_mod(n_corpus)
     key = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -1105,8 +1182,13 @@ def srp_recall_report(
     exact = embedding_near_dup_pairs(
         sample, threshold=threshold, max_rows=None
     ).select("vec_id_a", "vec_id_b")
+    # the gate under measurement is the FULL-corpus config: the sample is
+    # bucketed with the plane count the production pipeline uses, not
+    # the (smaller) count its own size would pick
     srp = (
-        semantic_pairs(sample, dim, threshold=threshold)
+        semantic_pairs(
+            sample, dim, threshold=threshold, n_planes=n_planes_for(n_corpus)
+        )
         .select("vec_id_a", "vec_id_b")
         .withColumn("_v", F.lit(1))
     )
@@ -1152,8 +1234,16 @@ _EMB_SAMPLE_PRED = (
 _EXACT_ON_SAMPLE = _DD_ORACLE["dedup_embedding_exact"].replace(
     "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})"
 )
-_SRP_ON_SAMPLE = _SRP_PAIR_CTES.replace(
-    "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})"
+# sample-scoped variant: ONLY the bucket/pair tail reads the sample —
+# the np plane-count CTE keeps reading the full corpus, because the
+# harness measures the production (full-corpus) SRP config on a sample
+_SRP_ON_SAMPLE = (
+    _SRP_NP_CTE
+    + ", "
+    + (_SRP_BUCKET_TAIL + _SRP_PAIR_TAIL).replace(
+        "FROM embeddings",
+        f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})",
+    )
 )
 
 ORACLE["sim_srp_recall_report"] = f"""
@@ -1274,8 +1364,9 @@ def srp_recall_curve(
     from ..util import bounded_cache
 
     spark = emb.sparkSession
+    n_corpus = emb.count()
     if mod is None:
-        mod = _auto_mod(emb.count())
+        mod = _auto_mod(n_corpus)
     key = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -1283,7 +1374,10 @@ def srp_recall_curve(
     exact = embedding_near_dup_pairs(
         sample, threshold=threshold, max_rows=None
     ).select("vec_id_a", "vec_id_b")
-    capped = _cap_buckets(_srp_bucketed(sample, dim), SEM_MAX_BUCKET)
+    # full-corpus plane count on the sample — same contract as the report
+    capped = _cap_buckets(
+        _srp_bucketed(sample, dim, n_planes_for(n_corpus)), SEM_MAX_BUCKET
+    )
     a, b = capped.alias("a"), capped.alias("b")
     first_t = (
         a.join(
@@ -1342,8 +1436,14 @@ def sim_srp_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_srp_recall_curve"] = sim_srp_recall_curve
 
-_SRP_BUCKETS_ON_SAMPLE = _SRP_BUCKET_CTES.replace(
-    "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})"
+# same full-corpus-np / sampled-tail split as _SRP_ON_SAMPLE
+_SRP_BUCKETS_ON_SAMPLE = (
+    _SRP_NP_CTE
+    + ", "
+    + _SRP_BUCKET_TAIL.replace(
+        "FROM embeddings",
+        f"FROM (SELECT * FROM embeddings WHERE {_EMB_SAMPLE_PRED})",
+    )
 )
 
 ORACLE["sim_srp_recall_curve"] = f"""

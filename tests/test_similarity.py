@@ -280,8 +280,12 @@ def test_diversity_sample_covers_all_vectors_once(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) == n_vecs
     assert len({r["bucket"] for r in rows}) == len(rows)
     dim = len(emb.select("embedding").first()[0])
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        n_planes_for,
+    )
+
     members = (
-        _srp_bucketed(emb, dim)
+        _srp_bucketed(emb, dim, n_planes_for(n_vecs))
         .filter(F.col("table_id") == 0)
         .groupBy("bucket")
         .agg(F.min("vec_id").alias("lo"))
@@ -470,3 +474,61 @@ def test_source_centroid_similarity_full_matrix(spark, sf_dir):
     assert len(rows) == labs * (labs - 1) // 2
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
     assert all(r["label_a"] < r["label_b"] for r in rows)
+
+
+def test_adaptive_plane_count_formula_and_sql_parity():
+    """n_planes_for holds expected occupancy at/under TARGET_OCCUPANCY
+    with the minimum plane count, clamps to [1, 30], and the oracle's
+    pure-integer SQL twin agrees at every corpus size."""
+    import duckdb
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        TARGET_OCCUPANCY,
+        n_planes_for,
+    )
+
+    assert n_planes_for(500) == 2       # sf0.01
+    assert n_planes_for(5000) == 5      # sf0.1 — keeps r5 recall numbers valid
+    assert n_planes_for(50000) == 9     # 10x — where fixed 5 planes capped out
+    assert n_planes_for(1) == 1         # clamp floor
+    assert n_planes_for(10**12) == 30   # clamp ceiling (int32 bucket packing)
+    for n in (1, 159, 160, 161, 500, 5000, 50000, 12345, 10**7):
+        p = n_planes_for(n)
+        # minimality: occupancy fits at p, not at p-1 (unless clamped)
+        assert (n + TARGET_OCCUPANCY - 1) // TARGET_OCCUPANCY <= 1 << p
+        if p > 1:
+            assert (n + TARGET_OCCUPANCY - 1) // TARGET_OCCUPANCY > 1 << (p - 1)
+        got = duckdb.sql(
+            f"""SELECT LEAST(GREATEST(CAST((SELECT count(*) FROM range(0, 62) r(i)
+                 WHERE (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))
+                       < ({n} + {TARGET_OCCUPANCY - 1}) // {TARGET_OCCUPANCY})
+               AS INTEGER), 1), 30)"""
+        ).fetchone()[0]
+        assert got == p, (n, p, got)
+
+
+def test_semantic_pairs_survive_dense_corpus(spark, sf_dir):
+    """The r6 stress catch: on a corpus dense with near-copies (every
+    vector replicated 4x with a tiny perturbation) the adaptive plane
+    count keeps bucket occupancy under the cap, so the pair pipeline
+    still finds the replicas — a fixed plane count tuned to the base
+    corpus capped out and returned ZERO pairs here."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    reps = spark.range(4).withColumnRenamed("id", "rep")
+    dense = (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * (n * 10))
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.col("rep").cast("float") * 0.001),
+        )
+        .drop("rep")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    pairs = semantic_pairs(dense, dim).count()
+    assert pairs > 0
