@@ -148,6 +148,18 @@ HEADLINE = [
     "corpus_dedup_savings",
     "corpus_curation_pipeline",
     "q_abc_analysis",
+    # r6 additions
+    "corpus_gopher_rules",
+    "corpus_tokenizer_fertility",
+    "corpus_safety_profile",
+    "corpus_crosssplit_contamination",
+    "sim_source_centroid_similarity",
+    "q_attribution_linear",
+    "q_funnel_conversion_time",
+    "q_user_ltv_deciles",
+    "o_scd2_intervals",
+    "k1_compact_roundtrip",
+    "stream_cdc_upsert",
 ]
 
 
