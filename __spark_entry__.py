@@ -37,9 +37,10 @@ _WINDOW_HEAD = (
     "stream_odata_keyset_ingest",
 )
 
-# Every key with a driver-artifact row in CORRECTNESS_r01..r05 (computed
-# as the union of those artifacts — see scripts/window_check.py) — goes
-# to the registry tail (the judge's full replica still covers it).
+# Every key with a SUCCESSFUL driver-artifact row in CORRECTNESS_r01..r05
+# (hash-match, or a rows-only check that ran — failed rows do NOT retire
+# an entry; see scripts/window_check.py) — goes to the registry tail
+# (the judge's full replica still covers it).
 _DRIVER_VERIFIED = frozenset(
     {
         "a2_run_report", "corpus_bigram_lm_score",

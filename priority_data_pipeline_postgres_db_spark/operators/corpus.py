@@ -179,16 +179,38 @@ def hash_bucket_expr(col: str, buckets: int = _SPLIT_BUCKETS):
     return F.pmod(h, F.lit(buckets))
 
 
-def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    bucket = hash_bucket_expr("doc_id")
-    split = (
+def split_expr(key_col: str = "doc_id"):
+    """THE train/validation/test split — one expression over the md5-60
+    bucket of ``key_col``; every operator that needs the split uses this
+    (r6 review: four hand copies had accumulated, the r4 drift shape)."""
+    bucket = hash_bucket_expr(key_col)
+    return (
         F.when(bucket < _TRAIN_LT, "train")
         .when(bucket < _VAL_LT, "validation")
         .otherwise("test")
     )
+
+
+def split_case_sql(key_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`split_expr`, parameterized on the key."""
+    bucket = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_SPLIT_BUCKETS}"
+    )
+    return (
+        f"CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train'\n"
+        f"                WHEN {bucket} < {_VAL_LT} THEN 'validation'\n"
+        f"                ELSE 'test' END"
+    )
+
+
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+        "doc_id",
+        "lang",
+        hash_bucket_expr("doc_id").alias("bucket"),
+        split_expr().alias("split"),
     )
 
 
@@ -302,13 +324,9 @@ def decontaminate(docs_with_split: DataFrame, n: int = DECON_N) -> DataFrame:
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str, n: int = DECON_N) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bucket = hash_bucket_expr("doc_id")
-    split = (
-        F.when(bucket < _TRAIN_LT, "train")
-        .when(bucket < _VAL_LT, "validation")
-        .otherwise("test")
+    return decontaminate(
+        docs.select("doc_id", "lang", split_expr().alias("split"), "text"), n
     )
-    return decontaminate(docs.select("doc_id", "lang", split.alias("split"), "text"), n)
 
 
 # ---------------------------------------------------------------------------
@@ -372,16 +390,10 @@ def corpus_build_training_set(
     scored = toks.filter(F.size("toks") > 0).select(
         "doc_id", "lang", score.alias("quality_score")
     )
-    bucket = hash_bucket_expr("doc_id")
-    split = (
-        F.when(bucket < _TRAIN_LT, "train")
-        .when(bucket < _VAL_LT, "validation")
-        .otherwise("test")
-    )
     return (
         scored.join(survivors, "doc_id")
         .filter(F.col("quality_score") >= quality_threshold)
-        .withColumn("split", split)
+        .withColumn("split", split_expr())
     )
 
 
@@ -551,9 +563,7 @@ from ..functions.text import ORACLE as _TEXT_ORACLE  # noqa: E402
 _BUCKET_SQL = (
     f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {_SPLIT_BUCKETS}"
 )
-_SPLIT_CASE = f"""CASE WHEN {_BUCKET_SQL} < {_TRAIN_LT} THEN 'train'
-                WHEN {_BUCKET_SQL} < {_VAL_LT} THEN 'validation'
-                ELSE 'test' END"""
+_SPLIT_CASE = split_case_sql("doc_id")
 
 ORACLE["corpus_decontaminate"] = f"""
     WITH s AS (
@@ -1718,9 +1728,12 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("v"),
     )
     # quotient-bound guard (see docstring): 1-row collect, vocab-bounded
-    # upstream (counts is cached so the guard pass is reused by the plan)
+    # upstream (counts is cached so the guard pass is reused by the plan).
+    # SUM over zero rows is NULL: an empty/token-less corpus skips the
+    # guard and lazily returns the (empty) result like it always did.
     t_c, t_t, v = totals.collect()[0]
-    _check_fixed_point_bound(t_c, t_t, v)
+    if t_c is not None and (t_t + v) > 0:
+        _check_fixed_point_bound(t_c, t_t, v)
     scored = (
         ex.join(counts, "tok")
         .crossJoin(F.broadcast(totals))

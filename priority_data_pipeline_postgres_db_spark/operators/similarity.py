@@ -288,8 +288,9 @@ def ann_knn_join(
     brute force is the answer.  Default stays approximate-only so the
     registry entry's oracle is unchanged.
     """
+    n_corpus = emb.count()  # sizes the planes AND the residue work guard
     hashed = _cap_buckets(
-        _srp_bucketed(emb, dim, n_planes_for(emb.count())), max_bucket
+        _srp_bucketed(emb, dim, n_planes_for(n_corpus)), max_bucket
     )
     a = hashed.select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
     b = hashed.select(F.col("vec_id").alias("vec_id_b"), "table_id", "bucket")
@@ -325,7 +326,6 @@ def ann_knn_join(
     n_residue = residue.count()  # bounded: one scalar to the driver
     if n_residue == 0:
         return approx
-    n_corpus = emb.count()
     # guard the PRODUCT, not just the residue row count: the exact pass
     # scores residue × corpus cosines, so 20k isolated vectors against a
     # 200k corpus (the 10× stress shape when occupancy outgrows the
@@ -1585,19 +1585,12 @@ def corpus_crosssplit_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     (one narrow column, no extra shuffle: it joins on the pair's own
     vec_id keys).
     """
-    from .corpus import _TRAIN_LT, _VAL_LT, hash_bucket_expr
+    from .corpus import split_expr
 
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     pairs = semantic_pairs(emb, dim)
-    bucket = hash_bucket_expr("vec_id")
-    splits = emb.select(
-        "vec_id",
-        F.when(bucket < _TRAIN_LT, "train")
-        .when(bucket < _VAL_LT, "validation")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = emb.select("vec_id", split_expr("vec_id").alias("split"))
     sa = splits.select(
         F.col("vec_id").alias("vec_id_a"), F.col("split").alias("split_a")
     )
@@ -1628,18 +1621,11 @@ QUERIES["corpus_crosssplit_contamination"] = corpus_crosssplit_contamination
 
 
 def _crosssplit_oracle() -> str:
-    from .corpus import _SPLIT_BUCKETS, _TRAIN_LT, _VAL_LT
+    from .corpus import split_case_sql
 
-    bucket = (
-        f"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {_SPLIT_BUCKETS}"
-    )
     return f'''
         WITH {_SRP_PAIR_CTES}, splits AS (
-          SELECT vec_id,
-                 CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train'
-                      WHEN {bucket} < {_VAL_LT} THEN 'validation'
-                      ELSE 'test' END AS split
+          SELECT vec_id, {split_case_sql("vec_id")} AS split
           FROM embeddings
         )
         SELECT CASE WHEN sa.split = 'train' THEN vb ELSE va END AS eval_vec_id,

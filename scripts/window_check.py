@@ -24,12 +24,25 @@ import sys
 sys.path.insert(0, ".")
 
 
+def _row_verified(v: dict) -> bool:
+    """A driver row counts as VERIFIED only when it succeeded: hash-match
+    for oracle entries, or a rows-only check that actually ran (err ==
+    'no_oracle' with a row count).  A failed row (r4's q12/q18 shape:
+    hash_match false) must NOT retire the entry — it has to rotate back
+    into the window for re-verification after the fix."""
+    if v.get("hash_match") is True:
+        return True
+    return v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+
+
 def main() -> int:
     import __spark_entry__ as e
 
     artifact_union: set[str] = set()
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        artifact_union |= set(json.load(open(path)).keys())
+        for key, row in json.load(open(path)).items():
+            if _row_verified(row):
+                artifact_union.add(key)
 
     declared = set(e._DRIVER_VERIFIED)
     keys = list(e.queries().keys())
