@@ -8,6 +8,9 @@ semantics are SQL-expressible.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -15,102 +18,55 @@ from pyspark.sql import DataFrame, SparkSession
 from priority_data_pipeline_postgres_db_spark.plans import analytics as _an
 from priority_data_pipeline_postgres_db_spark.plans import queries as _q
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q.q_star_region_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 rotation (ADVICE r5 #1).  The driver checks the FIRST 50
-# registry entries in insertion order.  The r5 window held 25 head
-# entries + 25 of the 27 new-r5 entries; the two overflow entries below
-# (``corpus_curation_pipeline``, ``stream_odata_keyset_ingest``) are the
-# only registry keys with NO driver-artifact row in CORRECTNESS_r01..r05
-# — they head the r6 window, followed automatically by every NEW r6
-# entry (absent from ``_DRIVER_VERIFIED``), then the verified tail.
-# Window-math check (pinned by tests/test_window.py, recomputable via
-# scripts/window_check.py): the unverified set (2 carryover + new r6
-# entries) must stay <= 50 so every entry gets a driver row; after r6
-# cumulative driver coverage is 100%.
-_WINDOW_HEAD = (
-    "corpus_curation_pipeline",
-    "stream_odata_keyset_ingest",
-)
+# Round-7 rotation (VERDICT r6 #1/#2).  The driver verifies the FIRST 50
+# registry entries, so the ordering must guarantee (a) every entry with
+# no successful driver-artifact row sorts inside that window, and
+# (b) with 100% cumulative coverage reached in r6, the remaining window
+# slots re-certify the STALEST verified entries (oldest last-verified
+# round first) so shared-code drift is caught within a few rounds.
+#
+# Ground truth is computed at runtime from the CORRECTNESS_r*.json
+# artifacts — never a hand-maintained literal (that drifted in r4, r5,
+# and r6; see scripts/window_check.py, which pins the invariants).
 
-# Every key with a SUCCESSFUL driver-artifact row in CORRECTNESS_r01..r05
-# (hash-match, or a rows-only check that ran — failed rows do NOT retire
-# an entry; see scripts/window_check.py) — goes to the registry tail
-# (the judge's full replica still covers it).
-_DRIVER_VERIFIED = frozenset(
-    {
-        "a2_run_report", "corpus_bigram_lm_score",
-        "corpus_blocklist_filter", "corpus_build_training_set",
-        "corpus_chunk_dedup", "corpus_chunk_documents",
-        "corpus_cluster_size_histogram", "corpus_decontaminate",
-        "corpus_dedup_rate_curve", "corpus_dedup_savings",
-        "corpus_dedup_summary", "corpus_dup_rate_by_source",
-        "corpus_exact_substring_dedup", "corpus_hash_split",
-        "corpus_importance_weights", "corpus_interleave_sources",
-        "corpus_keep_best_in_cluster", "corpus_length_buckets",
-        "corpus_pack_sequences", "corpus_pack_sequences_sharded",
-        "corpus_packing_efficiency", "corpus_quality_histogram",
-        "corpus_quality_sample", "corpus_redact_pii",
-        "corpus_repetition_gate", "corpus_sample_stratified",
-        "corpus_source_cap", "corpus_source_drift",
-        "corpus_source_stats", "corpus_token_budget",
-        "dedup_cc_incremental", "dedup_connected_components",
-        "dedup_containment_pairs", "dedup_embedding_exact",
-        "dedup_embedding_incremental", "dedup_embedding_pairs",
-        "dedup_exact", "dedup_lsh_recall_report",
-        "dedup_minhash_incremental", "dedup_minhash_pairs",
-        "dedup_minhash_verified", "dedup_ngram_jaccard",
-        "dedup_semantic", "dedup_simhash_pairs",
-        "dedup_substring_pairs", "events_anomaly_mad",
-        "j1_subform_flatten", "j_asof_join", "j_full_outer_reconcile",
-        "j_interval_overlap", "j_range_join_binned", "j_semi_anti",
-        "k1_dedup_append", "k1_incremental_union",
-        "k1_schema_evolution_read", "k1_time_travel_read",
-        "multimodal_audio_near_dup", "multimodal_features",
-        "multimodal_image_near_dup", "multimodal_video_near_dup",
-        "o1_latest_per_key", "o_window_running", "p2_projection_prune",
-        "q10_returned_items", "q11_acctbal_share",
-        "q12_late_priority_mix", "q13_order_distribution",
-        "q14_promo_share", "q15_top_supplier",
-        "q16_supplier_part_count", "q17_small_qty_value",
-        "q18_large_orders", "q19_disjunctive_revenue",
-        "q1_pricing_summary", "q20_dominant_shippers",
-        "q21_sole_late_supplier", "q22_idle_customers",
-        "q2_min_cost_supplier", "q3_top_unshipped",
-        "q4_late_ship_priority", "q5_region_revenue",
-        "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-        "q9_product_profit", "q_abc_analysis", "q_approx_distinct",
-        "q_cohort_retention", "q_cube_region_nation",
-        "q_customer_tenure", "q_event_funnel", "q_events_rollup",
-        "q_gapfill_daily", "q_json_extract", "q_market_basket_pairs",
-        "q_orphan_audit", "q_percent_rank_customers",
-        "q_pivot_returnflag", "q_profile_orders", "q_rfm_segmentation",
-        "q_rolling_active_users", "q_rollup_orderdate",
-        "q_salted_segment_revenue", "q_sessionize",
-        "q_sliding_event_rate", "q_sql_api_revenue",
-        "q_star_region_summary", "q_top_parts_per_nation",
-        "q_value_percentiles", "q_yoy_growth", "s2_watermark_scan",
-        "s4_limit_probe", "set_except_high_qty", "set_intersect_buyers",
-        "sim_ann_lsh_topk", "sim_cosine_topk", "sim_diversity_sample",
-        "sim_embedding_health", "sim_ivf_persisted", "sim_ivf_topk",
-        "sim_knn_join", "sim_knn_join_full", "sim_srp_recall_curve",
-        "sim_srp_recall_report", "stream_category_rollup",
-        "stream_click_attribution", "stream_event_rollup",
-        "stream_exact_dedup", "stream_odata_ingest",
-        "stream_sessionize", "stream_sessionize_append",
-        "stream_trending_topk", "stream_user_totals", "text_bigram_pmi",
-        "text_bm25_topk", "text_fingerprint", "text_hashed_features",
-        "text_heavy_hitters", "text_lang_id", "text_ngram_novelty",
-        "text_quality_score", "text_repetition_score",
-        "text_tfidf_top_terms", "text_token_count",
-        "text_token_entropy", "text_unigram_surprisal",
-        "text_vocab_coverage", "text_zipf_fit",
-    }
-)
+
+def _row_verified(row: dict) -> bool:
+    """A driver row counts as VERIFIED only when it succeeded: hash-match
+    for oracle entries, or a rows-only check that actually ran (err ==
+    'no_oracle' with a row count).  Failed rows must NOT retire an entry
+    — it has to rotate back into the window after the fix."""
+    if row.get("hash_match") is True:
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def driver_verified_rounds() -> dict[str, int]:
+    """Map query key -> latest round number with a SUCCESSFUL driver row,
+    scanned from CORRECTNESS_r*.json in the repo root."""
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path)[len("CORRECTNESS_r"):].split(".")[0]
+        try:
+            rnd = int(stem)
+        except ValueError:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for key, row in rows.items():
+            if isinstance(row, dict) and _row_verified(row):
+                rounds[key] = max(rounds.get(key, 0), rnd)
+    return rounds
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -160,19 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog.update(_rp.QUERIES)
     except ImportError:
         pass
-    # Ordering = r6 carryover head (the 2 entries with no driver row
-    # yet), then any other unverified key (new r6 operators land here
-    # automatically), then the verified tail.
-    ordered = {k: catalog[k] for k in _WINDOW_HEAD if k in catalog}
-    ordered.update(
-        {
-            k: catalog[k]
-            for k in catalog
-            if k not in ordered and k not in _DRIVER_VERIFIED
-        }
+    # Ordering: unverified entries first (new operators land here
+    # automatically, in registration order), then the verified tail
+    # sorted stalest-first by (last-verified round, key).
+    rounds = driver_verified_rounds()
+    unverified = [k for k in catalog if k not in rounds]
+    verified = sorted(
+        (k for k in catalog if k in rounds), key=lambda k: (rounds[k], k)
     )
-    ordered.update({k: catalog[k] for k in catalog if k not in ordered})
-    return ordered
+    return {k: catalog[k] for k in unverified + verified}
 
 
 def oracle_sql() -> dict[str, str]:

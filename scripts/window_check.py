@@ -1,81 +1,71 @@
-"""Driver-window bookkeeping check (ADVICE r5 #1).
+"""Driver-window bookkeeping check (ADVICE r5 #1, VERDICT r6 #1/#2).
 
 The driver verifies only the FIRST 50 ``queries()`` entries, so the
 registry ordering in ``__spark_entry__.py`` must guarantee that every
-entry without a driver-artifact row sorts inside that window.  This
-script recomputes ground truth from the CORRECTNESS_r*.json artifacts
-and fails loudly when:
+entry without a successful driver-artifact row sorts inside that
+window, and — now that cumulative coverage is 100% — that the
+remaining window slots re-certify the STALEST verified entries.
 
-- ``_DRIVER_VERIFIED`` drifts from the artifact union (the r4 failure
-  mode: a hand-maintained list was 22 entries wrong each way), or
-- the unverified set (head carryover + new entries) exceeds 50, which
-  would silently push entries past the window (the r5 failure mode:
-  25 + 27 > 50 left two entries unchecked).
+Since r7 the verified set is computed at runtime from the
+CORRECTNESS_r*.json artifacts (a hand-maintained list drifted in r4,
+r5, and r6), so the r4/r6 drift class cannot recur; this script pins
+the ordering invariants independently of how ``queries()`` builds them:
+
+1. every unverified entry sits inside the 50-entry window, and the
+   unverified block leads the registry;
+2. staleness monotonicity — no verified entry outside the window has
+   an older last-verified round than one inside it.
 
 Run from the repo root: ``python scripts/window_check.py``.
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import sys
 
 sys.path.insert(0, ".")
 
-
-def _row_verified(v: dict) -> bool:
-    """A driver row counts as VERIFIED only when it succeeded: hash-match
-    for oracle entries, or a rows-only check that actually ran (err ==
-    'no_oracle' with a row count).  A failed row (r4's q12/q18 shape:
-    hash_match false) must NOT retire the entry — it has to rotate back
-    into the window for re-verification after the fix."""
-    if v.get("hash_match") is True:
-        return True
-    return v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+WINDOW = 50
 
 
 def main() -> int:
     import __spark_entry__ as e
 
-    artifact_union: set[str] = set()
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        for key, row in json.load(open(path)).items():
-            if _row_verified(row):
-                artifact_union.add(key)
-
-    declared = set(e._DRIVER_VERIFIED)
+    rounds = e.driver_verified_rounds()
     keys = list(e.queries().keys())
-    registry = set(keys)
 
     ok = True
-    # 1. the declared verified set must be exactly artifacts ∩ registry
-    #    (artifacts may mention since-renamed keys; registry is truth)
-    truth = artifact_union & registry
-    if declared & registry != truth:
-        ok = False
-        print("DRIFT: _DRIVER_VERIFIED != artifact union")
-        print("  missing from declared:", sorted(truth - declared))
-        print("  stale in declared:", sorted((declared & registry) - truth))
+    unverified = [k for k in keys if k not in rounds]
+    window = keys[:WINDOW]
+    window_set = set(window)
 
-    # 2. every unverified entry must sit inside the 50-entry window
-    unverified = [k for k in keys if k not in truth]
-    window = set(keys[:50])
-    overflow = [k for k in unverified if k not in window]
-    if len(unverified) > 50 or overflow:
+    # 1. every unverified entry inside the window, and leading it
+    overflow = [k for k in unverified if k not in window_set]
+    if len(unverified) > WINDOW or overflow:
         ok = False
-        print(f"OVERFLOW: {len(unverified)} unverified entries, window=50")
+        print(f"OVERFLOW: {len(unverified)} unverified entries, window={WINDOW}")
         print("  outside window:", overflow)
+    head = keys[: len(unverified)]
+    if set(head) != set(unverified):
+        ok = False
+        print("HEAD: unverified entries do not lead the registry")
+        print("  expected head:", sorted(unverified))
+        print("  actual head:", head)
 
-    # 3. head pins must exist and lead the registry
-    for i, k in enumerate(e._WINDOW_HEAD):
-        if keys[i] != k:
-            ok = False
-            print(f"HEAD: position {i} is {keys[i]!r}, expected {k!r}")
+    # 2. staleness monotonicity across the window boundary
+    inside = [rounds[k] for k in window if k in rounds]
+    outside = [rounds[k] for k in keys[WINDOW:] if k in rounds]
+    if inside and outside and max(inside) > min(outside):
+        ok = False
+        print(
+            f"STALENESS: window holds an entry last verified r{max(inside):02d} "
+            f"while r{min(outside):02d} entries sit outside it"
+        )
 
+    stalest = min(inside) if inside else None
     print(
-        f"registry={len(keys)} verified={len(truth)} "
-        f"unverified={len(unverified)} window_ok={ok}"
+        f"registry={len(keys)} verified={len(rounds) and len([k for k in keys if k in rounds])} "
+        f"unverified={len(unverified)} window_stalest=r{stalest} window_ok={ok}"
     )
     return 0 if ok else 1
 
