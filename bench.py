@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints the
+full per-query timing dict on the penultimate line (also mirrored to
+BENCH_detail_last.json), then a compact FINAL JSON line — {"metric",
+"value" (total sec), "unit", "n_queries", "sf", "slowest"} — kept under
+2000 chars so the driver's stdout-tail capture can always parse it.
 
 Execution is forced with the noop sink (full plan runs, nothing collected,
 no driver materialization skew). One warm-up action runs first so JVM/codegen
@@ -202,17 +204,39 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    # Full per-query detail goes on an EARLIER line (and to a sidecar
+    # file): at 130+ queries the dict is ~4 KB, and the driver keeps only
+    # the last 2000 chars of stdout — BENCH_r02..r06 were all unparseable
+    # because the one fat line got truncated.  The FINAL line is a compact
+    # summary guaranteed to fit the tail capture.
+    detail = {
+        "metric": "headline_queries_detail",
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": float(sf),
+            "slowest": slowest,
+        }
     )
+    assert len(summary) < 1900, f"summary line too long ({len(summary)} chars)"
+    print(summary)
 
 
 if __name__ == "__main__":

@@ -2500,11 +2500,17 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("words"),
         F.sum("n_bpe").cast("long").alias("bpe_tokens"),
         F.sum("n_chars").cast("long").alias("chars"),
-        (
-            F.sum("n_bpe").cast("double") / F.sum("n_words").cast("double")
+        # NULL, not 0/0: a group of all token-less docs divides 0.0/0.0,
+        # where non-ANSI Spark returns NULL but DuckDB's IEEE float op
+        # returns NaN — a hash-gate divergence on degenerate corpora
+        # (ADVICE r6).  Both engines guard the denominator explicitly.
+        F.when(
+            F.sum("n_words") > 0,
+            F.sum("n_bpe").cast("double") / F.sum("n_words").cast("double"),
         ).alias("fertility"),
-        (
-            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double")
+        F.when(
+            F.sum("n_bpe") > 0,
+            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double"),
         ).alias("chars_per_token"),
     )
 
@@ -2528,10 +2534,14 @@ def _fertility_oracle() -> str:
            CAST(sum(n_words) AS BIGINT) AS words,
            CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
            CAST(sum(n_chars) AS BIGINT) AS chars,
-           CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
-             / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE) AS fertility,
-           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
-             / CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE) AS chars_per_token
+           CASE WHEN sum(n_words) > 0 THEN
+             CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE)
+           END AS fertility,
+           CASE WHEN sum(n_bpe) > 0 THEN
+             CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
+           END AS chars_per_token
     FROM per_doc GROUP BY lang, source
 """
 

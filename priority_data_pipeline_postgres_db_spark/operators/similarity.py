@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
+from ..util import memo_count
 from .dedup import QUANT, dot_expr, quantize_expr
 
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
@@ -211,7 +212,7 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
     come from an equi-join on (table_id, bucket) — no cross product. Recall
     grows with N_TABLES; cost with bucket occupancy, not corpus size (the
     plane count adapts to the corpus, see ``n_planes_for``)."""
-    buckets = bucket_ids_udf(dim, n_planes_for(emb.count()))
+    buckets = bucket_ids_udf(dim, n_planes_for(memo_count(emb)))
 
     def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
         q = df.select(
@@ -288,7 +289,7 @@ def ann_knn_join(
     brute force is the answer.  Default stays approximate-only so the
     registry entry's oracle is unchanged.
     """
-    n_corpus = emb.count()  # sizes the planes AND the residue work guard
+    n_corpus = memo_count(emb)  # sizes the planes AND the residue work guard
     hashed = _cap_buckets(
         _srp_bucketed(emb, dim, n_planes_for(n_corpus)), max_bucket
     )
@@ -480,7 +481,7 @@ def semantic_pairs(
     pile-ups.  ``n_planes`` overrides for callers bucketing a sample of
     a larger corpus (the recall harness)."""
     if n_planes is None:
-        n_planes = n_planes_for(emb.count())
+        n_planes = n_planes_for(memo_count(emb))
     capped = _cap_buckets(_srp_bucketed(emb, dim, n_planes), max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
@@ -515,16 +516,19 @@ def incremental_semantic_pairs(
     Bucket caps are judged over the UNION of both sides, so the result
     is EXACTLY the full ``semantic_pairs`` minus old×old pairs (the unit
     test pins that identity).  At warehouse scale the old side's bucket
-    table comes from a persisted index (the SRP bucket ids are
-    deterministic, so they never need re-hashing); only the new batch
-    runs the bucket UDF.
+    table can come from a persisted index — but the bucket ids are only
+    valid while ``n_planes_for(combined n)`` is unchanged: when corpus
+    growth steps the plane count, persisted buckets become silently
+    incomparable with new-batch buckets (the r6 zero-pair failure mode),
+    so re-hash the index at every plane-count step.  This implementation
+    recomputes both sides, which is always comparable.
 
     The plane count derives from the COMBINED corpus size — bucketing
     each side by its own count would hash old and new into incomparable
     bucket spaces (and tune the new batch's occupancy to the batch, not
     the corpus it joins)."""
     if n_planes is None:
-        n_planes = n_planes_for(old_emb.count() + new_emb.count())
+        n_planes = n_planes_for(memo_count(old_emb) + memo_count(new_emb))
     union = (
         _srp_bucketed(old_emb, dim, n_planes)
         .withColumn("is_new", F.lit(0))
@@ -1028,7 +1032,7 @@ def diversity_sample(emb: DataFrame, dim: int, table_id: int = 0) -> DataFrame:
     hash-matches the SQL replay.
     """
     return (
-        _srp_bucketed(emb, dim, n_planes_for(emb.count()))
+        _srp_bucketed(emb, dim, n_planes_for(memo_count(emb)))
         .filter(F.col("table_id") == table_id)
         .groupBy("bucket")
         .agg(
@@ -1165,7 +1169,7 @@ def srp_recall_report(
     """
     from ..operators.dedup import _auto_mod, embedding_near_dup_pairs
 
-    n_corpus = emb.count()
+    n_corpus = memo_count(emb)
     if mod is None:
         mod = _auto_mod(n_corpus)
     key = F.conv(
@@ -1364,7 +1368,7 @@ def srp_recall_curve(
     from ..util import bounded_cache
 
     spark = emb.sparkSession
-    n_corpus = emb.count()
+    n_corpus = memo_count(emb)
     if mod is None:
         mod = _auto_mod(n_corpus)
     key = F.conv(

@@ -30,6 +30,31 @@ _MAX_LIVE = 8
 _LOCK = threading.Lock()
 
 
+# Memo of DataFrame row counts, keyed on the DataFrame OBJECT (weakly).
+# ``plans.tables.load`` returns the same DataFrame object for repeated
+# loads of a path within a session (mtime-invalidated), so counts taken
+# to size SRP plane counts / residue guards hit this memo on every
+# invocation after the first instead of paying a count job per operator
+# call (VERDICT r6 flagged the 8 ``n_planes_for(emb.count())`` sites as
+# the embedding-family bench drift).  Derived frames get a fresh object
+# per invocation and simply miss — correctness never depends on a hit.
+_COUNTS: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
+
+
+def memo_count(df: DataFrame) -> int:
+    """``df.count()`` memoized on the DataFrame object (see module note)."""
+    try:
+        return _COUNTS[df]
+    except (KeyError, TypeError):
+        pass
+    n = df.count()
+    try:
+        _COUNTS[df] = n
+    except TypeError:  # un-weakref-able stub (tests/mocks)
+        pass
+    return n
+
+
 def bounded_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` with a bounded lifetime (see module note)."""
     df = df.cache()
