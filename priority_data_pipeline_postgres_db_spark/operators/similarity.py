@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
-from ..util import memo_count
+from ..util import memo_count, scratch_dir
 from .dedup import QUANT, dot_expr, quantize_expr
 
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
@@ -1549,7 +1549,6 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     float k-means centroids aren't engine-portable): build the
     partitioned index in a throwaway warehouse, then answer the
     benchmark queries through it."""
-    import tempfile
 
     from .staging import StagingWarehouse
 
@@ -1557,7 +1556,7 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raced between concurrent sessions — one could probe the other's
     # half-built index.  No eager cleanup: the returned DataFrame reads
     # the partitioned index lazily (same contract as stream checkpoints).
-    root = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
+    root = scratch_dir("spark_graft_ivf_index_")
     wh = StagingWarehouse(spark, root)
     emb = load(spark, sf_dir, "embeddings")
     build_ivf_index(emb, wh)

@@ -206,11 +206,11 @@ def _staged_three_batches(spark: SparkSession, sf_dir: str, table: str):
     warehouse).  No eager cleanup: the returned DataFrame reads the
     directory lazily, so the path must outlive this call — same
     contract as the streaming checkpoint dirs."""
-    import tempfile
+    from ..util import scratch_dir
 
     from ..operators.staging import StagingWarehouse
 
-    root = tempfile.mkdtemp(prefix=f"spark_graft_{table}_")
+    root = scratch_dir(f"spark_graft_{table}_")
     wh = StagingWarehouse(spark, root)
     ev = load(spark, sf_dir, "events")
     b1 = ev.filter(F.col("ts") < "2024-01-10")
@@ -2043,11 +2043,11 @@ def k1_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and resets the per-read history cost to one batch (SCALE.md pins the
     cadence math at 164k physical rows).
     """
-    import tempfile
+    from ..util import scratch_dir
 
     from ..operators.staging import StagingWarehouse
 
-    root = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    root = scratch_dir("spark_graft_compact_")
     wh = StagingWarehouse(spark, root)
     wh.set_upsert_keys("ev_c", pk=["event_id"], order_col="ver")
     ev = load(spark, sf_dir, "events")

@@ -28,6 +28,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from ..operators.ingest import ExtractionRun
+from ..util import scratch_dir
 from ..functions.typemap import AUDIT_ID_COL, AUDIT_TS_COL
 
 
@@ -256,7 +257,6 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow each user emits once per micro-batch that touched it,
     and the LAST emission per user is the final total (single static
     landing dir → typically one batch)."""
-    import tempfile
 
     ev = _event_stream(spark, sf_dir)
     totals = running_user_totals(ev)
@@ -268,7 +268,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("update")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_tot_ckpt_"))
+            .option("checkpointLocation", scratch_dir("stream_tot_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -330,7 +330,6 @@ def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 then double (same as the batch q_events_rollup); 1-day windows in the
     pinned-UTC session align with the oracle's date_trunc('day').
     """
-    import tempfile
 
     from ..plans.queries import as_double, dec
 
@@ -362,7 +361,7 @@ def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_rollup_ckpt_"))
+            .option("checkpointLocation", scratch_dir("stream_rollup_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -378,7 +377,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     event + gap, and the window is half-open — an event at exactly
     prev_end starts a NEW session, hence the oracle's ``>= gap`` island
     boundary."""
-    import tempfile
 
     ev = _event_stream(spark, sf_dir)
     agg = sessionized_stream(ev)
@@ -390,7 +388,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sess_ckpt_"))
+            .option("checkpointLocation", scratch_dir("stream_sess_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -416,7 +414,6 @@ def stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, rare for append-mode streaming).  Telemetry lands under
     ``stream_sessionize_append`` in LAST_STREAM_PROGRESS.
     """
-    import tempfile
 
     ev = _event_stream(spark, sf_dir)
     agg = sessionized_stream(ev)
@@ -428,7 +425,7 @@ def stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sessa_ckpt_"))
+            .option("checkpointLocation", scratch_dir("stream_sessa_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -478,7 +475,6 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     late rows are dropped and the result is EXACTLY the batch interval
     join — which is what the oracle checks, making this the rare
     stream-stream operator that hash-matches a SQL oracle."""
-    import tempfile
 
     ev = _event_stream(spark, sf_dir)
     clicks = (
@@ -522,7 +518,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_attr_ckpt_"))
+            .option("checkpointLocation", scratch_dir("stream_attr_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -548,7 +544,6 @@ def stream_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this costs the same as the plain rollup at any scale.  Exact
     decimals + complete-mode AvailableNow make it oracle hash-matchable
     like stream_event_rollup."""
-    import tempfile
 
     from ..plans.queries import as_double, dec
 
@@ -589,7 +584,7 @@ def stream_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("complete")
             .trigger(availableNow=True)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="stream_cat_ckpt_")
+                "checkpointLocation", scratch_dir("stream_cat_ckpt_")
             )
             .start()
         )
@@ -609,7 +604,6 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVICTS it once no duplicate can still arrive (bounded state at
     stream scale — an unwatermarked dropDuplicates grows forever).
     Append mode: a first-seen row emits immediately; duplicates drop."""
-    import tempfile
 
     ev = _event_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -626,7 +620,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dd_ckpt_"))
+            .option("checkpointLocation", scratch_dir("stream_dd_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -805,7 +799,6 @@ def stream_odata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the watermark-offset/replay semantics are pinned by the
     dedicated unit suite (live growing-tenant polls, boundary ties,
     exact replay, exactly-once staging composition)."""
-    import tempfile
 
     from ..sources.odata import ODataDataSource
 
@@ -833,7 +826,7 @@ def stream_odata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_odata_ckpt_"))
+        .option("checkpointLocation", scratch_dir("stream_odata_ckpt_"))
         .start()
     )
     q.awaitTermination()
@@ -854,7 +847,6 @@ def stream_odata_keyset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     two modes MUST agree on a static tenant, and this entry pins that in
     the driver artifact while the race itself is pinned by the
     mutating-tenant unit test."""
-    import tempfile
 
     from ..sources.odata import ODataDataSource
 
@@ -881,7 +873,7 @@ def stream_odata_keyset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_keyset_ckpt_"))
+        .option("checkpointLocation", scratch_dir("stream_keyset_ckpt_"))
         .start()
     )
     q.awaitTermination()
@@ -915,11 +907,10 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-side window is bounded by ``compact()`` cadence exactly as in
     the batch upsert path (k1 staging).
     """
-    import tempfile
 
     from ..operators.staging import StagingWarehouse
 
-    root = tempfile.mkdtemp(prefix="stream_cdc_wh_")
+    root = scratch_dir("stream_cdc_wh_")
     wh = StagingWarehouse(spark, root)
     wh.set_upsert_keys("user_state", pk=["user_id"], order_col="event_id")
     ev = _event_stream(spark, sf_dir).select(
@@ -934,7 +925,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.writeStream.foreachBatch(apply_batch)
             .trigger(availableNow=True)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="stream_cdc_ckpt_")
+                "checkpointLocation", scratch_dir("stream_cdc_ckpt_")
             )
             .start()
         )

@@ -2,10 +2,34 @@
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 import threading
 import weakref
 
 from pyspark.sql import DataFrame
+
+# Process-scoped scratch root for per-invocation temp dirs (warehouse
+# tables, streaming checkpoints, persisted indexes).  Per-invocation
+# mkdtemp keeps concurrent calls isolated (ADVICE r5: a fixed shared
+# path raced), but bare mkdtemp never reclaimed — bench HEADLINE runs
+# the warehouse-shaped operators repeatedly per round, accumulating
+# unbounded /tmp data (ADVICE r6).  All scratch dirs now nest under ONE
+# root that an atexit hook removes, so isolation and reclamation
+# coexist.  Lazy: created on first use, never at import.
+_SCRATCH_ROOT: list[str] = []
+_SCRATCH_LOCK = threading.Lock()
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh private temp dir, reclaimed at interpreter exit."""
+    with _SCRATCH_LOCK:
+        if not _SCRATCH_ROOT:
+            root = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            _SCRATCH_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 # Rotation of live cached intermediates (ADVICE r2: operators that
 # .cache() a barrier frame — minhash signatures, tokenized corpora, BM25
