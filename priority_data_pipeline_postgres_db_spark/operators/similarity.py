@@ -70,6 +70,82 @@ def n_planes_for(n: int) -> int:
     ceil_div = (n + TARGET_OCCUPANCY - 1) // TARGET_OCCUPANCY
     return min(max((ceil_div - 1).bit_length(), 1), 30)
 
+
+def probe_k_for(n_planes: int) -> int:
+    """Margin-directed multi-probe width for the semantic-pair family
+    (r7).  ``n_planes_for`` holds bucket OCCUPANCY at any corpus size,
+    but per-table boundary-pair collision decays as p_agree^planes
+    (p_agree = 1 - acos(θ)/π ≈ 0.614 at the 0.35 threshold), so with
+    N_TABLES fixed, recall falls off a cliff as planes grow — measured
+    0.98 at 4 planes but 0.69 at 7 (STRESS r7).  Scaling tables instead
+    is exponential in planes (69 tables at 7, 185 at 9 — dead at 100 TB).
+
+    The scalable fix is multi-probe LSH (Lv et al., VLDB'07): also join
+    each vector's K most-marginal single-bit flips — the sign bits with
+    the smallest |dot|, i.e. the ones a true neighbor most likely
+    disagrees on — against home buckets.  Fan-out is 1+K per table
+    (independent of planes), memory stays one home bucket per (vector,
+    table), and because the plane dots are exact int64 the flip choice
+    replays bit-for-bit in the DuckDB oracle (ORDER BY abs(dot), p).
+
+    The piecewise law below restores boundary recall ≥~0.9 at 24 tables
+    through ~12 planes (K=4 at 5-8 planes, K=6 at 9+); the derivation is
+    1-(1-p_hit)^24 with p_hit ≈ q^p + P(flip∈set)·C(p,1)q^(p-1)(1-q)
+    per side.  K=0 through 4 planes — 24 tables alone hold ≥0.97 there,
+    so gate-scale (sf0.01/sf0.1) plans and results are UNCHANGED.
+    Beyond ~13 planes (≳1M vectors/node-corpus) single-bit probing
+    saturates; corpora that size should use the IVF path or a higher
+    threshold — documented, not silently degraded.  Mirrored exactly by
+    the oracle's ``pk`` CASE."""
+    if n_planes <= 4:
+        return 0
+    if n_planes <= 8:
+        return 4
+    return 6
+
+
+def probe_bucket_ids_udf(dim: int, n_planes: int, k: int):
+    """pandas UDF: quantized vector → flattened array of N_TABLES·(1+k)
+    bucket ids: for each table its home bucket followed by the k
+    lowest-|margin| single-bit flips (ties broken by plane index —
+    stable argsort, the exact twin of the oracle's ORDER BY abs(dot), p)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = _hyperplane_matrix(dim, n_planes)  # (tables*planes, dim) int64
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _pbuckets(qs: pd.Series) -> pd.Series:
+        mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.int64)))
+        dots = (mat @ planes.T).reshape(len(mat), N_TABLES, n_planes)
+        home = ((dots > 0) * weights).sum(axis=2).astype(np.int32)  # (n, T)
+        # k most-marginal plane indices per (row, table); kind="stable"
+        # breaks |dot| ties by ascending plane index, matching the SQL
+        order = np.argsort(np.abs(dots), axis=2, kind="stable")[:, :, :k]
+        probes = home[:, :, None] ^ (np.int32(1) << order.astype(np.int32))
+        out = np.concatenate([home[:, :, None], probes], axis=2)
+        return pd.Series(list(out.reshape(len(mat), -1)))
+
+    return _pbuckets
+
+
+def _srp_probed(emb: DataFrame, dim: int, n_planes: int, k: int) -> DataFrame:
+    """(vec_id, table_id, slot, bucket) rows — slot 0 is the home bucket,
+    slots 1..k the margin-directed probe buckets."""
+    fan = 1 + k
+    pb = probe_bucket_ids_udf(dim, n_planes, k)
+    return (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .withColumn("pb", pb(F.col("q")))
+        .select("vec_id", F.posexplode("pb").alias("idx", "bucket"))
+        .select(
+            "vec_id",
+            F.expr(f"idx div {fan}").cast("int").alias("table_id"),
+            (F.col("idx") % fan).alias("slot"),
+            "bucket",
+        )
+    )
+
 # cap on residue×corpus cosine scores the kNN full-coverage pass will
 # accept before refusing (see ann_knn_join)
 _MAX_RESIDUE_WORK = 1_000_000_000
@@ -482,17 +558,49 @@ def semantic_pairs(
     a larger corpus (the recall harness)."""
     if n_planes is None:
         n_planes = n_planes_for(memo_count(emb))
-    capped = _cap_buckets(_srp_bucketed(emb, dim, n_planes), max_bucket)
-    a, b = capped.alias("a"), capped.alias("b")
+    k = probe_k_for(n_planes)
+    if k == 0:
+        # ≤4 planes: 24 tables alone hold recall; keep the exact r6 plan
+        capped = _cap_buckets(_srp_bucketed(emb, dim, n_planes), max_bucket)
+        a, b = capped.alias("a"), capped.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_id_a"),
+                F.col("b.vec_id").alias("vec_id_b"),
+            )
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+        )
+        return _verify_pairs(cand, emb, threshold)
+    # ≥5 planes: margin-directed multi-probe (see probe_k_for).  Home
+    # buckets keep the occupancy cap exactly as before (the cap counts
+    # HOME rows only); the probe side joins every cap-surviving vector's
+    # 1+k buckets against home buckets in both orientations
+    # (LEAST/GREATEST + dropDuplicates), so a pair is found when EITHER
+    # member probes the other's home bucket.
+    from ..util import bounded_cache
+
+    allb = bounded_cache(_srp_probed(emb, dim, n_planes, k))
+    home = allb.filter(F.col("slot") == 0).drop("slot")
+    capped = _cap_buckets(home, max_bucket)
+    surv = capped.select("vec_id", "table_id")
+    a = allb.drop("slot").join(surv, ["vec_id", "table_id"]).alias("a")
+    b = capped.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b")
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
@@ -529,26 +637,62 @@ def incremental_semantic_pairs(
     the corpus it joins)."""
     if n_planes is None:
         n_planes = n_planes_for(memo_count(old_emb) + memo_count(new_emb))
-    union = (
-        _srp_bucketed(old_emb, dim, n_planes)
+    k = probe_k_for(n_planes)
+
+    def _cand(a, b):
+        return (
+            a.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
+            )
+        )
+
+    if k == 0:
+        union = (
+            _srp_bucketed(old_emb, dim, n_planes)
+            .withColumn("is_new", F.lit(0))
+            .unionByName(
+                _srp_bucketed(new_emb, dim, n_planes).withColumn("is_new", F.lit(1))
+            )
+        )
+        capped = _cap_buckets(union, max_bucket)
+        cand = _cand(
+            capped.filter(F.col("is_new") == 1), capped
+        ).dropDuplicates(["vec_id_a", "vec_id_b"])
+        return _verify_pairs(cand, old_emb.unionByName(new_emb), threshold)
+    # probed path (see semantic_pairs): to keep the pinned identity
+    # "full semantic_pairs minus old×old" exact under EITHER-side
+    # probing, cover both orientations that can touch a new vector —
+    # new probes × all homes, plus old probes × new homes.  Candidate
+    # work still tracks |new| × occupancy: the second join's home side
+    # is new-only.
+    from ..util import bounded_cache
+
+    allb = bounded_cache(
+        _srp_probed(old_emb, dim, n_planes, k)
         .withColumn("is_new", F.lit(0))
         .unionByName(
-            _srp_bucketed(new_emb, dim, n_planes).withColumn("is_new", F.lit(1))
+            _srp_probed(new_emb, dim, n_planes, k).withColumn("is_new", F.lit(1))
         )
     )
-    capped = _cap_buckets(union, max_bucket)
-    a = capped.filter(F.col("is_new") == 1).alias("a")
-    b = capped.alias("b")
+    home = allb.filter(F.col("slot") == 0).drop("slot")
+    capped = _cap_buckets(home, max_bucket)
+    surv = capped.select("vec_id", "table_id")
+    probed = allb.drop("slot").join(surv, ["vec_id", "table_id"])
     cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
+        _cand(probed.filter(F.col("is_new") == 1), capped)
+        .unionByName(
+            _cand(
+                probed.filter(F.col("is_new") == 0),
+                capped.filter(F.col("is_new") == 1),
+            )
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
@@ -747,12 +891,36 @@ ORACLE["sim_ann_lsh_topk"] = ORACLE["sim_ann_lsh_topk"].replace(
     "WITH dims AS", "WITH " + _SRP_NP_CTE + ", dims AS", 1
 )
 
+# margin-directed multi-probe CTEs (r7, exact twin of ``probe_k_for`` /
+# ``probe_bucket_ids_udf``): per cap-surviving (vector, table), the home
+# bucket plus the k lowest-|margin| single-bit flips (ties by plane
+# index — the UDF's stable argsort), joined against home buckets.  At
+# k = 0 (≤4 planes, every gate-scale corpus) ``probes`` degenerates to
+# ``capped`` and the pair set is value-identical to the r6 oracle.
+_SRP_PROBE_CTES = f''', pk AS (
+          SELECT CASE WHEN (SELECT p FROM np) <= 4 THEN 0
+                      WHEN (SELECT p FROM np) <= 8 THEN 4
+                      ELSE 6 END AS k
+        ), probes AS (
+          SELECT vec_id, t, bucket FROM capped
+          UNION ALL
+          SELECT c.vec_id, c.t, xor(c.bucket, CAST(1 AS BIGINT) << d.p)
+          FROM capped c JOIN (
+            SELECT vec_id, t, p,
+                   row_number() OVER (PARTITION BY vec_id, t
+                                      ORDER BY abs(dot), p) AS rk
+            FROM dots
+          ) d ON d.vec_id = c.vec_id AND d.t = c.t
+          WHERE d.rk <= (SELECT k FROM pk)
+        )'''
+
 # pair chain: undirected candidates + threshold — dedup_embedding_pairs
 # stops at `pairs`, dedup_semantic continues into the recursive CC
-_SRP_PAIR_TAIL = f''', cand AS (
-          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-          FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
-          WHERE a.vec_id < b.vec_id
+_SRP_PAIR_TAIL = _SRP_PROBE_CTES + f''', cand AS (
+          SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS va,
+                          GREATEST(a.vec_id, b.vec_id) AS vb
+          FROM probes a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id
         ), n AS (
           SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
         ), pairs AS (
@@ -1379,20 +1547,32 @@ def srp_recall_curve(
         sample, threshold=threshold, max_rows=None
     ).select("vec_id_a", "vec_id_b")
     # full-corpus plane count on the sample — same contract as the report
-    capped = _cap_buckets(
-        _srp_bucketed(sample, dim, n_planes_for(n_corpus)), SEM_MAX_BUCKET
-    )
-    a, b = capped.alias("a"), capped.alias("b")
+    n_planes = n_planes_for(n_corpus)
+    k = probe_k_for(n_planes)
+    if k == 0:
+        capped = _cap_buckets(_srp_bucketed(sample, dim, n_planes), SEM_MAX_BUCKET)
+        a = capped.alias("a")
+        cond = F.col("a.vec_id") < F.col("b.vec_id")
+    else:
+        # probed pipeline (see semantic_pairs): a pair's covering table
+        # is any t where either member probes the other's home bucket
+        allb = bounded_cache(_srp_probed(sample, dim, n_planes, k))
+        home = allb.filter(F.col("slot") == 0).drop("slot")
+        capped = _cap_buckets(home, SEM_MAX_BUCKET)
+        surv = capped.select("vec_id", "table_id")
+        a = allb.drop("slot").join(surv, ["vec_id", "table_id"]).alias("a")
+        cond = F.col("a.vec_id") != F.col("b.vec_id")
+    b = capped.alias("b")
     first_t = (
         a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & cond,
         )
         .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
             F.col("a.table_id").alias("t"),
         )
         .groupBy("vec_id_a", "vec_id_b")
@@ -1451,13 +1631,14 @@ _SRP_BUCKETS_ON_SAMPLE = (
 )
 
 ORACLE["sim_srp_recall_curve"] = f"""
-    WITH {_SRP_BUCKETS_ON_SAMPLE}, first_t AS (
-      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+    WITH {_SRP_BUCKETS_ON_SAMPLE}{_SRP_PROBE_CTES}, first_t AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS vec_id_a,
+             GREATEST(a.vec_id, b.vec_id) AS vec_id_b,
              CAST(MIN(a.t) AS INTEGER) AS ft
-      FROM capped a
+      FROM probes a
       JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
-                    AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id
+                    AND a.vec_id <> b.vec_id
+      GROUP BY LEAST(a.vec_id, b.vec_id), GREATEST(a.vec_id, b.vec_id)
     ), exact AS (
       SELECT vec_id_a, vec_id_b FROM ({_EXACT_ON_SAMPLE}) x
     ), hit AS (

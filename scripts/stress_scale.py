@@ -239,6 +239,36 @@ def upsert_read_stress(spark, big_dir: str, factor: int) -> dict:
     }
 
 
+def srp_recall_stress(spark, big_dir: str, factor: int) -> dict:
+    """Measured SRP recall at the STRESS operating point (VERDICT r6 #3):
+    ``n_planes_for`` holds bucket occupancy at any corpus size, but with
+    N_TABLES fixed the per-table collision probability decays as
+    p_agree^planes — so recall at grown plane counts must be MEASURED,
+    not extrapolated from the sf0.1 tuning.  Runs the in-band recall
+    report (sample-bounded exact ground truth vs the production SRP
+    pipeline at the full-corpus plane count) on the 1× and factor×
+    corpora and records {recall, planes, exact/srp pair counts}."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        n_planes_for,
+        srp_recall_report,
+    )
+
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        n = emb.count()
+        t0 = time.time()
+        row = srp_recall_report(emb, dim).first().asDict()
+        row["t"] = round(time.time() - t0, 2)
+        row["n_corpus"] = n
+        row["planes"] = n_planes_for(n)
+        out[tag] = row
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     targets = sys.argv[2:] or STRESS
@@ -307,6 +337,8 @@ def main() -> None:
     if not sys.argv[2:]:  # full runs also produce the focused evidence
         results["stream_eviction"] = stream_eviction_stress(spark, big_dir, factor)
         results["upsert_read"] = upsert_read_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "srp_recall" in sys.argv[2:]:
+        results["srp_recall"] = srp_recall_stress(spark, big_dir, factor)
     print(json.dumps({"factor": factor, "results": results}))
 
 

@@ -1,0 +1,115 @@
+"""Margin-directed multi-probe (r7): the driver's sf0.01/sf0.1 corpora
+derive ≤4 planes, where the probe width is 0 — so the hash gate never
+exercises the probed path.  These tests build a corpus big enough for 5
+planes (probe_k_for → 4) and run the SAME engine-vs-DuckDB comparison
+the driver runs, plus the pinned incremental identity, at that operating
+point."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N = 2600  # ceil(2600/160) = 17 > 2^4 → 5 planes → probe_k_for = 4
+DIM = 16
+
+
+def test_probe_k_law():
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        probe_k_for,
+    )
+
+    assert [probe_k_for(p) for p in (1, 2, 3, 4)] == [0, 0, 0, 0]
+    assert [probe_k_for(p) for p in (5, 6, 7, 8)] == [4, 4, 4, 4]
+    assert [probe_k_for(p) for p in (9, 12, 30)] == [6, 6, 6]
+
+
+@pytest.fixture(scope="module")
+def probe_corpus(spark, tmp_path_factory):
+    """Deterministic ~N-vector corpus written to parquet so Spark and
+    DuckDB read the identical bits (the driver's setup)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(N - 200, DIM))
+    # 200 perturbed near-dups so the pair set has real structure
+    dups = base[:200] + rng.normal(scale=0.05, size=(200, DIM))
+    mat = np.concatenate([base, dups]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(N, dtype=np.int64), "embedding": list(mat)}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    path = str(tmp_path_factory.mktemp("probe") / "embeddings.parquet")
+    spark.createDataFrame(pdf, schema).coalesce(2).write.parquet(path)
+    return path
+
+
+def test_probed_pairs_match_oracle(spark, probe_corpus):
+    """Full engine-vs-oracle hash-gate replica at 5 planes / probe k=4:
+    the Spark probed pair pipeline and the DuckDB probes-CTE oracle must
+    agree row-for-row, cosine bit-for-bit."""
+    import duckdb
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        ORACLE,
+        n_planes_for,
+        probe_k_for,
+        semantic_pairs,
+    )
+
+    assert probe_k_for(n_planes_for(N)) == 4  # the config under test
+
+    emb = spark.read.parquet(probe_corpus)
+    got = (
+        semantic_pairs(emb, DIM)
+        .toPandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{probe_corpus}/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLE["dedup_embedding_pairs"])
+        .df()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(want) and len(got) > 0
+    assert got["vec_id_a"].tolist() == want["vec_id_a"].astype("int64").tolist()
+    assert got["vec_id_b"].tolist() == want["vec_id_b"].astype("int64").tolist()
+    # bit-exact: int64 dots, same double division order
+    assert got["cosine"].tolist() == want["cosine"].tolist()
+
+
+def test_incremental_identity_at_probe_scale(spark, probe_corpus):
+    """incremental = full minus old×old must survive the probed path
+    (both orientations of either-side probing covered)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet(probe_corpus)
+    full = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs(emb, DIM).collect()
+    }
+    old = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    inc = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in incremental_semantic_pairs(old, new, DIM).collect()
+    }
+    expected = {p for p in full if not (p[0] % 10 < 8 and p[1] % 10 < 8)}
+    assert inc == expected
+    assert inc
