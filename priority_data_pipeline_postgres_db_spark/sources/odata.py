@@ -164,6 +164,10 @@ def fake_transport(url: str, headers: dict) -> dict | str:
         rows.sort(key=lambda r: r["ORDNAME"])
     if is_count:
         return {"count": len(rows)}
+    sel = params.get("$select", "")
+    if sel:
+        keep = {s.strip() for s in sel.split(",") if s.strip()}
+        rows = [{k: v for k, v in r.items() if k in keep} for r in rows]
     skip = int(params.get("$skip", 0))
     top = int(params.get("$top", len(rows)))
     return {"value": rows[skip : skip + top]}
@@ -192,6 +196,7 @@ def build_url(
     *,
     filter_clause: str | None = None,
     expand: list[str] | None = None,
+    select: list[str] | None = None,
     orderby: str | None = None,
     skip: int | None = None,
     top: int | None = None,
@@ -208,6 +213,11 @@ def build_url(
     if expand:
         # '<name>_SUBFORM' suffix + comma join (priorityDataSource.py:686-693)
         params.append("$expand=" + ",".join(f"{e}_SUBFORM" for e in expand))
+    if select:
+        # projection pushdown: the reference prunes only post-fetch
+        # (priorityDataSource.py:771-776) — pushing $select means narrow
+        # queries stop transferring full entity payloads over HTTP
+        params.append("$select=" + ",".join(select))
     if orderby:
         params.append(f"$orderby={q(orderby)}")
     if skip is not None:
@@ -273,6 +283,17 @@ class ODataReader(DataSourceReader):
     def _transport(self) -> Transport:
         return TRANSPORTS[self.options.get("transport", "http")]
 
+    def _log_url(self, url: str) -> None:
+        """Debug/test hook: when the ``urllog`` option names a file,
+        append every fetched URL to it.  Reads run in executor Python
+        workers, where a test can't observe the transport directly —
+        the append-only file is the cross-process window onto the wire
+        (O_APPEND single-line writes stay whole on a local fs)."""
+        path = self.options.get("urllog")
+        if path:
+            with open(path, "a") as fh:
+                fh.write(url + "\n")
+
     @property
     def _headers(self) -> dict:
         user = self.options.get("user", "")
@@ -285,6 +306,23 @@ class ODataReader(DataSourceReader):
 
     def _page_size(self) -> int:
         return int(self.options.get("pagesize", 1000))
+
+    def _select_sources(self) -> list[str] | None:
+        """$select field list (S2's projection twin).  When the ``select``
+        option is set, ``ODataDataSource.schema`` has already pruned the
+        schema to the selection plus key fields, so the wire-level list
+        is simply this reader's schema mapped to source names — nav
+        properties (subform arrays) ride $expand, not $select."""
+        if not self.options.get("select"):
+            return None
+        return [
+            f.metadata.get("sourceField", f.name)
+            for f in self.schema.fields
+            if not (
+                isinstance(f.dataType, T.ArrayType)
+                and isinstance(f.dataType.elementType, T.StructType)
+            )
+        ]
 
     def _orderby(self) -> str:
         """Page-window sort key. $skip/$top windows are only stable under a
@@ -322,6 +360,7 @@ class ODataReader(DataSourceReader):
             filter_clause=self.pushed_filter_clause or None,
             count=True,
         )
+        self._log_url(url)
         body = self._transport(url, self._headers)
         total = int(body if isinstance(body, (int, str)) else body.get("count", 0))
         page = self._page_size()
@@ -335,10 +374,12 @@ class ODataReader(DataSourceReader):
             self.options["entity"],
             filter_clause=self.pushed_filter_clause or None,
             expand=self._expand,
+            select=self._select_sources(),
             orderby=self._orderby(),
             skip=partition.skip,
             top=partition.top,
         )
+        self._log_url(url)
         body = self._transport(url, self._headers)
         fields = [
             (f.name, f.metadata.get("sourceField", f.name), f.dataType) for f in self.schema.fields
@@ -379,8 +420,12 @@ class ODataDataSource(DataSource):
     ``spark.dataSource.register(ODataDataSource)``.
 
     Options: uri, entity, user, password, expand (comma list, without the
-    _SUBFORM suffix), pagesize, orderby, transport (http|fake), schema_ddl
-    (skip the $metadata fetch).
+    _SUBFORM suffix), select (comma list of logical column names — prunes
+    the schema, key fields always kept, and pushes ``$select=`` to the
+    tenant), pagesize, orderby, transport (http|fake), schema_ddl (skip
+    the $metadata fetch; with schema_ddl the ``select`` option only
+    controls the wire-level $select — the DDL stays the schema), urllog
+    (debug: file path collecting every fetched URL).
     """
 
     @classmethod
@@ -401,7 +446,26 @@ class ODataDataSource(DataSource):
         headers = auth_headers(user, self.options.get("password", "")) if user else {}
         xml = transport(self.options["uri"].rstrip("/") + "/$metadata", headers)
         registry = SchemaRegistry(parse_edmx(xml if isinstance(xml, str) else xml["xml"]))
-        return registry.struct(self.options["entity"], with_audit=False)
+        struct = registry.struct(self.options["entity"], with_audit=False)
+        raw_select = self.options.get("select", "")
+        if not raw_select:
+            return struct
+        # projection pushdown: subset the schema to the selection, always
+        # keeping key fields (the $skip/$top page order and downstream PK
+        # propagation depend on them); registry field order is preserved
+        wanted = {s.strip().lower() for s in raw_select.split(",") if s.strip()}
+        unknown = wanted - {f.name.lower() for f in struct.fields}
+        if unknown:
+            raise ValueError(
+                f"select option names unknown field(s) {sorted(unknown)} "
+                f"on entity {self.options['entity']!r}"
+            )
+        kept = [
+            f
+            for f in struct.fields
+            if f.name.lower() in wanted or f.metadata.get("keyFlag")
+        ]
+        return T.StructType(kept)
 
     def reader(self, schema: T.StructType) -> ODataReader:
         return ODataReader(schema, dict(self.options))
