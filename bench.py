@@ -162,6 +162,8 @@ HEADLINE = [
     "o_scd2_intervals",
     "k1_compact_roundtrip",
     "stream_cdc_upsert",
+    # r7 additions
+    "corpus_curation_pipeline_v2",
 ]
 
 

@@ -2641,3 +2641,156 @@ ORACLE["corpus_safety_profile"] = f"""
              AS blocked_docs
     FROM flagged GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline v2 (the r6 gates folded in, VERDICT r6 #8)
+# ---------------------------------------------------------------------------
+
+# a source whose blocked-doc share exceeds this integer percentage is
+# dropped wholesale (the corpus_safety_profile routing decision applied;
+# the synthetic fixture's shares run 12-52%, so 35 drops a real minority
+# of sources instead of none or all)
+SAFETY_SOURCE_MAX_PCT = 35
+
+
+def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production curation pipeline, v2: six sequential gates in
+    production order — exact-dup survivor → source-safety (drop every
+    doc of a source whose blocked share exceeds
+    ``SAFETY_SOURCE_MAX_PCT``%) → repetition → blocklist → Gopher rules
+    → 13-gram decontamination — with PER-STAGE DROP COUNTS as the
+    output: one row
+    per stage with (docs_in, dropped, docs_out) under sequential
+    semantics (a doc dropped at stage i never counts against stage j>i).
+    Composition is where operator interactions break, so this runs the
+    separately-verified gates under ONE oracle.
+
+    The r6 embedding-space cross-split check stays a separate entry:
+    it is keyed by vec_id and the fixture has no doc↔vec mapping — in
+    production it slots in exactly like the decontamination stage.
+
+    Shape: each gate is its verified linear plan; verdicts join on
+    doc_id (one shuffle each); the stage table is ONE single-row
+    aggregate inlined to six rows — no window, no extra pass.
+    """
+    from .dedup import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
+    firsts = fp.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    dup = fp.join(firsts, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("first_doc")).alias("k1")
+    )
+    bad_src = corpus_safety_profile(spark, sf_dir).filter(
+        F.col("blocked_docs") * 100 > F.lit(SAFETY_SOURCE_MAX_PCT) * F.col("n_docs")
+    ).select("source", F.lit(False).alias("k2"))
+    src = docs.select("doc_id", "source").join(
+        F.broadcast(bad_src), "source", "left"
+    ).select("doc_id", F.coalesce("k2", F.lit(True)).alias("k2"))
+    rep = corpus_repetition_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k3")
+    )
+    blk = corpus_blocklist_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k4")
+    )
+    gop = corpus_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k5")
+    )
+    contaminated = corpus_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(False).alias("k6")
+    )
+    decon = docs.select("doc_id").join(contaminated, "doc_id", "left").select(
+        "doc_id", F.coalesce("k6", F.lit(True)).alias("k6")
+    )
+    v = (
+        dup.join(src, "doc_id")
+        .join(rep, "doc_id")
+        .join(blk, "doc_id")
+        .join(gop, "doc_id")
+        .join(decon, "doc_id")
+    )
+    surv = [F.lit(True)]
+    for i in range(1, 7):
+        surv.append(surv[-1] & F.col(f"k{i}"))
+    agg = v.agg(
+        *[
+            F.sum(surv[i].cast("long")).cast("long").alias(f"n{i}")
+            for i in range(7)
+        ]
+    )
+    stages = [
+        "exact_dup",
+        "source_safety",
+        "repetition",
+        "blocklist",
+        "gopher_rules",
+        "decontaminate",
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.lit(i + 1).cast("int").alias("stage_idx"),
+                F.col(f"n{i}").alias("docs_in"),
+                (F.col(f"n{i}") - F.col(f"n{i + 1}")).alias("dropped"),
+                F.col(f"n{i + 1}").alias("docs_out"),
+            )
+            for i, name in enumerate(stages)
+        ]
+    )
+    return agg.select(F.inline(rows))
+
+
+QUERIES["corpus_curation_pipeline_v2"] = corpus_curation_pipeline_v2
+
+ORACLE["corpus_curation_pipeline_v2"] = f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    ), firsts AS (
+      SELECT fp, min(doc_id) AS first_doc FROM fp GROUP BY fp
+    ), dup AS (
+      SELECT fp.doc_id, (fp.doc_id = firsts.first_doc) AS k1
+      FROM fp JOIN firsts USING (fp)
+    ), bad_src AS (
+      SELECT source FROM ({ORACLE["corpus_safety_profile"]}) s
+      WHERE blocked_docs * 100 > {SAFETY_SOURCE_MAX_PCT} * n_docs
+    ), src AS (
+      SELECT d.doc_id, (bs.source IS NULL) AS k2
+      FROM documents d LEFT JOIN bad_src bs ON bs.source = d.source
+    ), rep AS (
+      SELECT doc_id, keep AS k3 FROM ({ORACLE["corpus_repetition_gate"]}) r
+    ), blk AS (
+      SELECT doc_id, keep AS k4 FROM ({ORACLE["corpus_blocklist_filter"]}) b
+    ), gop AS (
+      SELECT doc_id, keep AS k5 FROM ({ORACLE["corpus_gopher_rules"]}) g
+    ), decon AS (
+      SELECT d.doc_id, (c.doc_id IS NULL) AS k6
+      FROM documents d
+      LEFT JOIN ({ORACLE["corpus_decontaminate"]}) c ON c.doc_id = d.doc_id
+    ), v AS (
+      SELECT dup.doc_id, k1, k1 AND k2 AS s2, k1 AND k2 AND k3 AS s3,
+             k1 AND k2 AND k3 AND k4 AS s4,
+             k1 AND k2 AND k3 AND k4 AND k5 AS s5,
+             k1 AND k2 AND k3 AND k4 AND k5 AND k6 AS s6
+      FROM dup JOIN src USING (doc_id) JOIN rep USING (doc_id)
+      JOIN blk USING (doc_id) JOIN gop USING (doc_id)
+      JOIN decon USING (doc_id)
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+             CAST(sum(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS n6
+      FROM v
+    )
+    SELECT 'exact_dup' AS stage, CAST(1 AS INTEGER) AS stage_idx,
+           n0 AS docs_in, n0 - n1 AS dropped, n1 AS docs_out FROM agg
+    UNION ALL SELECT 'source_safety', 2, n1, n1 - n2, n2 FROM agg
+    UNION ALL SELECT 'repetition', 3, n2, n2 - n3, n3 FROM agg
+    UNION ALL SELECT 'blocklist', 4, n3, n3 - n4, n4 FROM agg
+    UNION ALL SELECT 'gopher_rules', 5, n4, n4 - n5, n5 FROM agg
+    UNION ALL SELECT 'decontaminate', 6, n5, n5 - n6, n6 FROM agg
+"""
