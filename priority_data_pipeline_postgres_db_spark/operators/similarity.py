@@ -288,7 +288,9 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
     come from an equi-join on (table_id, bucket) — no cross product. Recall
     grows with N_TABLES; cost with bucket occupancy, not corpus size (the
     plane count adapts to the corpus, see ``n_planes_for``)."""
-    buckets = bucket_ids_udf(dim, n_planes_for(memo_count(emb)))
+    n_planes = n_planes_for(memo_count(emb))
+    kp = probe_k_for(n_planes)
+    buckets = bucket_ids_udf(dim, n_planes)
 
     def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
         q = df.select(
@@ -298,8 +300,26 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
             id_out, "q", F.posexplode("buckets").alias("table_id", "bucket")
         )
 
+    def with_probed_buckets(df: DataFrame, id_out: str) -> DataFrame:
+        # query-side margin-directed probing (see probe_k_for): home
+        # bucket + kp most-marginal flips per table
+        fan = 1 + kp
+        pb = probe_bucket_ids_udf(dim, n_planes, kp)
+        q = df.select(
+            F.col("vec_id").alias(id_out), quantize_expr().alias("q")
+        ).withColumn("pb", pb(F.col("q")))
+        return q.select(
+            id_out, "q", F.posexplode("pb").alias("idx", "bucket")
+        ).select(
+            id_out,
+            "q",
+            F.expr(f"idx div {fan}").cast("int").alias("table_id"),
+            "bucket",
+        )
+
     c = with_buckets(emb, "vec_id").withColumnRenamed("q", "cq")
-    qb = with_buckets(queries, "query_id").withColumnRenamed("q", "qq")
+    qside = with_probed_buckets if kp else with_buckets
+    qb = qside(queries, "query_id").withColumnRenamed("q", "qq")
     cand = (
         c.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -366,10 +386,25 @@ def ann_knn_join(
     registry entry's oracle is unchanged.
     """
     n_corpus = memo_count(emb)  # sizes the planes AND the residue work guard
-    hashed = _cap_buckets(
-        _srp_bucketed(emb, dim, n_planes_for(n_corpus)), max_bucket
-    )
-    a = hashed.select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
+    n_planes = n_planes_for(n_corpus)
+    kp = probe_k_for(n_planes)
+    if kp == 0:
+        hashed = _cap_buckets(_srp_bucketed(emb, dim, n_planes), max_bucket)
+        a = hashed.select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
+    else:
+        # margin-directed probing on the QUERY role of the directed pair
+        # (see probe_k_for): each vector's 1+kp buckets join the others'
+        # home buckets, so recall holds as planes grow
+        from ..util import bounded_cache
+
+        allb = bounded_cache(_srp_probed(emb, dim, n_planes, kp))
+        hashed = _cap_buckets(allb.filter(F.col("slot") == 0).drop("slot"), max_bucket)
+        surv = hashed.select("vec_id", "table_id")
+        a = (
+            allb.drop("slot")
+            .join(surv, ["vec_id", "table_id"])
+            .select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
+        )
     b = hashed.select(F.col("vec_id").alias("vec_id_b"), "table_id", "bucket")
     cand = (
         a.join(b, ["table_id", "bucket"])
@@ -808,10 +843,26 @@ ORACLE = {
           SELECT vec_id, t,
                  CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
           FROM dots GROUP BY vec_id, t
+        ), pk AS (
+          SELECT CASE WHEN (SELECT p FROM np) <= 4 THEN 0
+                      WHEN (SELECT p FROM np) <= 8 THEN 4
+                      ELSE 6 END AS k
+        ), qprobes AS (
+          -- query-side margin-directed multi-probe (probe_k_for twin)
+          SELECT vec_id, t, bucket FROM buckets WHERE vec_id < {N_QUERIES}
+          UNION ALL
+          SELECT b.vec_id, b.t, xor(b.bucket, CAST(1 AS BIGINT) << d.p)
+          FROM buckets b JOIN (
+            SELECT vec_id, t, p,
+                   row_number() OVER (PARTITION BY vec_id, t
+                                      ORDER BY abs(dot), p) AS rk
+            FROM dots
+          ) d ON d.vec_id = b.vec_id AND d.t = b.t
+          WHERE b.vec_id < {N_QUERIES} AND d.rk <= (SELECT k FROM pk)
         ), cand AS (
           SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
-          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-          WHERE qb.vec_id < {N_QUERIES} AND cb.vec_id <> qb.vec_id
+          FROM qprobes qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+          WHERE cb.vec_id <> qb.vec_id
         ), n AS (
           -- exclude zero-norm vectors: undefined cosine; Spark's verify
           -- drops their NaN rows, and without a threshold the rank here
@@ -937,9 +988,9 @@ _SRP_PAIR_TAIL = _SRP_PROBE_CTES + f''', cand AS (
 _SRP_PAIR_CTES = _SRP_BUCKET_CTES + _SRP_PAIR_TAIL
 
 ORACLE["sim_knn_join"] = f'''
-        WITH {_SRP_BUCKET_CTES}, cand AS (
+        WITH {_SRP_BUCKET_CTES}{_SRP_PROBE_CTES}, cand AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-          FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+          FROM probes a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
           WHERE a.vec_id <> b.vec_id
         ), n AS (
           -- exclude zero-norm vectors: undefined cosine; Spark's verify
@@ -1458,9 +1509,9 @@ def sim_knn_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_knn_join_full"] = sim_knn_join_full
 
 ORACLE["sim_knn_join_full"] = f'''
-        WITH {_SRP_BUCKET_CTES}, cand AS (
+        WITH {_SRP_BUCKET_CTES}{_SRP_PROBE_CTES}, cand AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-          FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+          FROM probes a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
           WHERE a.vec_id <> b.vec_id
         ), n AS (
           -- exclude zero-norm vectors: undefined cosine; Spark's verify

@@ -113,3 +113,37 @@ def test_incremental_identity_at_probe_scale(spark, probe_corpus):
     expected = {p for p in full if not (p[0] % 10 < 8 and p[1] % 10 < 8)}
     assert inc == expected
     assert inc
+
+
+def test_probed_knn_join_matches_oracle(spark, probe_corpus):
+    """Directed kNN probing (query role probes, home side stays) must
+    replay in the oracle at 5 planes / k=4."""
+    import duckdb
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        ORACLE,
+        TOP_K,
+        ann_knn_join,
+    )
+
+    emb = spark.read.parquet(probe_corpus)
+    got = (
+        ann_knn_join(emb, DIM, k=TOP_K)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{probe_corpus}/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLE["sim_knn_join"])
+        .df()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for col in ("vec_id", "neighbor_id", "rank"):
+        assert got[col].tolist() == want[col].astype("int64").tolist(), col
+    assert got["cosine"].tolist() == want["cosine"].tolist()
