@@ -147,3 +147,28 @@ def test_probed_knn_join_matches_oracle(spark, probe_corpus):
     for col in ("vec_id", "neighbor_id", "rank"):
         assert got[col].tolist() == want[col].astype("int64").tolist(), col
     assert got["cosine"].tolist() == want["cosine"].tolist()
+
+
+def test_stress_recall_floor():
+    """Pin SRP recall >= 0.8 at every measured stress operating point
+    (VERDICT r6 #3).  Occupancy is held by n_planes_for, but recall at
+    grown plane counts is only what scripts/stress_scale.py MEASURED —
+    this test makes any recorded cliff (like the pre-r6 10x zero-pairs
+    one) a red suite, not a buried artifact row."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    rows = []
+    for path in glob.glob(os.path.join(root, "STRESS_x*.json")):
+        with open(path) as f:
+            rec = json.load(f).get("results", {}).get("srp_recall")
+        if not rec:
+            continue
+        for tag, row in rec.items():
+            if "recall" in row:
+                rows.append((os.path.basename(path), tag, row["recall"]))
+    assert rows, "no stress artifact records srp_recall — run scripts/stress_scale.py"
+    bad = [r for r in rows if r[2] < 0.8]
+    assert not bad, f"SRP recall below 0.8 floor: {bad}"

@@ -46,6 +46,8 @@ ALLOWED = {
     # r6 additions
     "q_funnel_conversion_time": {"SinglePartition"},         # single-row output
     "q_user_ltv_deciles": {"BNLJ", "SinglePartition"},       # 1-row revenue-total reduce + broadcast
+    # r7 additions
+    "corpus_curation_pipeline_v2": {"SinglePartition"},      # 1-row survivor-count reduce inlined to 6 stage rows
 }
 
 
