@@ -30,6 +30,8 @@ Three operators, each deterministic and oracle-checked:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -330,6 +332,134 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str, n: int = DECON_N) -> 
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the 100 TB shuffle killer)
+# ---------------------------------------------------------------------------
+
+# ~16 bits/key + 11 probes → fpp ≈ 5e-4: a false positive only costs one
+# extra row through the confirming equi-join, never a wrong result
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_K = 11
+BLOOM_MAX_KEYS = 50_000_000  # 16 b/key → ≤100 MB of driver bits
+
+
+class BroadcastScopeError(ValueError):
+    """The 'small' side of a broadcast-filter pattern is not small —
+    refused loudly (like :class:`~.dedup.QuadraticScaleError`) instead
+    of silently OOMing the driver."""
+
+
+def _bloom_hash_halves(hashes: "np.ndarray", mask: int):
+    hv = hashes.astype(np.int64, copy=False).view(np.uint64)
+    h1 = hv & np.uint64(mask)
+    h2 = (hv >> np.uint64(33)) | np.uint64(1)  # odd → full-period stride
+    return h1, h2
+
+
+def _bloom_build(hashes: "np.ndarray"):
+    """Bit array + mask from int64 keys (double hashing: k probes at
+    h1 + i*h2 mod m, m a power of two)."""
+    n = max(len(hashes), 1)
+    m = 1 << max(13, (n * _BLOOM_BITS_PER_KEY - 1).bit_length())
+    mask = m - 1
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    h1, h2 = _bloom_hash_halves(hashes, mask)
+    for i in range(_BLOOM_K):
+        idx = (h1 + np.uint64(i) * h2) & np.uint64(mask)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+        )
+    return bits, mask
+
+
+def _bloom_might_contain_udf(bc_bits, mask: int):
+    """Arrow-batched membership test over ``xxhash64`` keys; the bit
+    array rides an explicit SparkContext broadcast (shipped once per
+    executor, not per task)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _might(h: pd.Series) -> pd.Series:
+        bits = bc_bits.value
+        h1, h2 = _bloom_hash_halves(h.to_numpy(dtype=np.int64), mask)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(_BLOOM_K):
+            idx = (h1 + np.uint64(i) * h2) & np.uint64(mask)
+            out &= (
+                bits[(idx >> np.uint64(3)).astype(np.int64)]
+                & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            ) != 0
+        return pd.Series(out)
+
+    return _might
+
+
+def decontaminate_bloom(
+    docs_with_split: DataFrame,
+    n: int = DECON_N,
+    max_eval_keys: int = BLOOM_MAX_KEYS,
+) -> DataFrame:
+    """:func:`decontaminate` with the train side Bloom-prefiltered —
+    value-identical output (same oracle), different 100 TB cost model.
+
+    The plain shape shuffles EVERY distinct train n-gram to build the
+    join side; at 100 TB that shuffle dominates the job even though the
+    eval split (the benchmark suite) is tiny.  Here the eval grams'
+    64-bit hashes become a ≤16-bit-per-key Bloom bit array broadcast to
+    executors, and train grams are membership-tested in an Arrow batch
+    BEFORE the distinct+join — a gram that cannot be in the eval set
+    never leaves its scan partition.  No false negatives, so every truly
+    shared gram still reaches the confirming equi-join; false positives
+    (~5e-4) just ride along and fall out of the join.  Spark's own
+    runtime bloom injection targets shuffle joins the planner can see —
+    this pins the pattern explicitly ahead of the distinct, where the
+    planner won't.  Refuses (``BroadcastScopeError``) if the eval side
+    exceeds ``max_eval_keys`` — that is the signal the split roles are
+    inverted, not a reason to spill."""
+    from .dedup import ngrams_expr
+
+    spark = docs_with_split.sparkSession
+    grams = docs_with_split.select(
+        "doc_id", "split", F.explode(ngrams_expr(tokens_expr(), n)).alias("gram")
+    )
+    ev = grams.filter(F.col("split") != "train")
+    ev_keys = ev.select(F.xxhash64("gram").alias("h")).distinct()
+    n_keys = ev_keys.count()
+    if n_keys > max_eval_keys:
+        raise BroadcastScopeError(
+            f"decontaminate_bloom: eval split has {n_keys} distinct grams "
+            f"(> {max_eval_keys}); the Bloom build would not fit the "
+            "driver — use decontaminate() or shrink the eval split"
+        )
+    keys = ev_keys.toPandas()["h"].to_numpy(dtype=np.int64)
+    bits, mask = _bloom_build(keys)
+    might = _bloom_might_contain_udf(spark.sparkContext.broadcast(bits), mask)
+    train_grams = (
+        grams.filter(F.col("split") == "train")
+        .filter(might(F.xxhash64("gram")))
+        .select("gram")
+        .distinct()
+    )
+    return (
+        ev.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .join(docs_with_split.select("doc_id", "lang", "split"), "doc_id")
+        .select("doc_id", "lang", "split", "n_shared_grams")
+    )
+
+
+def corpus_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str, n: int = DECON_N
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs.select("doc_id", "lang", split_expr().alias("split"), "text"), n
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 
@@ -482,6 +612,7 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_build_training_set": corpus_build_training_set,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
     "corpus_redact_pii": corpus_redact_pii,
     "corpus_source_cap": corpus_source_cap,
     "corpus_quality_sample": corpus_quality_sample,
@@ -584,6 +715,11 @@ ORACLE["corpus_decontaminate"] = f"""
     FROM ev JOIN tg USING (gram) JOIN s ON s.doc_id = ev.doc_id
     GROUP BY ev.doc_id, s.lang, s.split
 """
+
+# the Bloom prefilter is a pure cost optimization — no false negatives,
+# false positives die in the confirming equi-join — so the bloom variant
+# answers to the SAME oracle as the plain operator
+ORACLE["corpus_decontaminate_bloom"] = ORACLE["corpus_decontaminate"]
 
 ORACLE["corpus_source_cap"] = f"""
     SELECT doc_id, lang, source, CAST(source_rank AS INTEGER) AS source_rank FROM (

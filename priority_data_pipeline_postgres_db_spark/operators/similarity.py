@@ -1556,6 +1556,111 @@ ORACLE["sim_knn_join_full"] = f'''
 
 
 # ---------------------------------------------------------------------------
+# kNN top-k recall instrument (r7)
+# ---------------------------------------------------------------------------
+
+
+def knn_recall_report(emb: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
+    """Measured top-k recall of the probed ANN path against the exact
+    per-query ground truth — the kNN twin of ``srp_recall_report`` (which
+    instruments the PAIR family).  r7 moved the top-k operating point
+    (query-side multi-probe, see ``probe_k_for``), so its recall needs
+    its own in-band instrument rather than inference from pair recall.
+
+    Ground truth is exact and LINEAR: the ``N_QUERIES`` query rows
+    broadcast against the corpus (10·n integer dot products — a scan, not
+    a quadratic; this is why the query set is fixed and small).  Output
+    is one row: (n_queries, k, n_exact, n_found, recall), all integer
+    counts plus one exact int÷int division, so the gate hashes stay
+    engine-portable."""
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    ann = ann_lsh_topk(emb, queries, dim, k=k).select("query_id", "neighbor_id")
+    q = queries.select(F.col("vec_id").alias("query_id"), quantize_expr().alias("qq"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), quantize_expr().alias("cq"))
+    cos = dot_expr(F.col("qq"), F.col("cq")) / (
+        F.sqrt(dot_expr(F.col("qq"), F.col("qq")).cast("double"))
+        * F.sqrt(dot_expr(F.col("cq"), F.col("cq")).cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            (dot_expr(F.col("qq"), F.col("qq")) > 0)
+            & (dot_expr(F.col("cq"), F.col("cq")) > 0)
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hit = exact.join(ann, ["query_id", "neighbor_id"])
+    return exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    ).crossJoin(
+        F.broadcast(hit.agg(F.count(F.lit(1)).cast("long").alias("n_found")))
+    ).select(
+        "n_queries",
+        "k",
+        "n_exact",
+        "n_found",
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_found").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+    )
+
+
+def sim_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return knn_recall_report(emb, dim)
+
+
+QUERIES["sim_knn_recall_report"] = sim_knn_recall_report
+
+# the ann CTE is the full (probed) sim_ann_lsh_topk oracle as a derived
+# table, so this instrument can never drift from the operator it measures
+ORACLE["sim_knn_recall_report"] = f'''
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+          WHERE list_dot_product(qv, qv) > 0
+        ), ex AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                   AS cosine
+          FROM n a JOIN n b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ), exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM ex
+          ) WHERE rk <= {TOP_K}
+        ), ann AS (
+          SELECT query_id, neighbor_id FROM ({{ANN_TOPK}}) a
+        ), hit AS (
+          SELECT exact.query_id, exact.neighbor_id
+          FROM exact JOIN ann USING (query_id, neighbor_id)
+        )
+        SELECT CAST((SELECT count(DISTINCT query_id) FROM exact) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS INTEGER) AS k,
+               CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_found,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                         / (SELECT count(*) FROM exact)
+               END AS recall
+'''.replace("{ANN_TOPK}", ORACLE["sim_ann_lsh_topk"])
+
+
+# ---------------------------------------------------------------------------
 # recall-vs-tables calibration curve
 # ---------------------------------------------------------------------------
 

@@ -905,3 +905,76 @@ def test_safety_profile_counts_planted_pii_and_blocklist(spark):
     clean = got["clean"]
     assert (clean["email_hits"], clean["ip_hits"], clean["pii_docs"],
             clean["blocked_docs"]) == (0, 0, 0, 0)
+
+
+def test_decontaminate_bloom_equals_plain(spark):
+    """The Bloom prefilter is a pure cost optimization: on the planted
+    leak corpus it must return exactly the plain operator's rows."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        Row(doc_id=1, lang="en", split="train", text="intro words " + leak),
+        Row(doc_id=2, lang="en", split="test", text=leak + " trailing words here"),
+        Row(doc_id=3, lang="en", split="test", text="fresh words one two three four five six seven"),
+        Row(doc_id=4, lang="en", split="validation", text="short doc"),
+    ]
+    df = spark.createDataFrame(rows)
+    plain = sorted(map(tuple, decontaminate(df, n=5).collect()))
+    bloom = sorted(map(tuple, decontaminate_bloom(df, n=5).collect()))
+    assert bloom == plain
+    assert bloom  # non-vacuous: the leak was found
+
+
+def test_decontaminate_bloom_refuses_oversized_eval(spark):
+    """An eval split bigger than the driver budget is a loud refusal
+    (inverted split roles), never a silent driver OOM."""
+    import pytest
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        BroadcastScopeError,
+        decontaminate_bloom,
+    )
+
+    rows = [
+        Row(doc_id=1, lang="en", split="train", text="one two three four five six"),
+        Row(doc_id=2, lang="en", split="test", text="one two three four five six seven"),
+    ]
+    with pytest.raises(BroadcastScopeError):
+        decontaminate_bloom(spark.createDataFrame(rows), n=5, max_eval_keys=1)
+
+
+def test_bloom_bits_no_false_negatives():
+    """Property of the bit array itself: every inserted key tests
+    positive, and the false-positive rate on disjoint keys stays far
+    below the 5e-4 design point's order of magnitude."""
+    import numpy as np
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        _BLOOM_K,
+        _bloom_build,
+        _bloom_hash_halves,
+    )
+
+    rng = np.random.default_rng(20260814)
+    keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    bits, mask = _bloom_build(keys)
+
+    def might(h):
+        h1, h2 = _bloom_hash_halves(h.astype(np.int64), mask)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(_BLOOM_K):
+            idx = (h1 + np.uint64(i) * h2) & np.uint64(mask)
+            out &= (
+                bits[(idx >> np.uint64(3)).astype(np.int64)]
+                & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            ) != 0
+        return out
+
+    assert might(keys).all()  # zero false negatives, by construction
+    probe = rng.integers(-(2**62), 2**62, size=200_000, dtype=np.int64)
+    probe = np.setdiff1d(probe, keys)
+    assert might(probe).mean() < 0.01

@@ -172,3 +172,19 @@ def test_stress_recall_floor():
     assert rows, "no stress artifact records srp_recall — run scripts/stress_scale.py"
     bad = [r for r in rows if r[2] < 0.8]
     assert not bad, f"SRP recall below 0.8 floor: {bad}"
+
+
+def test_knn_recall_report_shape_and_bounds(spark, sf_dir):
+    """The kNN top-k instrument returns one row of integer counts with
+    found <= exact and a recall in (0, 1]; at sf0.001 the probed path
+    should find most true neighbors."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        sim_knn_recall_report,
+    )
+
+    row = sim_knn_recall_report(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_queries"] > 0 and r["n_exact"] > 0
+    assert 0 <= r["n_found"] <= r["n_exact"]
+    assert r["recall"] is not None and 0.0 < r["recall"] <= 1.0

@@ -48,6 +48,7 @@ ALLOWED = {
     "q_user_ltv_deciles": {"BNLJ", "SinglePartition"},       # 1-row revenue-total reduce + broadcast
     # r7 additions
     "corpus_curation_pipeline_v2": {"SinglePartition"},      # 1-row survivor-count reduce inlined to 6 stage rows
+    "sim_knn_recall_report": {"BNLJ", "SinglePartition"},    # N_QUERIES-row broadcast ground truth + 1-row report
 }
 
 
