@@ -164,6 +164,10 @@ HEADLINE = [
     "stream_cdc_upsert",
     # r7 additions
     "corpus_curation_pipeline_v2",
+    "corpus_decontaminate_bloom",
+    "sim_knn_recall_report",
+    "j_fuzzy_match_parts",
+    "q_part_pagerank",
 ]
 
 

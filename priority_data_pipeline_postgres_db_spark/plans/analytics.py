@@ -2153,3 +2153,229 @@ ORACLE["o_scd2_intervals"] = """
            n_events
     FROM iv
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution: blocked sorted-neighborhood matching (r7)
+# ---------------------------------------------------------------------------
+
+FUZZY_WINDOW = 3  # compare each record with its next w neighbors in sort order
+FUZZY_MAX_DIST = 3  # max edit distance between token-sorted canonical names
+
+
+def j_fuzzy_match_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = FUZZY_WINDOW,
+    max_dist: int = FUZZY_MAX_DIST,
+) -> DataFrame:
+    """Entity resolution via blocked sorted-neighborhood matching: find
+    part records whose names are near-identical (edit distance <=
+    ``max_dist`` after token-sort canonicalization) without ever forming
+    the n^2 name-pair space.
+
+    The classic record-linkage recipe, each step load-bearing at scale:
+
+    - **canonicalize**: lowercase, split, SORT the tokens, rejoin — so
+      "red widget" and "widget red" canonicalize identically and land
+      adjacent in sort order (the word-order half of fuzzy matching is
+      solved before any edit distance is computed);
+    - **block** on ``p_brand``: candidate pairs never cross brands, so
+      per-block work is independent and parallel (the blocking key is
+      the unit of distribution — same role as the LSH band in
+      ``dedup_minhash_pairs``);
+    - **sorted neighborhood**: within a block, order by (canon, key) and
+      compare each record only to its next ``w`` successors via
+      ``lead`` — candidates ∝ w·n instead of n², the window is
+      partitioned by block so there is no global sort;
+    - **verify** with ``levenshtein`` on the canonical forms — the only
+      quadratic-in-string-length step, paid on w·n candidates only.
+
+    Determinism: the neighborhood is defined by the total order
+    (canon, p_partkey); edit distance is exact integer — hash-portable.
+    Recall caveat (inherent to sorted neighborhood, documented not
+    hidden): a true match > w positions away in sort order is missed;
+    w trades recall for cost exactly like LSH band count.
+    """
+    part = load(spark, sf_dir, "part")
+    canon = F.array_join(F.array_sort(F.split(F.lower(F.col("p_name")), " ")), " ")
+    s = part.select("p_partkey", "p_brand", canon.alias("canon"))
+    win = Window.partitionBy("p_brand").orderBy("canon", "p_partkey")
+    leads = s
+    for i in range(1, w + 1):
+        leads = leads.withColumn(
+            f"nk{i}", F.lead("p_partkey", i).over(win)
+        ).withColumn(f"nc{i}", F.lead("canon", i).over(win))
+    stacked = (
+        leads.select(
+            "p_partkey",
+            "p_brand",
+            "canon",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"nk{i}").alias("nbr_key"),
+                            F.col(f"nc{i}").alias("nbr_canon"),
+                        )
+                        for i in range(1, w + 1)
+                    ]
+                )
+            ).alias("nbr"),
+        )
+        .filter(F.col("nbr.nbr_key").isNotNull())
+    )
+    return (
+        stacked.select(
+            F.col("p_partkey").alias("part_a"),
+            F.col("nbr.nbr_key").alias("part_b"),
+            F.col("p_brand").alias("brand"),
+            F.levenshtein(F.col("canon"), F.col("nbr.nbr_canon"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+QUERIES["j_fuzzy_match_parts"] = j_fuzzy_match_parts
+
+ORACLE["j_fuzzy_match_parts"] = f"""
+    WITH s AS (
+      SELECT p_partkey, p_brand,
+             array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ')
+               AS canon
+      FROM part
+    ), w AS (
+      SELECT p_partkey, p_brand, canon,
+             lead(p_partkey, 1) OVER win AS nk1, lead(canon, 1) OVER win AS nc1,
+             lead(p_partkey, 2) OVER win AS nk2, lead(canon, 2) OVER win AS nc2,
+             lead(p_partkey, 3) OVER win AS nk3, lead(canon, 3) OVER win AS nc3
+      FROM s
+      WINDOW win AS (PARTITION BY p_brand ORDER BY canon, p_partkey)
+    ), stacked AS (
+      SELECT p_partkey, p_brand, canon, nk1 AS part_b, nc1 AS nbr_canon FROM w
+      UNION ALL
+      SELECT p_partkey, p_brand, canon, nk2, nc2 FROM w
+      UNION ALL
+      SELECT p_partkey, p_brand, canon, nk3, nc3 FROM w
+    )
+    SELECT p_partkey AS part_a, part_b, p_brand AS brand,
+           CAST(levenshtein(canon, nbr_canon) AS INTEGER) AS dist
+    FROM stacked
+    WHERE part_b IS NOT NULL
+      AND levenshtein(canon, nbr_canon) <= {FUZZY_MAX_DIST}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the co-purchase graph (r7)
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10**6  # micro-rank units: integer arithmetic end to end
+
+
+def q_part_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they appear in the same order), run a FIXED ``iters`` rounds with
+    integer-only arithmetic — the weighted-iteration companion to
+    ``dedup_connected_components``' converge-to-fixpoint loop.
+
+    Graph build: the same basket self-join as ``q_market_basket_pairs``
+    — work ∝ Σ basket_size² (~7-line baskets), linear in orders, never
+    parts².  The graph is symmetric, so every node's out-degree equals
+    its in-degree and no dangling-mass term is needed.
+
+    Per round, each node's rank is ``floor(0.15·S) + Σ_u floor(
+    floor(0.85·r(u)) / outdeg(u))`` over in-neighbors u — every step an
+    integer op, so the sum is order-insensitive and the result bit-exact
+    on any engine (the oracle unrolls the same three rounds as CTEs).
+    Floats would make an iterative sum engine-divergent; micro-rank
+    units make it exact, same trick as ``q_attribution_linear``'s
+    micro-credits.
+
+    Scale: one shuffle per round (edges ⋈ ranks on src, aggregate on
+    dst); rounds are fixed, not data-dependent.  Overflow headroom:
+    rank mass is bounded by ~0.85·n·S + jump terms, so at S=10**6 even
+    a 10^9-node star stays orders of magnitude under int64.
+    """
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("part"), "outdeg")
+    base = 15 * PAGERANK_SCALE // 100
+    rank = nodes.withColumn("pr", F.lit(PAGERANK_SCALE).cast("long"))
+    for _ in range(iters):
+        inc = (
+            edges.join(
+                rank.select(
+                    F.col("part").alias("src"), "outdeg", "pr"
+                ),
+                "src",
+            )
+            .select("dst", F.expr("(pr * 85) div 100 div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        rank = nodes.join(inc, nodes.part == inc.dst, "left").select(
+            nodes.part,
+            nodes.outdeg,
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("pr"),
+        )
+    return rank.select(F.col("part").alias("part_key"), "outdeg", "pr")
+
+
+QUERIES["q_part_pagerank"] = q_part_pagerank
+
+_PR_BASE = 15 * PAGERANK_SCALE // 100
+_PR_ITER_SQL = """
+    , r{i} AS (
+      SELECT d.part, d.outdeg,
+             CAST({base} + coalesce(sum((r.pr * 85) // 100 // r.outdeg), 0)
+                  AS BIGINT) AS pr
+      FROM deg d
+      LEFT JOIN edges e ON e.dst = d.part
+      LEFT JOIN r{prev} r ON r.part = e.src
+      GROUP BY d.part, d.outdeg
+    )
+"""
+
+ORACLE["q_part_pagerank"] = (
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src AS part, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT part, outdeg, CAST({PAGERANK_SCALE} AS BIGINT) AS pr FROM deg
+    )
+"""
+    + "".join(
+        _PR_ITER_SQL.format(i=i, prev=i - 1, base=_PR_BASE)
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    + f"""
+    SELECT part AS part_key, outdeg, pr FROM r{PAGERANK_ITERS}
+"""
+)

@@ -148,6 +148,11 @@ STRESS = [
     "corpus_cluster_size_histogram",
     "corpus_source_drift",
     "corpus_dedup_savings",
+    # r7 additions: bloom-vs-plain decontaminate cost curve + the
+    # composed curation pipeline (operator interactions at scale)
+    "corpus_decontaminate",
+    "corpus_decontaminate_bloom",
+    "corpus_curation_pipeline_v2",
 ]
 
 
@@ -269,6 +274,30 @@ def srp_recall_stress(spark, big_dir: str, factor: int) -> dict:
     return out
 
 
+def knn_recall_stress(spark, big_dir: str, factor: int) -> dict:
+    """Measured top-k recall of the probed ANN path at stress scale —
+    the kNN twin of :func:`srp_recall_stress` (r7: query-side multi-probe
+    moved the top-k operating point, so its recall is pinned by
+    measurement at the grown plane count, not extrapolated)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        knn_recall_report,
+        n_planes_for,
+    )
+
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        n = emb.count()
+        t0 = time.time()
+        row = knn_recall_report(emb, dim).first().asDict()
+        row["t"] = round(time.time() - t0, 2)
+        row["n_corpus"] = n
+        row["planes"] = n_planes_for(n)
+        out[tag] = row
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     targets = sys.argv[2:] or STRESS
@@ -339,6 +368,8 @@ def main() -> None:
         results["upsert_read"] = upsert_read_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "srp_recall" in sys.argv[2:]:
         results["srp_recall"] = srp_recall_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "knn_recall" in sys.argv[2:]:
+        results["knn_recall"] = knn_recall_stress(spark, big_dir, factor)
     print(json.dumps({"factor": factor, "results": results}))
 
 

@@ -706,3 +706,60 @@ def test_scd2_intervals_reconstruct_history(spark, sf_dir):
         assert ivs[-1]["valid_to"] is None
         total += sum(r["n_events"] for r in ivs)
     assert total == ev.count()
+
+
+def test_fuzzy_match_parts_planted_near_dupes(spark, tmp_path):
+    """Token-order variants and 1-edit typos within a brand are found;
+    cross-brand twins and far-apart names are not (blocking + window
+    semantics, not just distance)."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        j_fuzzy_match_parts,
+    )
+
+    rows = [
+        (1, "red widget", "Brand#1", "T", 1, 1.0),
+        (2, "widget red", "Brand#1", "T", 1, 1.0),   # token-order variant of 1
+        (3, "red widgets", "Brand#1", "T", 1, 1.0),  # 1-edit typo of 1
+        (4, "red widget", "Brand#2", "T", 1, 1.0),   # exact twin, other block
+        (5, "zzz unrelated thing", "Brand#1", "T", 1, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "fz")
+    df.write.parquet(os.path.join(d, "part.parquet"))
+    got = {
+        frozenset((r["part_a"], r["part_b"])): r["dist"]
+        for r in j_fuzzy_match_parts(spark, d).collect()
+    }
+    assert got.get(frozenset((1, 2))) == 0   # canonicalization collapses order
+    assert got.get(frozenset((1, 3))) == 1
+    assert got.get(frozenset((2, 3))) == 1
+    assert not any(4 in p for p in got)      # blocking: never crosses brands
+    assert not any(5 in p for p in got)      # far name, beyond max_dist
+
+
+def test_part_pagerank_mass_and_symmetry(spark, sf_dir):
+    """Fixed-iteration integer PageRank: every co-purchased part gets a
+    row, ranks are positive, and higher-degree hubs hold more rank mass
+    than the minimum (base) floor."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        PAGERANK_SCALE,
+        q_part_pagerank,
+    )
+
+    rows = q_part_pagerank(spark, sf_dir).collect()
+    assert rows
+    base = 15 * PAGERANK_SCALE // 100
+    assert all(r["pr"] >= base for r in rows)
+    # total mass stays in the damped band: <= n*S (teleport + damped sum)
+    n = len(rows)
+    assert sum(r["pr"] for r in rows) <= n * PAGERANK_SCALE
+    # rank correlates with degree at the extremes
+    top = max(rows, key=lambda r: r["pr"])
+    bot = min(rows, key=lambda r: r["pr"])
+    assert top["outdeg"] >= bot["outdeg"]
