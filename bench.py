@@ -167,6 +167,7 @@ HEADLINE = [
     "corpus_decontaminate_bloom",
     "sim_knn_recall_report",
     "j_fuzzy_match_parts",
+    "j_fuzzy_match_parts_sharded",
     "q_part_pagerank",
 ]
 

@@ -88,10 +88,16 @@ def probe_k_for(n_planes: int) -> int:
     table), and because the plane dots are exact int64 the flip choice
     replays bit-for-bit in the DuckDB oracle (ORDER BY abs(dot), p).
 
-    The piecewise law below restores boundary recall ≥~0.9 at 24 tables
-    through ~12 planes (K=4 at 5-8 planes, K=6 at 9+); the derivation is
-    1-(1-p_hit)^24 with p_hit ≈ q^p + P(flip∈set)·C(p,1)q^(p-1)(1-q)
-    per side.  K=0 through 4 planes — 24 tables alone hold ≥0.97 there,
+    K is a COST dial as much as a recall dial: candidate volume (hence
+    verify + dedup-shuffle work) scales with (1+K)·occupancy, and the
+    r7 stress run showed the first cut of this law (K=4/6) overshot —
+    0.998 recall at 10× while the pair family paid ~80× ratios.  The
+    law below sits at the measured knee of the in-band recall sweep
+    (srp_recall_report over the stress corpora): K=2 at 5-8 planes
+    (0.985 at 10×/7 planes vs 0.998 at K=4, for 3/5 the candidates),
+    K=4 at 9+ (0.886 at 30×/9 planes vs 0.904 at K=6, for 5/7) — both
+    comfortably above the pinned 0.8 floor (tests/test_stress_floor.py).
+    K=0 through 4 planes — 24 tables alone hold ≥0.97 there,
     so gate-scale (sf0.01/sf0.1) plans and results are UNCHANGED.
     Beyond ~13 planes (≳1M vectors/node-corpus) single-bit probing
     saturates; corpora that size should use the IVF path or a higher
@@ -100,8 +106,8 @@ def probe_k_for(n_planes: int) -> int:
     if n_planes <= 4:
         return 0
     if n_planes <= 8:
-        return 4
-    return 6
+        return 2
+    return 4
 
 
 def probe_bucket_ids_udf(dim: int, n_planes: int, k: int):
@@ -845,8 +851,8 @@ ORACLE = {
           FROM dots GROUP BY vec_id, t
         ), pk AS (
           SELECT CASE WHEN (SELECT p FROM np) <= 4 THEN 0
-                      WHEN (SELECT p FROM np) <= 8 THEN 4
-                      ELSE 6 END AS k
+                      WHEN (SELECT p FROM np) <= 8 THEN 2
+                      ELSE 4 END AS k
         ), qprobes AS (
           -- query-side margin-directed multi-probe (probe_k_for twin)
           SELECT vec_id, t, bucket FROM buckets WHERE vec_id < {N_QUERIES}
@@ -950,8 +956,8 @@ ORACLE["sim_ann_lsh_topk"] = ORACLE["sim_ann_lsh_topk"].replace(
 # ``capped`` and the pair set is value-identical to the r6 oracle.
 _SRP_PROBE_CTES = f''', pk AS (
           SELECT CASE WHEN (SELECT p FROM np) <= 4 THEN 0
-                      WHEN (SELECT p FROM np) <= 8 THEN 4
-                      ELSE 6 END AS k
+                      WHEN (SELECT p FROM np) <= 8 THEN 2
+                      ELSE 4 END AS k
         ), probes AS (
           SELECT vec_id, t, bucket FROM capped
           UNION ALL

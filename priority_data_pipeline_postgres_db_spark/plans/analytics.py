@@ -2379,3 +2379,64 @@ ORACLE["q_part_pagerank"] = (
     SELECT part AS part_key, outdeg, pr FROM r{PAGERANK_ITERS}
 """
 )
+
+
+def j_fuzzy_match_parts_sharded(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = FUZZY_WINDOW,
+    max_dist: int = FUZZY_MAX_DIST,
+) -> DataFrame:
+    """`j_fuzzy_match_parts` values through the distributed-ranking scale
+    path (the ``pack_sequences_sharded`` precedent): the windowed form
+    partitions by ``p_brand``, and a blocking key with ~25 values means
+    ~25 tasks own the whole sort at cluster scale — fine at gate scale,
+    a skew cliff at 100 TB.
+
+    Here the neighborhood comes from a GLOBAL total order
+    (brand, canon, key) ranked by ``ranking.global_row_number`` (range
+    partition + broadcast prefix offsets — no single-partition stage,
+    no per-block task), then one equi-join on rank offsets (the
+    offset side exploded w ways, so it stays an equi-join, never a
+    range BNLJ).  Within-block adjacency is preserved by the global
+    order, and the brand-equality predicate drops the pairs that
+    straddle block boundaries — output is row-identical to the windowed
+    form and answers to the SAME oracle."""
+    from ..operators.ranking import global_row_number
+
+    part = load(spark, sf_dir, "part")
+    canon = F.array_join(F.array_sort(F.split(F.lower(F.col("p_name")), " ")), " ")
+    s = part.select("p_partkey", "p_brand", canon.alias("canon"))
+    ranked = global_row_number(
+        s, [F.col("p_brand"), F.col("canon"), F.col("p_partkey")], "rn"
+    )
+    probes = ranked.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("canon").alias("canon_a"),
+        "rn",
+        F.explode(F.array(*[F.lit(i) for i in range(1, w + 1)])).alias("off"),
+    ).select(
+        "part_a", "brand", "canon_a", (F.col("rn") + F.col("off")).alias("rn")
+    )
+    nbrs = ranked.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("canon").alias("canon_b"),
+        "rn",
+    )
+    return (
+        probes.join(nbrs, "rn")
+        .filter(F.col("brand") == F.col("brand_b"))
+        .select(
+            "part_a",
+            "part_b",
+            "brand",
+            F.levenshtein(F.col("canon_a"), F.col("canon_b")).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+QUERIES["j_fuzzy_match_parts_sharded"] = j_fuzzy_match_parts_sharded
+ORACLE["j_fuzzy_match_parts_sharded"] = ORACLE["j_fuzzy_match_parts"]

@@ -1,7 +1,7 @@
 """Margin-directed multi-probe (r7): the driver's sf0.01/sf0.1 corpora
 derive ≤4 planes, where the probe width is 0 — so the hash gate never
 exercises the probed path.  These tests build a corpus big enough for 5
-planes (probe_k_for → 4) and run the SAME engine-vs-DuckDB comparison
+planes (probe_k_for → 2) and run the SAME engine-vs-DuckDB comparison
 the driver runs, plus the pinned incremental identity, at that operating
 point."""
 
@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-N = 2600  # ceil(2600/160) = 17 > 2^4 → 5 planes → probe_k_for = 4
+N = 2600  # ceil(2600/160) = 17 > 2^4 → 5 planes → probe_k_for = 2
 DIM = 16
 
 
@@ -23,8 +23,8 @@ def test_probe_k_law():
     )
 
     assert [probe_k_for(p) for p in (1, 2, 3, 4)] == [0, 0, 0, 0]
-    assert [probe_k_for(p) for p in (5, 6, 7, 8)] == [4, 4, 4, 4]
-    assert [probe_k_for(p) for p in (9, 12, 30)] == [6, 6, 6]
+    assert [probe_k_for(p) for p in (5, 6, 7, 8)] == [2, 2, 2, 2]
+    assert [probe_k_for(p) for p in (9, 12, 30)] == [4, 4, 4]
 
 
 @pytest.fixture(scope="module")
@@ -63,7 +63,7 @@ def test_probed_pairs_match_oracle(spark, probe_corpus):
         semantic_pairs,
     )
 
-    assert probe_k_for(n_planes_for(N)) == 4  # the config under test
+    assert probe_k_for(n_planes_for(N)) == 2  # the config under test
 
     emb = spark.read.parquet(probe_corpus)
     got = (

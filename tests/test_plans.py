@@ -763,3 +763,17 @@ def test_part_pagerank_mass_and_symmetry(spark, sf_dir):
     top = max(rows, key=lambda r: r["pr"])
     bot = min(rows, key=lambda r: r["pr"])
     assert top["outdeg"] >= bot["outdeg"]
+
+
+def test_fuzzy_match_sharded_equals_windowed(spark, sf_dir):
+    """The distributed-ranking fuzzy-match path is row-identical to the
+    windowed form (same total order, same neighborhood)."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        j_fuzzy_match_parts,
+        j_fuzzy_match_parts_sharded,
+    )
+
+    a = sorted(map(tuple, j_fuzzy_match_parts(spark, sf_dir).collect()))
+    b = sorted(map(tuple, j_fuzzy_match_parts_sharded(spark, sf_dir).collect()))
+    assert a == b
+    assert a  # non-vacuous at sf0.001

@@ -7,9 +7,9 @@ show recall ≥ 0.8 at every recorded scale.  Regenerating an artifact
 with a recall regression (e.g. a probe-law or plane-law retune) turns
 the suite red until the law is fixed or the floor consciously revised.
 
-r7 measured: 0.979 at 1× (4 planes, k=0), 0.998 at 10× (7 planes,
-k=4), 0.904 at 30× (9 planes, k=6) — vs 0.691 at 10× before the
-margin-directed probes landed.
+r7 measured (post cost-retune, see probe_k_for): 0.979 at 1× (4
+planes, k=0), 0.985 at 10× (7 planes, k=2), 0.886 at 30× (9 planes,
+k=4) — vs 0.691 at 10× before the margin-directed probes landed.
 """
 
 from __future__ import annotations
@@ -30,16 +30,19 @@ def test_stress_artifacts_hold_recall_floor():
                 data = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        rec = data.get("results", {}).get("srp_recall")
-        if not isinstance(rec, dict):
-            continue
-        for scale, row in rec.items():
-            recall = row.get("recall")
-            assert recall is not None, f"{path}:{scale} missing recall"
-            assert recall >= RECALL_FLOOR, (
-                f"{os.path.basename(path)} srp_recall[{scale}] = {recall:.3f}"
-                f" < {RECALL_FLOOR} (planes={row.get('planes')})"
-            )
-            checked.append((os.path.basename(path), scale, round(recall, 3)))
+        for section in ("srp_recall", "knn_recall"):
+            rec = data.get("results", {}).get(section)
+            if not isinstance(rec, dict):
+                continue
+            for scale, row in rec.items():
+                recall = row.get("recall")
+                assert recall is not None, f"{path}:{section}:{scale} missing recall"
+                assert recall >= RECALL_FLOOR, (
+                    f"{os.path.basename(path)} {section}[{scale}] = {recall:.3f}"
+                    f" < {RECALL_FLOOR} (planes={row.get('planes')})"
+                )
+                checked.append(
+                    (os.path.basename(path), section, scale, round(recall, 3))
+                )
     # at least the r7 artifacts must be present and measured
-    assert len(checked) >= 2, f"no srp_recall rows found in STRESS_x*.json: {checked}"
+    assert len(checked) >= 2, f"no srp_recall/knn_recall rows found in STRESS_x*.json: {checked}"
