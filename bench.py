@@ -169,6 +169,7 @@ HEADLINE = [
     "j_fuzzy_match_parts",
     "j_fuzzy_match_parts_sharded",
     "q_part_pagerank",
+    "q_session_transitions",
 ]
 
 

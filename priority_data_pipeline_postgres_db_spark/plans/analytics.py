@@ -2440,3 +2440,83 @@ def j_fuzzy_match_parts_sharded(
 
 QUERIES["j_fuzzy_match_parts_sharded"] = j_fuzzy_match_parts_sharded
 ORACLE["j_fuzzy_match_parts_sharded"] = ORACLE["j_fuzzy_match_parts"]
+
+
+# ---------------------------------------------------------------------------
+# Session transition matrix (r7): first-order Markov estimation
+# ---------------------------------------------------------------------------
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over sessionized events: for
+    each (from_type, to_type) pair of CONSECUTIVE events inside one
+    session (the same 30-minute-gap sessions as ``q_sessionize``), the
+    transition count and an exact per-source probability in integer
+    micro-units — the path-analysis estimator behind "what do users do
+    next" product questions.
+
+    Determinism: consecutive-ness is the total order (ts, event_id)
+    per user; a session boundary breaks the chain (the lead belongs to
+    the same session only).  The probability is one integer floor
+    division ``(n·10^6) div total_from`` — engine-exact, no float sums
+    anywhere (the div/// pair truncates identically on positive ints).
+
+    Scale: two user-partitioned windows (the sessionize pass + one
+    lead) and one small aggregate — per-task work is one user's
+    history; output is ≤ |event types|² rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    hops = (
+        sess.withColumn("to_type", F.lead("event_type").over(ws))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = hops.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    return counts.withColumn(
+        "p_micro",
+        F.expr("(n_transitions * 1000000) div sum(n_transitions) OVER (PARTITION BY from_type)").cast("long"),
+    ).select("from_type", "to_type", "n_transitions", "p_micro")
+
+
+QUERIES["q_session_transitions"] = q_session_transitions
+
+ORACLE["q_session_transitions"] = """
+    WITH marked AS (
+      -- second-truncated epochs match Spark's timestamp->long cast
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    ), hops AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, session_seq
+                                    ORDER BY ts, event_id) AS to_type
+      FROM sess
+    ), counts AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM hops WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST((n_transitions * 1000000)
+                // sum(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_micro
+    FROM counts
+"""

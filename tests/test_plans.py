@@ -777,3 +777,44 @@ def test_fuzzy_match_sharded_equals_windowed(spark, sf_dir):
     b = sorted(map(tuple, j_fuzzy_match_parts_sharded(spark, sf_dir).collect()))
     assert a == b
     assert a  # non-vacuous at sf0.001
+
+
+def test_session_transitions_planted_chain(spark, tmp_path):
+    """Transitions stay inside sessions: a 31-minute silence breaks the
+    chain, counts and micro-probabilities are exact integers."""
+    import os
+    from datetime import datetime
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_session_transitions,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1, one session: click -> view -> purchase
+        (1, t(0), 1, "click", 0.0, "{}"),
+        (2, t(5), 1, "view", 0.0, "{}"),
+        (3, t(10), 1, "purchase", 0.0, "{}"),
+        # 31-minute gap -> NEW session: view -> click (no purchase->view hop)
+        (4, t(41), 1, "view", 0.0, "{}"),
+        (5, t(45), 1, "click", 0.0, "{}"),
+        # user 2: click -> view
+        (6, t(0), 2, "click", 0.0, "{}"),
+        (7, t(1), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "tr")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p_micro"])
+        for r in q_session_transitions(spark, d).collect()
+    }
+    assert got == {
+        ("click", "view"): (2, 1000000),
+        ("view", "purchase"): (1, 500000),
+        ("view", "click"): (1, 500000),
+    }
