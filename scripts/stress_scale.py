@@ -153,6 +153,7 @@ STRESS = [
     "corpus_decontaminate",
     "corpus_decontaminate_bloom",
     "corpus_curation_pipeline_v2",
+    "q_session_transitions",
 ]
 
 
