@@ -2309,14 +2309,19 @@ def q_part_pagerank(
     )
     a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
+    from ..util import bounded_cache
+
+    # every iteration re-reads edges AND nodes; without the cache each
+    # round replays the basket self-join + distinct from the scan (3x
+    # redundant work for 3 rounds; at cluster scale, checkpoint instead)
+    edges = bounded_cache(
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    nodes = deg.select(F.col("src").alias("part"), "outdeg")
+    nodes = bounded_cache(deg.select(F.col("src").alias("part"), "outdeg"))
     base = 15 * PAGERANK_SCALE // 100
     rank = nodes.withColumn("pr", F.lit(PAGERANK_SCALE).cast("long"))
     for _ in range(iters):
