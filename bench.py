@@ -170,6 +170,7 @@ HEADLINE = [
     "j_fuzzy_match_parts_sharded",
     "q_part_pagerank",
     "q_session_transitions",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -1114,3 +1114,140 @@ ORACLE["dedup_lsh_recall_report"] = f"""
            END AS recall
     FROM cnt
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard join via prefix filtering (AllPairs, r7)
+# ---------------------------------------------------------------------------
+
+# τ = 3/5: integer ratio so the threshold comparison is exact on both
+# engines (5·inter ≥ 3·union, never a float boundary)
+JPREFIX_TAU_NUM = 3
+JPREFIX_TAU_DEN = 5
+JPREFIX_SAMPLE_TARGET = 500  # registry-entry sample size (see docstring)
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    tau_num: int = JPREFIX_TAU_NUM,
+    tau_den: int = JPREFIX_TAU_DEN,
+) -> DataFrame:
+    """EXACT corpus-wide token-set Jaccard ≥ τ join via prefix filtering
+    (the AllPairs family, Bayardo et al. WWW'07) — the third point in
+    the similarity-join design space alongside the blocked quadratic
+    (``dedup_ngram_jaccard``: exact but only within blocks) and MinHash
+    LSH (corpus-wide but probabilistic): corpus-wide AND exact, with
+    pruning that does not cost recall.
+
+    The prefix theorem: under any GLOBAL total order on tokens, two
+    sets with Jaccard ≥ τ must share a token within each one's first
+    ``|s| − ⌈τ·|s|⌉ + 1`` tokens.  Ordering by ascending document
+    frequency puts the RAREST tokens in the prefix, so the candidate
+    self-join runs over the thin end of the token distribution — a
+    stop-word never generates a candidate pair unless it survives into
+    some document's prefix.  Candidates are then verified with one
+    exact ``array_intersect`` per pair; the threshold compare is pure
+    integer (``tau_den·inter ≥ tau_num·union``).
+
+    Scale: df ranking is one aggregate + one per-doc window (partitioned
+    by doc — parallel); the candidate join shuffles only prefix tokens
+    (∝ (1−τ)·total tokens); verification is candidate-bounded.  No
+    false negatives anywhere — the oracle is the plain n²/2 SQL join."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+    )
+    sized = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sized, "doc_id")
+        # L = n − ceil(τ·n) + 1, with ceil via (a+b−1) div b (positive ints,
+        # so Spark div and DuckDB // agree)
+        .filter(
+            F.col("pos")
+            <= F.col("n_tok")
+            - F.expr(f"({tau_num} * n_tok + {tau_den} - 1) div {tau_den}")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    arrs = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(tokens_expr())).alias("toks")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("long")
+    uni = (F.size(F.col("ta")) + F.size(F.col("tb"))).cast("long") - inter
+    return (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("ta")),
+            "doc_id_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("tb")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .filter(F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("uni"))
+    )
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the prefix-filtered exact join on the
+    deterministic md5 auto-mod sample (the ``lsh_recall_report``
+    idiom).  The synthetic corpus is template-generated and therefore
+    near-dup DENSE — ~57% of ALL doc pairs clear τ=0.6 at sf0.01 — so
+    the exact pair OUTPUT itself is quadratic in corpus size no matter
+    the algorithm; the sample keeps the entry's cost corpus-size-
+    independent while exercising every stage.  On a real corpus
+    (near-dup density ~1%), call :func:`jaccard_prefix_pairs` on the
+    full table — prefix pruning, not output volume, is then the
+    binding cost."""
+    docs = load(spark, sf_dir, "documents")
+    # half the recall-report target: the dense output makes verify cost
+    # ∝ sample², so ~500 docs keeps the entry in the bench noise floor
+    mod = _auto_mod(docs.count(), target=JPREFIX_SAMPLE_TARGET)
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return jaccard_prefix_pairs(docs.filter(key % mod == 0))
+
+
+QUERIES["dedup_jaccard_prefix"] = dedup_jaccard_prefix
+
+ORACLE["dedup_jaccard_prefix"] = f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+      WHERE len(list_distinct({_TOKS})) > 0
+        AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % (SELECT GREATEST({RECALL_SAMPLE_MOD},
+                 CAST(ceil(count(*) / {JPREFIX_SAMPLE_TARGET}.0) AS BIGINT))
+               FROM documents) = 0
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE {JPREFIX_TAU_DEN} * len(list_intersect(a.toks, b.toks))
+          >= {JPREFIX_TAU_NUM} * (len(a.toks) + len(b.toks)
+                                  - len(list_intersect(a.toks, b.toks)))
+"""

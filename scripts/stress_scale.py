@@ -154,6 +154,7 @@ STRESS = [
     "corpus_decontaminate_bloom",
     "corpus_curation_pipeline_v2",
     "q_session_transitions",
+    "dedup_jaccard_prefix",
 ]
 
 

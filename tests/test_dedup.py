@@ -290,3 +290,38 @@ def test_lsh_recall_report_ground_truth(spark, sf_dir):
     assert 0 <= row["n_lsh_found"] <= n_exact
     expect_recall = 1.0 if n_exact == 0 else row["n_lsh_found"] / n_exact
     assert row["recall"] == expect_recall
+
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    """Prefix filtering loses nothing: on a planted corpus the prefix-
+    pruned join returns exactly the brute-force Jaccard >= 0.6 pairs."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy dog",     # near-dup of 1
+        3: "the quick brown fox leaps over the lazy dog",   # near-dup of 1
+        4: "entirely different words live in this one here",
+        5: "entirely different words live in this one too",  # near-dup of 4
+        6: "quick dog",                                     # small set
+    }
+    rows = [Row(doc_id=k, lang="en", source="s", text=v) for k, v in texts.items()]
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["inter"], r["uni"])
+        for r in jaccard_prefix_pairs(spark.createDataFrame(rows)).collect()
+    }
+    expect = {}
+    sets = {k: set(v.split()) for k, v in texts.items()}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 3 * uni:
+            expect[(a, b)] = (inter, uni)
+    assert got == expect
+    assert (1, 2) in got and (4, 5) in got and (1, 6) not in got
