@@ -258,3 +258,77 @@ def test_dhash_single_pixel_edit_bounded(h, w, seed):
     d = bin((dhash64(img) ^ dhash64(perturb_png(img))) & (2**64 - 1)).count("1")
     assert d <= 2
     assert dhash64(img) == dhash64(img)  # pure function
+
+
+# --------------------------------------------------------------------------
+# r7: Bloom-filter bit math (operators.corpus) — no SparkSession needed
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(keys):
+    """Every inserted key tests positive, for arbitrary int64 keys
+    (including extremes and duplicates) — the property decontaminate_bloom
+    relies on to answer to the same oracle as the plain operator."""
+    import numpy as np
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        _BLOOM_K,
+        _bloom_build,
+        _bloom_hash_halves,
+    )
+
+    arr = np.array(keys, dtype=np.int64)
+    bits, mask = _bloom_build(arr)
+    h1, h2 = _bloom_hash_halves(arr, mask)
+    out = np.ones(len(arr), dtype=bool)
+    for i in range(_BLOOM_K):
+        idx = (h1 + np.uint64(i) * h2) & np.uint64(mask)
+        out &= (
+            bits[(idx >> np.uint64(3)).astype(np.int64)]
+            & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        ) != 0
+    assert out.all()
+
+
+# --------------------------------------------------------------------------
+# r7: AllPairs prefix-filter theorem (operators.dedup) — pure set math
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 40), min_size=1, max_size=20),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_prefix_theorem_no_false_negatives(corpus):
+    """For ANY corpus, any pair with Jaccard >= 3/5 shares at least one
+    token inside both members' (|s| - ceil(0.6|s|) + 1)-prefixes under
+    the ascending-document-frequency total order — the guarantee that
+    makes dedup_jaccard_prefix's pruning lossless."""
+    from collections import Counter
+    from itertools import combinations
+
+    sets = [frozenset(doc) for doc in corpus]
+    df = Counter(t for s in sets for t in s)
+    order = lambda t: (df[t], t)  # noqa: E731 — global total order
+
+    def prefix(s):
+        n = len(s)
+        L = n - (3 * n + 4) // 5 + 1
+        return set(sorted(s, key=order)[:L])
+
+    for a, b in combinations(sets, 2):
+        inter, uni = len(a & b), len(a | b)
+        if uni and 5 * inter >= 3 * uni:
+            assert prefix(a) & prefix(b), (sorted(a), sorted(b))
