@@ -1153,8 +1153,12 @@ def jaccard_prefix_pairs(
     by doc — parallel); the candidate join shuffles only prefix tokens
     (∝ (1−τ)·total tokens); verification is candidate-bounded.  No
     false negatives anywhere — the oracle is the plain n²/2 SQL join."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+    # the exploded token relation feeds sized/dfreq/prefix — cache it so
+    # the tokenize+explode subtree runs once, not once per consumer
+    toks = bounded_cache(
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+        )
     )
     sized = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
