@@ -120,6 +120,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # automatically, in registration order), then the verified tail
     # sorted stalest-first by (last-verified round, key).
     rounds = driver_verified_rounds()
+    if not rounds:
+        # ADVICE r7: in a checkout without the CORRECTNESS_r*.json
+        # artifacts every entry counts as unverified and anything beyond
+        # the 50-entry driver window silently gets no verification row.
+        # Warn loudly — the rotation only works beside its artifacts.
+        import warnings
+
+        warnings.warn(
+            "no CORRECTNESS_r*.json artifacts found beside "
+            "__spark_entry__.py — registry ordering degrades to "
+            "registration order and the driver window cannot rotate",
+            stacklevel=2,
+        )
     unverified = [k for k in catalog if k not in rounds]
     verified = sorted(
         (k for k in catalog if k in rounds), key=lambda k: (rounds[k], k)

@@ -210,7 +210,23 @@ def main() -> None:
         t0 = time.time()
         df2 = qs[name](spark, SF_DIR)
         df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        t = time.time() - t0
+        if t < 3.0:
+            # single-shot sub-3 s timings swing ±60% on a busy sandbox
+            # (VERDICT r7 #5: 3.38 s driver vs 2.09 s in two clean local
+            # pairs for the same query) — report the median of 3 so the
+            # driver artifact is trustworthy for regression detection.
+            # Entries ≥3 s stay single-shot: their relative noise is
+            # small and two extra runs of the slow tail would double the
+            # bench wall.
+            reruns = [t]
+            for _ in range(2):
+                t0 = time.time()
+                d = qs[name](spark, SF_DIR)
+                d.write.format("noop").mode("overwrite").save()
+                reruns.append(time.time() - t0)
+            t = sorted(reruns)[1]
+        timings[name] = round(t, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query detail goes on an EARLIER line (and to a sidecar
@@ -233,18 +249,23 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
-    summary = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "n_queries": len(timings),
-            "sf": float(sf),
-            "slowest": slowest,
-        }
-    )
-    assert len(summary) < 1900, f"summary line too long ({len(summary)} chars)"
+    # shrink the slowest dict until the final line fits the driver's
+    # 2000-char stdout-tail capture (ADVICE r7: a hard assert here could
+    # abort AFTER all queries had already run, losing the whole run)
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    for n_slow in range(15, 0, -1):
+        summary = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": float(sf),
+                "slowest": dict(ranked[:n_slow]),
+            }
+        )
+        if len(summary) < 1900:
+            break
     print(summary)
 
 

@@ -425,14 +425,17 @@ def decontaminate_bloom(
     )
     ev = grams.filter(F.col("split") != "train")
     ev_keys = ev.select(F.xxhash64("gram").alias("h")).distinct()
-    n_keys = ev_keys.count()
-    if n_keys > max_eval_keys:
+    # one pass serves both the scope guard and the build (ADVICE r7: a
+    # separate count() paid the explode+distinct scan twice) — the
+    # limit(max+1) bounds the driver collect even when the guard fires
+    key_pdf = ev_keys.limit(max_eval_keys + 1).toPandas()
+    if len(key_pdf) > max_eval_keys:
         raise BroadcastScopeError(
-            f"decontaminate_bloom: eval split has {n_keys} distinct grams "
-            f"(> {max_eval_keys}); the Bloom build would not fit the "
-            "driver — use decontaminate() or shrink the eval split"
+            f"decontaminate_bloom: eval split has > {max_eval_keys} "
+            "distinct grams; the Bloom build would not fit the driver — "
+            "use decontaminate() or shrink the eval split"
         )
-    keys = ev_keys.toPandas()["h"].to_numpy(dtype=np.int64)
+    keys = key_pdf["h"].to_numpy(dtype=np.int64)
     bits, mask = _bloom_build(keys)
     might = _bloom_might_contain_udf(spark.sparkContext.broadcast(bits), mask)
     train_grams = (

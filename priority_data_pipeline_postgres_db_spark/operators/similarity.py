@@ -412,20 +412,36 @@ def ann_knn_join(
             .select(F.col("vec_id").alias("vec_id_a"), "table_id", "bucket")
         )
     b = hashed.select(F.col("vec_id").alias("vec_id_b"), "table_id", "bucket")
-    cand = (
+    # RAW directed candidate stream — deliberately NOT distinct'd here:
+    # below _INLINE_VERIFY_MAX the broadcast Arrow verify scores the raw
+    # stream map-side with a batch-local per-query top-k pre-reduction
+    # (threshold selection keeps boundary ties, so the global top-k of
+    # the deduped union equals the unpruned top-k — the cosine_topk
+    # argument), and only the ~k·n survivors pay the dedup exchange.
+    # The r7 shape (distinct 174M candidate rows FIRST, then a join
+    # verify) paid the operator's dominant 152 s exchange before any
+    # row could be pruned; results are identical (see
+    # _verify_pairs_broadcast), so the oracle is unchanged.
+    raw = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_id_a") != F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
-        .distinct()
     )
-    if full_coverage:
-        # the candidate self-join (the operator's dominant exchange) is
-        # consumed by the approx scoring AND the coverage anti-join AND
-        # the residue count — materialize once (review r5)
-        from ..util import bounded_cache
+    cand = None
+    if n_corpus <= _INLINE_VERIFY_MAX:
+        scored = _verify_pairs_broadcast(
+            raw, emb, threshold=-2.0, topk=k
+        ).dropDuplicates(["vec_id_a", "vec_id_b"])
+    else:
+        cand = raw.distinct()
+        if full_coverage:
+            # the distinct candidate set (the legacy path's dominant
+            # exchange) is consumed by the approx scoring AND the
+            # coverage anti-join — materialize once (review r5)
+            from ..util import bounded_cache
 
-        cand = bounded_cache(cand)
-    scored = _verify_pairs(cand, emb, threshold=-2.0)  # pure kNN: no bar
+            cand = bounded_cache(cand)
+        scored = _verify_pairs(cand, emb, threshold=-2.0)
     w = Window.partitionBy("vec_id_a").orderBy(F.desc("cosine"), F.asc("vec_id_b"))
     approx = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -439,7 +455,15 @@ def ann_knn_join(
     )
     if not full_coverage:
         return approx
-    covered = cand.select(F.col("vec_id_a").alias("vec_id")).distinct()
+    # coverage is defined on the CANDIDATE set (oracle: NOT IN cand),
+    # not the verified set — they differ only for zero-norm vectors,
+    # whose rows the verify drops.  Distinct on the single query-id
+    # column partial-aggregates map-side to ~n rows per task, so this
+    # second pass over the (input-cached) bucket join is a scan, not an
+    # exchange.
+    covered = (cand if cand is not None else raw).select(
+        F.col("vec_id_a").alias("vec_id")
+    ).distinct()
     residue = emb.join(covered, "vec_id", "left_anti")
     n_residue = residue.count()  # bounded: one scalar to the driver
     if n_residue == 0:
@@ -577,6 +601,116 @@ def _verify_pairs(cand: DataFrame, emb: DataFrame, threshold: float) -> DataFram
     return joined.mapInPandas(score, _VERIFY_SCHEMA)
 
 
+# Ceiling (in corpus vectors) under which the pair/kNN verify runs as a
+# BROADCAST Arrow kernel over the RAW (pre-distinct) candidate stream
+# (r8, VERDICT r7 #1).  The r7 profile at 10× stress showed the cost
+# constant was never the bucket join (2.9 s) or even the verify (46 s)
+# but the dropDuplicates over the 174M-row candidate stream (152 s):
+# candidates are ~(fan·tables·occupancy)·n rows — linear in n but with a
+# big constant — while verified SURVIVORS are ~0.5% of them, so
+# thresholding BEFORE the dedup shuffle moves the exchange from 174M
+# rows to 800k.  The verify itself needs no join: at ≤ this many
+# vectors the quantized matrix (n × dim × 8 B ≈ 128 MB at the cap) rides
+# an explicit broadcast and each Arrow batch gathers both sides by
+# searchsorted — zero shuffles between the bucket join and the
+# survivor dedup.  Above the cap (multi-million-vector per-job corpora)
+# the broadcast stops being a sane executor payload and the legacy
+# shape runs: distinct candidates first, then the per-key join verify —
+# the right trade at that scale because the distinct then REDUCES the
+# join input.  Candidate SETS are identical either way, so results,
+# oracles, and the r7-measured recall are all unchanged.
+_INLINE_VERIFY_MAX = 250_000
+
+
+def _verify_pairs_broadcast(
+    cand: DataFrame,
+    emb: DataFrame,
+    threshold: float,
+    topk: int | None = None,
+) -> DataFrame:
+    """Exact integer-cosine verify of a (vec_id_a, vec_id_b) candidate
+    stream against a BROADCAST quantized-vector matrix — the inline twin
+    of :func:`_verify_pairs` (same dots, same operation order, so the
+    cosines are bit-identical; see ``_INLINE_VERIFY_MAX`` for when each
+    shape runs).  The stream may carry DUPLICATE pairs: callers dedupe
+    the (tiny) surviving output instead of the (huge) input.
+
+    ``topk``: per-``vec_id_a`` batch-local top-k pre-reduction for the
+    kNN join — within each Arrow batch, duplicates are dropped FIRST
+    (a duplicated neighbor would otherwise inflate the kth-statistic and
+    evict a true top-k row), then every row at or above the group's
+    kth-largest cosine is kept (threshold selection keeps boundary ties,
+    the ``cosine_topk`` discipline), so the global top-k of the deduped
+    union is exactly the unpruned top-k.
+
+    Exactness of the float64 dot: quantized components are ≤ QUANT, so
+    every product ≤ QUANT² and every partial sum ≤ dim·QUANT² — all
+    integers below 2^53 by the QUANT sizing (dedup.py), hence exact in
+    float64 (same argument as the SQL kernel's double accumulation)."""
+    spark = emb.sparkSession
+    ids, mat, norms = _collect_quantized(emb)
+    order = np.argsort(ids)
+    ids, norms = ids[order], norms[order]
+    if mat.shape[1] * QUANT * QUANT < 2**53:
+        mat = mat[order].astype(np.float64)  # exact (docstring), SIMD-fast
+    else:
+        mat = mat[order]  # exotic dims: stay int64-exact
+    sqrts = np.sqrt(norms.astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat, norms, sqrts))
+
+    def score(it):
+        ids_s, mat_s, n2_s, sq_s = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = pdf["vec_id_a"].to_numpy(dtype=np.int64)
+            b = pdf["vec_id_b"].to_numpy(dtype=np.int64)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            # zero-norm vectors have UNDEFINED cosine — drop before the
+            # division (the oracle's norm2 > 0 filter)
+            ok = (n2_s[ia] > 0) & (n2_s[ib] > 0)
+            if not ok.all():
+                a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+            if len(a) == 0:
+                continue
+            dots = np.einsum("ij,ij->i", mat_s[ia], mat_s[ib])
+            cos = np.asarray(dots, dtype=np.float64) / (sq_s[ia] * sq_s[ib])
+            keep = cos >= threshold
+            a, b, cos = a[keep], b[keep], cos[keep]
+            if topk is not None and len(a):
+                # batch-local dedupe, then per-group kth-statistic cut
+                o = np.lexsort((b, a))
+                a, b, cos = a[o], b[o], cos[o]
+                uniq = np.ones(len(a), dtype=bool)
+                uniq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                a, b, cos = a[uniq], b[uniq], cos[uniq]
+                o = np.lexsort((-cos, a))
+                a, b, cos = a[o], b[o], cos[o]
+                starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+                counts = np.diff(np.r_[starts, len(a)])
+                kth = np.repeat(cos[starts + np.minimum(counts, topk) - 1], counts)
+                sel = cos >= kth
+                a, b, cos = a[sel], b[sel], cos[sel]
+            yield pd.DataFrame({"vec_id_a": a, "vec_id_b": b, "cosine": cos})
+
+    return cand.mapInPandas(score, _VERIFY_SCHEMA)
+
+
+def _verified_pairs_auto(cand_raw: DataFrame, emb: DataFrame, threshold: float,
+                         n_corpus: int) -> DataFrame:
+    """Verify a RAW (duplicated) undirected candidate stream and return
+    the DISTINCT verified pairs — inline-broadcast below
+    ``_INLINE_VERIFY_MAX``, legacy distinct-then-join above it."""
+    if n_corpus <= _INLINE_VERIFY_MAX:
+        return _verify_pairs_broadcast(cand_raw, emb, threshold).dropDuplicates(
+            ["vec_id_a", "vec_id_b"]
+        )
+    return _verify_pairs(
+        cand_raw.dropDuplicates(["vec_id_a", "vec_id_b"]), emb, threshold
+    )
+
+
 def semantic_pairs(
     emb: DataFrame,
     dim: int,
@@ -597,32 +731,29 @@ def semantic_pairs(
     stays ~TARGET_OCCUPANCY at any scale and the cap only trims true
     pile-ups.  ``n_planes`` overrides for callers bucketing a sample of
     a larger corpus (the recall harness)."""
+    n_corpus = memo_count(emb)
     if n_planes is None:
-        n_planes = n_planes_for(memo_count(emb))
+        n_planes = n_planes_for(n_corpus)
     k = probe_k_for(n_planes)
     if k == 0:
-        # ≤4 planes: 24 tables alone hold recall; keep the exact r6 plan
+        # ≤4 planes: 24 tables alone hold recall; same candidates as r6
         capped = _cap_buckets(_srp_bucketed(emb, dim, n_planes), max_bucket)
         a, b = capped.alias("a"), capped.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.table_id") == F.col("b.table_id"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("vec_id_a"),
-                F.col("b.vec_id").alias("vec_id_b"),
-            )
-            .dropDuplicates(["vec_id_a", "vec_id_b"])
+        raw = a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
         )
-        return _verify_pairs(cand, emb, threshold)
+        return _verified_pairs_auto(raw, emb, threshold, n_corpus)
     # ≥5 planes: margin-directed multi-probe (see probe_k_for).  Home
     # buckets keep the occupancy cap exactly as before (the cap counts
     # HOME rows only); the probe side joins every cap-surviving vector's
     # 1+k buckets against home buckets in both orientations
-    # (LEAST/GREATEST + dropDuplicates), so a pair is found when EITHER
+    # (LEAST/GREATEST + survivor dedupe), so a pair is found when EITHER
     # member probes the other's home bucket.
     from ..util import bounded_cache
 
@@ -632,20 +763,16 @@ def semantic_pairs(
     surv = capped.select("vec_id", "table_id")
     a = allb.drop("slot").join(surv, ["vec_id", "table_id"]).alias("a")
     b = capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
-        )
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    raw = a.join(
+        b,
+        (F.col("a.table_id") == F.col("b.table_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
     )
-    return _verify_pairs(cand, emb, threshold)
+    return _verified_pairs_auto(raw, emb, threshold, n_corpus)
 
 
 def incremental_semantic_pairs(
@@ -676,8 +803,9 @@ def incremental_semantic_pairs(
     each side by its own count would hash old and new into incomparable
     bucket spaces (and tune the new batch's occupancy to the batch, not
     the corpus it joins)."""
+    n_corpus = memo_count(old_emb) + memo_count(new_emb)
     if n_planes is None:
-        n_planes = n_planes_for(memo_count(old_emb) + memo_count(new_emb))
+        n_planes = n_planes_for(n_corpus)
     k = probe_k_for(n_planes)
 
     def _cand(a, b):
@@ -704,10 +832,10 @@ def incremental_semantic_pairs(
             )
         )
         capped = _cap_buckets(union, max_bucket)
-        cand = _cand(
-            capped.filter(F.col("is_new") == 1), capped
-        ).dropDuplicates(["vec_id_a", "vec_id_b"])
-        return _verify_pairs(cand, old_emb.unionByName(new_emb), threshold)
+        raw = _cand(capped.filter(F.col("is_new") == 1), capped)
+        return _verified_pairs_auto(
+            raw, old_emb.unionByName(new_emb), threshold, n_corpus
+        )
     # probed path (see semantic_pairs): to keep the pinned identity
     # "full semantic_pairs minus old×old" exact under EITHER-side
     # probing, cover both orientations that can touch a new vector —
@@ -727,17 +855,13 @@ def incremental_semantic_pairs(
     capped = _cap_buckets(home, max_bucket)
     surv = capped.select("vec_id", "table_id")
     probed = allb.drop("slot").join(surv, ["vec_id", "table_id"])
-    cand = (
-        _cand(probed.filter(F.col("is_new") == 1), capped)
-        .unionByName(
-            _cand(
-                probed.filter(F.col("is_new") == 0),
-                capped.filter(F.col("is_new") == 1),
-            )
+    raw = _cand(probed.filter(F.col("is_new") == 1), capped).unionByName(
+        _cand(
+            probed.filter(F.col("is_new") == 0),
+            capped.filter(F.col("is_new") == 1),
         )
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    return _verify_pairs(cand, old_emb.unionByName(new_emb), threshold)
+    return _verified_pairs_auto(raw, old_emb.unionByName(new_emb), threshold, n_corpus)
 
 
 def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,9 +51,10 @@ def probe_corpus(spark, tmp_path_factory):
 
 
 def test_probed_pairs_match_oracle(spark, probe_corpus):
-    """Full engine-vs-oracle hash-gate replica at 5 planes / probe k=4:
-    the Spark probed pair pipeline and the DuckDB probes-CTE oracle must
-    agree row-for-row, cosine bit-for-bit."""
+    """Full engine-vs-oracle hash-gate replica at 5 planes / probe k=2
+    (the asserted ``probe_k_for(5)`` operating point): the Spark probed
+    pair pipeline and the DuckDB probes-CTE oracle must agree
+    row-for-row, cosine bit-for-bit."""
     import duckdb
 
     from priority_data_pipeline_postgres_db_spark.operators.similarity import (
@@ -117,7 +118,7 @@ def test_incremental_identity_at_probe_scale(spark, probe_corpus):
 
 def test_probed_knn_join_matches_oracle(spark, probe_corpus):
     """Directed kNN probing (query role probes, home side stays) must
-    replay in the oracle at 5 planes / k=4."""
+    replay in the oracle at 5 planes / k=2 (probe_k_for(5))."""
     import duckdb
 
     from priority_data_pipeline_postgres_db_spark.operators.similarity import (
@@ -147,6 +148,77 @@ def test_probed_knn_join_matches_oracle(spark, probe_corpus):
     for col in ("vec_id", "neighbor_id", "rank"):
         assert got[col].tolist() == want[col].astype("int64").tolist(), col
     assert got["cosine"].tolist() == want["cosine"].tolist()
+
+
+def test_probed_ann_topk_matches_oracle(spark, probe_corpus):
+    """The qprobes CTE of the sim_ann_lsh_topk oracle (query-side k>0
+    probing) is never exercised by the sf0.01/sf0.1 gates (k=0 there) —
+    compare engine vs DuckDB at 5 planes / k=2 so drift in that CTE
+    can't hide until a large-corpus hash gate (ADVICE r7)."""
+    import duckdb
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        N_QUERIES,
+        ORACLE,
+        TOP_K,
+        ann_lsh_topk,
+    )
+
+    emb = spark.read.parquet(probe_corpus)
+    got = (
+        ann_lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), DIM, k=TOP_K)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{probe_corpus}/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLE["sim_ann_lsh_topk"])
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert got[col].tolist() == want[col].astype("int64").tolist(), col
+    assert got["cosine"].tolist() == want["cosine"].tolist()
+
+
+def test_probed_recall_curve_matches_oracle(spark, probe_corpus):
+    """sim_srp_recall_curve's probed first-t pipeline vs its oracle at
+    5 planes / k=2 (ADVICE r7 — the other instrument whose probed branch
+    the gate corpora never reach)."""
+    import duckdb
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        ORACLE,
+        srp_recall_curve,
+    )
+
+    emb = spark.read.parquet(probe_corpus)
+    got = (
+        srp_recall_curve(emb, DIM)
+        .toPandas()
+        .sort_values("n_tables")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{probe_corpus}/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLE["sim_srp_recall_curve"])
+        .df()
+        .sort_values("n_tables")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("n_tables", "n_exact_pairs", "n_found"):
+        assert got[col].tolist() == want[col].astype("int64").tolist(), col
+    assert got["recall"].tolist() == want["recall"].tolist()
 
 
 def test_stress_recall_floor():
