@@ -171,6 +171,8 @@ HEADLINE = [
     "q_part_pagerank",
     "q_session_transitions",
     "dedup_jaccard_prefix",
+    # r8 additions
+    "j_entity_clusters",
 ]
 
 

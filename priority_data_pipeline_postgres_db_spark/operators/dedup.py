@@ -1127,6 +1127,55 @@ JPREFIX_TAU_DEN = 5
 JPREFIX_SAMPLE_TARGET = 500  # registry-entry sample size (see docstring)
 
 
+def jaccard_prefix_candidates(
+    docs: DataFrame,
+    tau_num: int = JPREFIX_TAU_NUM,
+    tau_den: int = JPREFIX_TAU_DEN,
+) -> DataFrame:
+    """The candidate-generation half of :func:`jaccard_prefix_pairs` —
+    distinct (doc_id_a, doc_id_b) pairs sharing a rarest-first prefix
+    token.  Split out so the stress harness can measure candidate volume
+    against n²/2 directly (the prefix-theorem payoff is THIS number; the
+    verified output only bounds it from below)."""
+    # the exploded token relation feeds sized/dfreq/prefix — cache it so
+    # the tokenize+explode subtree runs once, not once per consumer
+    toks = bounded_cache(
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+        )
+    )
+    sized = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sized, "doc_id")
+        # L = n − ceil(τ·n) + 1, with ceil via (a+b−1) div b (positive ints,
+        # so Spark div and DuckDB // agree)
+        .filter(
+            F.col("pos")
+            <= F.col("n_tok")
+            - F.expr(f"({tau_num} * n_tok + {tau_den} - 1) div {tau_den}")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     tau_num: int = JPREFIX_TAU_NUM,
@@ -1153,43 +1202,7 @@ def jaccard_prefix_pairs(
     by doc — parallel); the candidate join shuffles only prefix tokens
     (∝ (1−τ)·total tokens); verification is candidate-bounded.  No
     false negatives anywhere — the oracle is the plain n²/2 SQL join."""
-    # the exploded token relation feeds sized/dfreq/prefix — cache it so
-    # the tokenize+explode subtree runs once, not once per consumer
-    toks = bounded_cache(
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
-        )
-    )
-    sized = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    prefix = (
-        toks.join(dfreq, "tok")
-        .withColumn("pos", F.row_number().over(w))
-        .join(sized, "doc_id")
-        # L = n − ceil(τ·n) + 1, with ceil via (a+b−1) div b (positive ints,
-        # so Spark div and DuckDB // agree)
-        .filter(
-            F.col("pos")
-            <= F.col("n_tok")
-            - F.expr(f"({tau_num} * n_tok + {tau_den} - 1) div {tau_den}")
-            + 1
-        )
-        .select("doc_id", "tok")
-    )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
+    cand = jaccard_prefix_candidates(docs, tau_num, tau_den)
     arrs = docs.select(
         "doc_id", F.array_sort(F.array_distinct(tokens_expr())).alias("toks")
     )

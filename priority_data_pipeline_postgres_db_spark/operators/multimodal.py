@@ -633,10 +633,74 @@ def resize_images(media: DataFrame, max_side: int, *, fake_decode: bool = True) 
     return media.filter(F.col("media_type") == "image").mapInPandas(batches, RESIZED_SCHEMA)
 
 
+def _with_planted_check(out: DataFrame, expected: DataFrame, found: DataFrame) -> DataFrame:
+    """Append global ``n_planted`` / ``n_planted_found`` columns to every
+    output row — the ``sim_ivf_topk.recall_at_5`` idiom (VERDICT r7 #3):
+    the driver's rows-only check on a media entry used to assert nothing
+    beyond a row count; with the planted-fixture counts IN-BAND, every
+    future driver row is self-checking (pytest pins found == planted).
+    Both sides of the crossJoin are 1-row aggregates — bounded by
+    construction."""
+    counts = expected.agg(
+        F.count("*").cast("long").alias("n_planted")
+    ).crossJoin(
+        F.broadcast(found.agg(F.count("*").cast("long").alias("n_planted_found")))
+    )
+    return out.crossJoin(F.broadcast(counts))
+
+
+def _with_planted_pair_check(pairs: DataFrame, expected_pairs: DataFrame) -> DataFrame:
+    """Planted-pair variant for the near-dup entries: ``expected_pairs``
+    is (asset_id_a, asset_id_b) plants the operator itself constructed;
+    found = plants present in the (already Hamming-thresholded) output."""
+    found = expected_pairs.join(
+        pairs.select("asset_id_a", "asset_id_b"),
+        ["asset_id_a", "asset_id_b"],
+        "left_semi",
+    )
+    return _with_planted_check(pairs, expected_pairs, found)
+
+
+def synth_silent_wav(n_frames: int = 2000, rate: int = _WAV_RATE) -> bytes:
+    """All-zero 16-bit mono PCM — RMS is 0.0 by construction, the
+    closed-form audio plant for the in-band feature check."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry (rows-only check): the full binary→features
-    batch pipeline over the deterministic synthetic asset table."""
-    return extract_features(synthetic_media(spark, n=256))
+    batch pipeline over the deterministic synthetic asset table, PLUS two
+    planted assets with CLOSED-FORM feature values (VERDICT r7 #3) — a
+    uniform-gray PNG whose mean intensity must come back exactly
+    120/255 and a silent WAV whose RMS must come back exactly 0.0 at the
+    declared rate.  The in-band ``n_planted_found`` column asserts the
+    distributed decode path end-to-end on every driver run."""
+    gray = encode_png(np.full((6, 8, 3), 120, dtype=np.uint8))
+    planted_rows = [
+        (1000001, "image", "png", bytearray(gray), 8, 6, None),
+        (1000002, "audio", "wav", bytearray(synth_silent_wav()), None, None, 250),
+    ]
+    planted = spark.createDataFrame(planted_rows, MEDIA_SCHEMA)
+    feats = extract_features(synthetic_media(spark, n=256).unionByName(planted))
+    exp = spark.createDataFrame(
+        [
+            (1000001, 120.0 / 255.0, None, None),
+            (1000002, None, 0.0, _WAV_RATE),
+        ],
+        "asset_id long, exp_intensity double, exp_rms double, exp_rate int",
+    )
+    ok = feats.join(F.broadcast(exp), "asset_id").filter(
+        (F.col("exp_intensity").isNull() | (F.col("mean_intensity") == F.col("exp_intensity")))
+        & (F.col("exp_rms").isNull() | (F.col("audio_rms") == F.col("exp_rms")))
+        & (F.col("exp_rate").isNull() | (F.col("sample_rate") == F.col("exp_rate")))
+    )
+    return _with_planted_check(feats, exp, ok)
 
 
 QUERIES = {"multimodal_features": multimodal_features}
@@ -849,7 +913,24 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", F.col("asset_id") + 200000
     )
     media = imgs.unionByName(edited).unionByName(relanded)
-    return image_near_dup_pairs(media, fake_decode=False)
+    # in-band plant assertion (VERDICT r7 #3): every (source, plant)
+    # pair the entry itself constructed must appear in the output
+    expected = (
+        imgs.filter(F.col("asset_id") % 9 == 0)
+        .select(
+            F.col("asset_id").alias("asset_id_a"),
+            (F.col("asset_id") + 100000).alias("asset_id_b"),
+        )
+        .unionByName(
+            imgs.filter(F.col("asset_id") % 9 == 3).select(
+                F.col("asset_id").alias("asset_id_a"),
+                (F.col("asset_id") + 200000).alias("asset_id_b"),
+            )
+        )
+    )
+    return _with_planted_pair_check(
+        image_near_dup_pairs(media, fake_decode=False), expected
+    )
 
 
 QUERIES["multimodal_image_near_dup"] = multimodal_image_near_dup
@@ -1004,7 +1085,20 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", F.col("asset_id") + 200000
     )
     media = aud.unionByName(scaled).unionByName(relanded)
-    return audio_near_dup_pairs(media)
+    expected = (
+        aud.filter(F.col("asset_id") % 9 == 1)
+        .select(
+            F.col("asset_id").alias("asset_id_a"),
+            (F.col("asset_id") + 100000).alias("asset_id_b"),
+        )
+        .unionByName(
+            aud.filter(F.col("asset_id") % 9 == 4).select(
+                F.col("asset_id").alias("asset_id_a"),
+                (F.col("asset_id") + 200000).alias("asset_id_b"),
+            )
+        )
+    )
+    return _with_planted_pair_check(audio_near_dup_pairs(media), expected)
 
 
 QUERIES["multimodal_audio_near_dup"] = multimodal_audio_near_dup
@@ -1167,7 +1261,22 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("asset_id") % 9 == 5) & (F.col("format") == "avi")
     ).withColumn("asset_id", F.col("asset_id") + 200000)
     media = vids.unionByName(remuxed).unionByName(relanded)
-    return video_near_dup_pairs(media)
+    expected = (
+        vids.filter((F.col("asset_id") % 9 == 2) & (F.col("format") == "avi"))
+        .select(
+            F.col("asset_id").alias("asset_id_a"),
+            (F.col("asset_id") + 100000).alias("asset_id_b"),
+        )
+        .unionByName(
+            vids.filter(
+                (F.col("asset_id") % 9 == 5) & (F.col("format") == "avi")
+            ).select(
+                F.col("asset_id").alias("asset_id_a"),
+                (F.col("asset_id") + 200000).alias("asset_id_b"),
+            )
+        )
+    )
+    return _with_planted_pair_check(video_near_dup_pairs(media), expected)
 
 
 QUERIES["multimodal_video_near_dup"] = multimodal_video_near_dup

@@ -137,9 +137,19 @@ def probe_bucket_ids_udf(dim: int, n_planes: int, k: int):
 
 def _srp_probed(emb: DataFrame, dim: int, n_planes: int, k: int) -> DataFrame:
     """(vec_id, table_id, slot, bucket) rows — slot 0 is the home bucket,
-    slots 1..k the margin-directed probe buckets."""
+    slots 1..k the margin-directed probe buckets.
+
+    The output is REPARTITIONED to the session's shuffle width: every
+    downstream bucket join broadcasts its (small) home side, so the join
+    — and the Arrow verify fused into its stage — would otherwise run in
+    the SCAN's partitioning (3 parquet parts at 10× stress = 3 of 32
+    cores doing 100% of the candidate work; the r8 profile found the
+    whole family serialized behind exactly this).  The shuffle moved is
+    the (1+k)·tables bucket rows — thousands of times smaller than the
+    join output it parallelizes."""
     fan = 1 + k
     pb = probe_bucket_ids_udf(dim, n_planes, k)
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         emb.select("vec_id", quantize_expr().alias("q"))
         .withColumn("pb", pb(F.col("q")))
@@ -150,6 +160,7 @@ def _srp_probed(emb: DataFrame, dim: int, n_planes: int, k: int) -> DataFrame:
             (F.col("idx") % fan).alias("slot"),
             "bucket",
         )
+        .repartition(n_shuffle)
     )
 
 # cap on residue×corpus cosine scores the kNN full-coverage pass will

