@@ -171,6 +171,9 @@ _MAX_RESIDUE_WORK = 1_000_000_000
 def _collect_quantized(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     pdf = emb.select("vec_id", quantize_expr().alias("q")).toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:  # np.stack rejects an empty sequence
+        mat = np.empty((0, 1), dtype=np.int64)
+        return ids, mat, (mat * mat).sum(axis=1)
     mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
     return ids, mat, (mat * mat).sum(axis=1)
 
@@ -660,6 +663,10 @@ def _verify_pairs_broadcast(
     float64 (same argument as the SQL kernel's double accumulation)."""
     spark = emb.sparkSession
     ids, mat, norms = _collect_quantized(emb)
+    if len(ids) == 0:
+        # an empty corpus has an empty pair set (np.stack chokes on an
+        # empty gather downstream)
+        return spark.createDataFrame([], _VERIFY_SCHEMA)
     order = np.argsort(ids)
     ids, norms = ids[order], norms[order]
     if mat.shape[1] * QUANT * QUANT < 2**53:
