@@ -221,6 +221,33 @@ def test_probed_recall_curve_matches_oracle(spark, probe_corpus):
     assert got["recall"].tolist() == want["recall"].tolist()
 
 
+def test_legacy_verify_path_identical(spark, probe_corpus, monkeypatch):
+    """Above _INLINE_VERIFY_MAX the pair/kNN families run the legacy
+    distinct-then-join verify — a branch every gate corpus now skips
+    (all ≤250k vectors).  Force it via monkeypatch and pin that both
+    shapes return identical rows, so the scale path can't rot unseen."""
+    from priority_data_pipeline_postgres_db_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(probe_corpus)
+
+    def pairs_set():
+        return {
+            (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+            for r in sim.semantic_pairs(emb, DIM).collect()
+        }
+
+    def knn_set():
+        return {
+            (r["vec_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in sim.ann_knn_join(emb, DIM, k=3).collect()
+        }
+
+    inline_pairs, inline_knn = pairs_set(), knn_set()
+    monkeypatch.setattr(sim, "_INLINE_VERIFY_MAX", 0)
+    assert pairs_set() == inline_pairs and inline_pairs
+    assert knn_set() == inline_knn and inline_knn
+
+
 def test_stress_recall_floor():
     """Pin SRP recall >= 0.8 at every measured stress operating point
     (VERDICT r6 #3).  Occupancy is held by n_planes_for, but recall at
