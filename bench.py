@@ -173,6 +173,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     # r8 additions
     "j_entity_clusters",
+    "dedup_multi_signal",
 ]
 
 

@@ -2933,3 +2933,75 @@ ORACLE["corpus_curation_pipeline_v2"] = f"""
     UNION ALL SELECT 'gopher_rules', 5, n4, n4 - n5, n5 FROM agg
     UNION ALL SELECT 'decontaminate', 6, n5, n5 - n6, n6 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-signal ensemble dedup (r8)
+# ---------------------------------------------------------------------------
+
+
+def multi_signal_components(docs: DataFrame) -> DataFrame:
+    """Near-dup clusters over the UNION of two independent signals —
+    MinHash-LSH-verified n-gram Jaccard edges AND SimHash Hamming-≤3
+    edges — with connected components and min-id survivorship.  The
+    curation-ensemble pattern: token-SET similarity (Jaccard) misses a
+    doc whose dominant tokens match but whose set overlap is diluted;
+    the frequency-weighted bit sketch (SimHash) misses a doc whose rare
+    tokens moved; the union clusters what EITHER signal can see, and
+    transitive closure merges chains that cross signals (a→b by Jaccard,
+    b→c by SimHash ⇒ one cluster).
+
+    Scale: both edge generators are the linear banded pipelines already
+    in production (bucket-capped candidate joins, exact verifies); the
+    union is edge-count additive; the CC loop touches only the
+    edge-induced subgraph.  Deterministic end to end, so the ensemble
+    sits under the same hash gate as its parts.
+    """
+    from .dedup import simhash_pairs
+
+    jac = minhash_verified_pairs(docs, n=3, threshold=0.5).select(
+        "doc_id_a", "doc_id_b"
+    )
+    sim = simhash_pairs(docs, max_hamming=3).select("doc_id_a", "doc_id_b")
+    comp = connected_components(
+        docs.select("doc_id"), jac.unionByName(sim).distinct()
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("survivor"),
+    )
+
+
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multi_signal_components(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup_multi_signal"] = dedup_multi_signal
+
+# the edge CTEs are the registered oracles of BOTH signals verbatim, so
+# the ensemble can never drift from its parts
+ORACLE["dedup_multi_signal"] = f"""
+    WITH RECURSIVE jac AS (
+      SELECT doc_id_a, doc_id_b
+      FROM ({_DEDUP_ORACLE["dedup_minhash_verified"]}) j
+    ), sh AS (
+      SELECT doc_id_a, doc_id_b
+      FROM ({_DEDUP_ORACLE["dedup_simhash_pairs"]}) s
+    ), pairs AS (
+      SELECT doc_id_a, doc_id_b FROM jac
+      UNION
+      SELECT doc_id_a, doc_id_b FROM sh
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(root, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT root AS doc_id, CAST(min(node) AS BIGINT) AS component,
+           (root = CAST(min(node) AS BIGINT)) AS survivor
+    FROM reach GROUP BY root
+"""

@@ -312,8 +312,12 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
     kp = probe_k_for(n_planes)
     buckets = bucket_ids_udf(dim, n_planes)
 
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
     def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
-        q = df.select(
+        # spread before the UDF (the _srp_bucketed discipline): the
+        # corpus side otherwise hashes on the scan's few partitions
+        q = df.repartition(n_shuffle).select(
             F.col("vec_id").alias(id_out), quantize_expr().alias("q")
         ).withColumn("buckets", buckets(F.col("q")))
         return q.select(
@@ -531,8 +535,14 @@ def _srp_bucketed(emb: DataFrame, dim: int, n_planes: int) -> DataFrame:
     old/new split must pass the planes of the FULL corpus, or their
     buckets are incomparable / mis-tuned)."""
     buckets = bucket_ids_udf(dim, n_planes)
+    # spread BEFORE the UDF: a small-file corpus scan arrives in a few
+    # partitions and the quantize+matmul pass would run on that many
+    # cores (the minhash_bands discipline; the probed twin _srp_probed
+    # repartitions after the explode for its join consumers)
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        emb.select("vec_id", quantize_expr().alias("q"))
+        emb.repartition(n_shuffle)
+        .select("vec_id", quantize_expr().alias("q"))
         .withColumn("buckets", buckets(F.col("q")))
         .select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
     )
