@@ -155,6 +155,9 @@ STRESS = [
     "corpus_curation_pipeline_v2",
     "q_session_transitions",
     "dedup_jaccard_prefix",
+    # r8: ensemble CC — the union edge set at 10x stresses the
+    # propagation loop over a far denser graph than either signal alone
+    "dedup_multi_signal",
 ]
 
 
