@@ -174,6 +174,7 @@ HEADLINE = [
     # r8 additions
     "j_entity_clusters",
     "dedup_multi_signal",
+    "stream_semantic_dedup",
 ]
 
 

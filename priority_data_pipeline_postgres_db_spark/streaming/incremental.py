@@ -944,3 +944,84 @@ ORACLE["stream_cdc_upsert"] = """
       FROM events
     ) WHERE rn = 1
 """
+
+
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup (r8): embedding batches drain through
+    ``foreachBatch``; each batch pairs against the STANDING corpus via
+    ``incremental_semantic_pairs`` (new×old + new×new, never old×old)
+    and both the verified pairs and the batch's vectors land in the
+    warehouse — state lives in the TABLE, not the stream, the
+    ``stream_cdc_upsert`` discipline.  Every unordered pair is found
+    exactly once (at the batch its LATER member arrives in), so the
+    accumulated pair table is independent of how the stream is chopped.
+
+    HASH-GATED, not rows-only: with the hot-bucket cap disabled for
+    this entry and the plane count FIXED to the final corpus size (the
+    production posture — a standing index derives its planes from the
+    corpus it serves, not from each batch), the accumulated pairs are
+    EXACTLY ``semantic_pairs`` over the full corpus, so the oracle is
+    the ``dedup_embedding_pairs`` SQL with the cap clause widened.  The
+    cap stays on in the batch production path (`SEM_MAX_BUCKET`); this
+    entry trades it away to keep the streaming composition under the
+    exact gate — the honest alternative is a rows-only check, which is
+    strictly weaker evidence.
+
+    Scale: per batch, candidate work tracks |batch| × bucket occupancy
+    (the incremental contract); the standing side re-buckets from the
+    table here, where a warehouse deployment reads a persisted bucket
+    index (valid while ``n_planes_for`` is unchanged — see the
+    incremental docstring's re-hash rule)."""
+    from ..operators.similarity import incremental_semantic_pairs, n_planes_for
+    from ..operators.staging import StagingWarehouse
+    from ..plans.tables import load
+    from ..util import memo_count
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    n_planes = n_planes_for(memo_count(emb))
+
+    # deterministic landing: 4 hash-partitioned part files, drained one
+    # file per micro-batch (membership fixed by the hash, order by path)
+    land = scratch_dir("stream_semdedup_land_")
+    emb.repartition(4, "vec_id").write.mode("overwrite").parquet(land)
+    wh = StagingWarehouse(spark, scratch_dir("stream_semdedup_wh_"))
+    seen = {"n": 0}
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        old = wh.read("standing") if seen["n"] else emb.limit(0)
+        pairs = incremental_semantic_pairs(
+            old, bdf, dim, n_planes=n_planes, max_bucket=1_000_000_000
+        )
+        wh.write(pairs, "pairs", incremental=True, batch_id=f"sem-{bid:08d}")
+        wh.write(
+            bdf, "standing", incremental=True, batch_id=f"std-{bid:08d}"
+        )
+        seen["n"] += 1
+
+    with _state_partitions(spark):
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("stream_semdedup_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_semantic_dedup", q)
+    return wh.read("pairs").select("vec_id_a", "vec_id_b", "cosine")
+
+
+QUERIES["stream_semantic_dedup"] = stream_semantic_dedup
+
+# the dedup_embedding_pairs oracle with the hot-bucket cap widened to
+# match this entry's cap-free configuration (see docstring)
+from ..operators.similarity import ORACLE as _SIM_ORACLE  # noqa: E402
+from ..operators.similarity import SEM_MAX_BUCKET as _SEM_CAP  # noqa: E402
+
+ORACLE["stream_semantic_dedup"] = _SIM_ORACLE["dedup_embedding_pairs"].replace(
+    f"bn <= {_SEM_CAP}", "bn <= 1000000000"
+)
+assert "1000000000" in ORACLE["stream_semantic_dedup"]  # replace() found the cap
