@@ -158,6 +158,9 @@ STRESS = [
     # r8: ensemble CC — the union edge set at 10x stresses the
     # propagation loop over a far denser graph than either signal alone
     "dedup_multi_signal",
+    # r8: streaming semantic dedup — per-batch incremental pair work
+    # against a growing warehouse-resident standing corpus
+    "stream_semantic_dedup",
 ]
 
 
