@@ -175,6 +175,7 @@ HEADLINE = [
     "j_entity_clusters",
     "dedup_multi_signal",
     "stream_semantic_dedup",
+    "q_quality_linreg",
 ]
 
 

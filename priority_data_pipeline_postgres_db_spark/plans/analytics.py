@@ -2619,3 +2619,158 @@ ORACLE["q_session_transitions"] = """
                 AS BIGINT) AS p_micro
     FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact distributed batch gradient descent (r8)
+# ---------------------------------------------------------------------------
+
+LINREG_ITERS = 5
+LINREG_S = 10**6  # micro-weight fixed point (the PageRank micro-rank idiom)
+LINREG_DEN = 20000  # per-EXAMPLE inverse learning rate (see docstring)
+
+
+def _tdiv_sql(a: str, b: str, op: str = "//") -> str:
+    """Sign-symmetric truncating integer division that both engines agree
+    on: Spark ``div`` truncates toward zero, DuckDB ``//`` floors — they
+    differ on negatives, so divide magnitudes (where truncation = floor)
+    and restore the sign.  ``op`` picks the engine spelling (``div`` for
+    Spark SQL, ``//`` for DuckDB); ``a`` is interpolated twice; scalars
+    only."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN ({a}) {op} ({b}) "
+        f"ELSE -((-({a})) {op} ({b})) END)"
+    )
+
+
+def _tdiv_py(a: int, b: int) -> int:
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def q_quality_linreg(
+    spark: SparkSession, sf_dir: str, iters: int = LINREG_ITERS
+) -> DataFrame:
+    """Distributed batch gradient descent, engine-exact: fit a linear
+    model length(text) ~ w0 + w1·n_tokens + w2·n_distinct_tokens by
+    ``iters`` fixed GD rounds in integer micro-weight units — the
+    trainable-scorer primitive (quality/age/toxicity regressors in
+    curation stacks are exactly this shape) built on the same
+    fixed-point discipline as ``q_part_pagerank``: every prediction,
+    residual, gradient, and update is an integer op, so the iterated
+    sums are order-insensitive and bit-identical on any engine or
+    partitioning.
+
+    The per-round work is ONE distributed aggregate (map-side partial
+    sums of x_j·r and r²) collapsing to four scalars on the driver —
+    textbook distributed batch GD; weights are driver-side literals of
+    the next round's expressions, the PageRank loop with a 1-row
+    carrier.  The learning law is per-EXAMPLE (mean gradient, then
+    Δw = (ḡ·S) div DEN), so the trajectory is corpus-size-independent:
+    the same ~SSE/10 drop over 5 rounds measured at sf0.01 and sf0.1.
+
+    Division sign rule: Spark ``div`` truncates toward zero, DuckDB
+    ``//`` floors — gradients go negative, so both sides divide
+    MAGNITUDES and restore the sign (``_tdiv_sql``).  Overflow headroom:
+    Σx·r needs n·max|x|·max|r| < 2^63 (~10^12 docs at these feature
+    bounds); the mean-gradient update itself is n-independent.
+
+    Output: one row per iteration 0..iters with the standing weights
+    and the SSE under them — the full descent trajectory under the
+    hash gate."""
+    from ..operators.dedup import tokens_expr
+    from ..util import bounded_cache, memo_count
+
+    docs = load(spark, sf_dir, "documents")
+    base = bounded_cache(
+        docs.select(
+            F.length("text").cast("long").alias("y"),
+            F.lit(1).cast("long").alias("x0"),
+            F.size(tokens_expr()).cast("long").alias("x1"),
+            F.size(F.array_distinct(tokens_expr())).cast("long").alias("x2"),
+        )
+    )
+    n = memo_count(base)
+    w = [0, 0, 0]
+    rows = []
+    for it in range(iters + 1):
+        d = f"(x0*{w[0]} + x1*{w[1]} + x2*{w[2]})"
+        r = f"(y - {_tdiv_sql(d, LINREG_S, op='div')})"
+        agg = base.selectExpr(
+            f"CAST(sum({r} * {r}) AS BIGINT) AS sse",
+            f"CAST(sum(x0 * {r}) AS BIGINT) AS g0",
+            f"CAST(sum(x1 * {r}) AS BIGINT) AS g1",
+            f"CAST(sum(x2 * {r}) AS BIGINT) AS g2",
+        ).first()
+        rows.append((it, w[0], w[1], w[2], int(agg["sse"])))
+        if it == iters:
+            break
+        for j, gk in enumerate(("g0", "g1", "g2")):
+            gm = _tdiv_py(int(agg[gk]), n)
+            w[j] += _tdiv_py(gm * LINREG_S, LINREG_DEN)
+    return spark.createDataFrame(
+        rows, "iter int, w0_micro long, w1_micro long, w2_micro long, sse long"
+    )
+
+
+QUERIES["q_quality_linreg"] = q_quality_linreg
+
+
+def _linreg_oracle(iters: int = LINREG_ITERS) -> str:
+    """Unrolled-CTE twin of the GD loop (the PageRank oracle pattern):
+    it{k} carries the standing weights, g{k} the gradient/SSE aggregate
+    under them; the final SELECT stacks the trajectory."""
+    toks = "string_split_regex(lower(text), '[^a-z0-9]+')"
+    # AS MATERIALIZED: every CTE here is referenced through scalar
+    # subqueries many times; DuckDB inlines non-materialized CTEs per
+    # reference, which EXPLODES the unrolled chain combinatorially
+    # (observed as thousands of parquet re-opens).  Materializing pins
+    # one evaluation per CTE — the semantics are unchanged.
+    parts = [
+        f"""base AS MATERIALIZED (
+          SELECT CAST(length(text) AS BIGINT) AS y,
+                 CAST(1 AS BIGINT) AS x0,
+                 CAST(len({toks}) AS BIGINT) AS x1,
+                 CAST(len(list_distinct({toks})) AS BIGINT) AS x2
+          FROM documents
+        ), nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        it0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0,
+                       CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for k in range(iters + 1):
+        d = (
+            f"(x0*(SELECT w0 FROM it{k}) + x1*(SELECT w1 FROM it{k})"
+            f" + x2*(SELECT w2 FROM it{k}))"
+        )
+        r = f"(y - {_tdiv_sql(d, LINREG_S)})"
+        parts.append(
+            f"""g{k} AS MATERIALIZED (
+          SELECT CAST(sum({r} * {r}) AS BIGINT) AS sse,
+                 CAST(sum(x0 * {r}) AS BIGINT) AS g0,
+                 CAST(sum(x1 * {r}) AS BIGINT) AS g1,
+                 CAST(sum(x2 * {r}) AS BIGINT) AS g2
+          FROM base
+        )"""
+        )
+        if k < iters:
+            step = lambda gj: _tdiv_sql(  # noqa: E731
+                _tdiv_sql(f"(SELECT {gj} FROM g{k})", "(SELECT n FROM nn)")
+                + f" * {LINREG_S}",
+                str(LINREG_DEN),
+            )
+            parts.append(
+                f"""it{k + 1} AS MATERIALIZED (
+          SELECT w0 + {step('g0')} AS w0,
+                 w1 + {step('g1')} AS w1,
+                 w2 + {step('g2')} AS w2
+          FROM it{k}
+        )"""
+            )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS iter, w0 AS w0_micro, w1 AS w1_micro,"
+        f" w2 AS w2_micro, (SELECT sse FROM g{k}) AS sse FROM it{k}"
+        for k in range(iters + 1)
+    )
+    return "WITH " + ",\n        ".join(parts) + "\n        " + sel
+
+
+ORACLE["q_quality_linreg"] = _linreg_oracle()
