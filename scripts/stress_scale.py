@@ -161,6 +161,9 @@ STRESS = [
     # r8: streaming semantic dedup — per-batch incremental pair work
     # against a growing warehouse-resident standing corpus
     "stream_semantic_dedup",
+    # r8: distributed batch GD — one map-side-combined aggregate per
+    # round; the cost curve should be a clean linear scan multiple
+    "q_quality_linreg",
 ]
 
 
