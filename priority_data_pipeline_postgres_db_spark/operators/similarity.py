@@ -99,10 +99,21 @@ def probe_k_for(n_planes: int) -> int:
     comfortably above the pinned 0.8 floor (tests/test_stress_floor.py).
     K=0 through 4 planes — 24 tables alone hold ≥0.97 there,
     so gate-scale (sf0.01/sf0.1) plans and results are UNCHANGED.
-    Beyond ~13 planes (≳1M vectors/node-corpus) single-bit probing
-    saturates; corpora that size should use the IVF path or a higher
-    threshold — documented, not silently degraded.  Mirrored exactly by
-    the oracle's ``pk`` CASE."""
+
+    MEASURED saturation boundary (r8, STRESS_x100_r8): single-bit
+    probing holds the 0.8 PAIR-recall floor through 9 planes (0.886 at
+    30×/60k vectors) but reads 0.599 at 11 planes/200k vectors — a
+    threshold-boundary pair differing in two marginal bits of every
+    table is unreachable by one-bit flips, and that population
+    dominates as 2^planes grows.  The supported envelope is therefore
+    planes ≤ 9 (≾160k vectors per corpus at the default occupancy),
+    pinned in tests/test_stress_floor.py; larger corpora should run
+    semantic dedup through the IVF/k-means cell path (SemDeDup proper
+    — pairs within coarse cells; the machinery is ``fit_ivf_centroids``
+    + ``assign_clusters_udf``) or shard the corpus.  kNN top-k recall
+    is NOT bound by this (1.0 measured at 100×): its targets sit far
+    inside the threshold where single-bit flips still reach.  Mirrored
+    exactly by the oracle's ``pk`` CASE."""
     if n_planes <= 4:
         return 0
     if n_planes <= 8:
