@@ -121,6 +121,31 @@ def probe_k_for(n_planes: int) -> int:
     return 4
 
 
+# the measured single-bit multi-probe envelope for PAIR recall (see
+# probe_k_for docstring and tests/test_stress_floor.py)
+SRP_PAIR_MAX_PLANES = 9
+
+
+def _warn_if_past_pair_envelope(n_planes: int) -> None:
+    """Loud, not silent: the pair family's recall floor is only
+    measured/pinned through SRP_PAIR_MAX_PLANES (0.886 at 9 planes;
+    0.599 at 11 — STRESS_x100_r8).  Callers past the envelope should
+    route semantic dedup through the IVF cell path or shard the
+    corpus."""
+    if n_planes > SRP_PAIR_MAX_PLANES:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "SRP pair pipeline at %d planes is past the measured "
+            "single-bit multi-probe envelope (<=%d planes holds the 0.8 "
+            "recall floor; 0.599 measured at 11 planes) — use the "
+            "IVF/k-means cell path for semantic dedup at this corpus "
+            "size, or shard the corpus",
+            n_planes,
+            SRP_PAIR_MAX_PLANES,
+        )
+
+
 def probe_bucket_ids_udf(dim: int, n_planes: int, k: int):
     """pandas UDF: quantized vector → flattened array of N_TABLES·(1+k)
     bucket ids: for each table its home bucket followed by the k
@@ -773,6 +798,7 @@ def semantic_pairs(
     n_corpus = memo_count(emb)
     if n_planes is None:
         n_planes = n_planes_for(n_corpus)
+    _warn_if_past_pair_envelope(n_planes)
     k = probe_k_for(n_planes)
     if k == 0:
         # ≤4 planes: 24 tables alone hold recall; same candidates as r6
@@ -845,6 +871,7 @@ def incremental_semantic_pairs(
     n_corpus = memo_count(old_emb) + memo_count(new_emb)
     if n_planes is None:
         n_planes = n_planes_for(n_corpus)
+    _warn_if_past_pair_envelope(n_planes)
     k = probe_k_for(n_planes)
 
     def _cand(a, b):
