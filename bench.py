@@ -176,6 +176,8 @@ HEADLINE = [
     "dedup_multi_signal",
     "stream_semantic_dedup",
     "q_quality_linreg",
+    "dedup_semantic_cells",
+    "sim_cell_recall_report",
 ]
 
 

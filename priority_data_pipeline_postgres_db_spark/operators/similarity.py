@@ -107,13 +107,17 @@ def probe_k_for(n_planes: int) -> int:
     table is unreachable by one-bit flips, and that population
     dominates as 2^planes grows.  The supported envelope is therefore
     planes ≤ 9 (≾160k vectors per corpus at the default occupancy),
-    pinned in tests/test_stress_floor.py; larger corpora should run
-    semantic dedup through the IVF/k-means cell path (SemDeDup proper
-    — pairs within coarse cells; the machinery is ``fit_ivf_centroids``
-    + ``assign_clusters_udf``) or shard the corpus.  kNN top-k recall
-    is NOT bound by this (1.0 measured at 100×): its targets sit far
-    inside the threshold where single-bit flips still reach.  Mirrored
-    exactly by the oracle's ``pk`` CASE."""
+    pinned in tests/test_stress_floor.py; larger corpora at TIGHT
+    thresholds (≥~0.9, the duplicate regime) hand off to the IVF cell
+    path (``semantic_pairs_cells`` — measured 0.976 tight-pair recall
+    at 200k vectors, corpus-size-independent constant), while LOOSE
+    thresholds past the envelope must shard the corpus or raise the
+    threshold: a cosine-0.4 pair is ~66° apart and co-locates in no
+    angular structure (cells read 0.106 there — measured, not assumed;
+    ``cell_recall_report``).  kNN top-k recall is NOT bound by this
+    (1.0 measured at 100×): its targets sit far inside the threshold
+    where single-bit flips still reach.  Mirrored exactly by the
+    oracle's ``pk`` CASE."""
     if n_planes <= 4:
         return 0
     if n_planes <= 8:
@@ -2336,3 +2340,173 @@ ORACLE["sim_source_centroid_similarity"] = f"""
     JOIN counts ca ON ca.label = d.label_a
     JOIN counts cb ON cb.label = d.label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-cell semantic dedup (r8) — the past-envelope handoff target
+# ---------------------------------------------------------------------------
+
+CELL_OCCUPANCY = 512  # target vectors per k-means cell (see sizing note)
+
+
+def semantic_pairs_cells(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = SEM_THRESHOLD,
+    k_clusters: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs via IVF CELLS — SemDeDup proper (cluster
+    the embedding space with k-means, compare only within clusters) —
+    the production path PAST the SRP pair family's measured envelope
+    for TIGHT thresholds (probe_k_for: single-bit multi-probe holds the
+    0.8 recall floor only through 9 planes ≈ 160k vectors; this path
+    has no plane count to grow, and holds 0.976 recall among
+    cosine-≥0.9 pairs at 200k vectors — but only 0.106 at the loose
+    0.35 bar, where a ~66°-apart pair co-locates in NO angular cell
+    structure; see ``cell_recall_report`` for the measured boundary).
+    Each vector files into its top-2 cells (the spill assignment
+    ``assign_clusters_udf`` — boundary pairs meet in at least one shared
+    cell far more often than 1-assignment allows), candidates are
+    co-cell pairs, and the exact integer-cosine verify is the SAME
+    inline-broadcast kernel as ``semantic_pairs``.
+
+    Sizing: ``k_clusters`` = n / CELL_OCCUPANCY holds cell occupancy
+    constant, so candidate volume is ~4·occupancy·n — linear with a
+    fixed constant at ANY corpus size, the property the SRP family loses
+    past its envelope.  Cost of the spill: 2× postings, same trade as
+    the IVF query path.
+
+    Approximate-by-construction (float k-means has no engine-portable
+    replay, so entries built on this are rows-only with an IN-BAND
+    measured-recall instrument — ``cell_recall_report``), but
+    deterministic: hash-ordered sample, fixed Lloyd iterations, argsort
+    ties by index."""
+    n_corpus = memo_count(emb)
+    if k_clusters is None:
+        k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
+    cents = fit_ivf_centroids(emb, k_clusters)
+    return _semantic_pairs_cells_with(emb, cents, threshold, n_corpus)
+
+
+def _semantic_pairs_cells_with(
+    emb: DataFrame, cents: np.ndarray, threshold: float, n_corpus: int
+) -> DataFrame:
+    """Cell-pair pipeline against ALREADY-FIT centroids — split out so
+    the recall instrument can run the production (full-corpus) centroid
+    config over a sample (the ``srp_recall_report`` discipline)."""
+    assign = assign_clusters_udf(cents)
+    n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cells = (
+        emb.repartition(n_shuffle)
+        .select("vec_id", quantize_expr().alias("q"))
+        .withColumn("labels", assign(F.col("q")))
+        .select("vec_id", F.explode("labels").alias("cell"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+    )
+    return _verified_pairs_auto(raw, emb, threshold, n_corpus)
+
+
+CELL_TIGHT_COSINE = 0.9  # the SemDeDup duplicate regime (see report)
+
+
+def cell_recall_report(
+    emb: DataFrame,
+    dim: int,
+    *,
+    mod: int | None = None,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """Measured recall of the IVF-cell pair path against exact sample
+    ground truth, stratified into the regime where cells CAN work and
+    the one where nothing sub-quadratic can.
+
+    The r8 100×-stress measurement (STRESS_x100_r8) is the honest
+    story: overall recall at the LOOSE 0.35 threshold is 0.106 — a
+    cosine-0.4 pair is ~66° apart and simply does not co-locate in any
+    cell structure (k-means, SRP buckets, anything built on angular
+    locality; SRP reads 0.599 at the same scale for the same reason) —
+    while recall among TIGHT pairs (cosine ≥ 0.9, the SemDeDup
+    duplicate regime) is 0.976 at 200k vectors.  So the past-envelope
+    handoff (probe_k_for) is real but CONDITIONAL: tight-threshold
+    semantic dedup hands off to cells with a corpus-size-independent
+    constant; loose-threshold corpora beyond the SRP envelope must
+    shard the corpus or raise the threshold — there is no sub-quadratic
+    free lunch, and this report keeps that boundary measured rather
+    than asserted.  Both recalls ride in-band (pytest pins the tight
+    floor); same auto-mod sample contract as ``srp_recall_report``;
+    centroids fit on the FULL corpus, the sample assigned under them."""
+    from .dedup import _auto_mod, embedding_near_dup_pairs
+    from ..util import bounded_cache
+
+    n_corpus = memo_count(emb)
+    if mod is None:
+        mod = _auto_mod(n_corpus)
+    key = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = bounded_cache(emb.filter(key % mod == 0))
+    exact = embedding_near_dup_pairs(
+        sample, threshold=threshold, max_rows=None
+    )  # carries the exact cosine for the stratification
+    k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
+    cents = fit_ivf_centroids(emb, k_clusters)
+    cell = (
+        _semantic_pairs_cells_with(sample, cents, threshold, memo_count(sample))
+        .select("vec_id_a", "vec_id_b")
+        .withColumn("_v", F.lit(1))
+    )
+    tight = F.col("cosine") >= CELL_TIGHT_COSINE
+    counts = exact.join(cell, ["vec_id_a", "vec_id_b"], "left").agg(
+        F.count("*").cast("long").alias("n_exact_pairs"),
+        F.count("_v").cast("long").alias("n_cell_found"),
+        F.count(F.when(tight, 1)).cast("long").alias("n_exact_tight"),
+        F.count(F.when(tight, F.col("_v"))).cast("long").alias("n_found_tight"),
+    )
+    nsamp = sample.agg(F.count("*").cast("long").alias("n_sample_vecs"))
+
+    def ratio(num: str, den: str):
+        return (
+            F.when(F.col(den) == 0, F.lit(1.0))
+            .otherwise(F.col(num).cast("double") / F.col(den).cast("double"))
+        )
+
+    return counts.crossJoin(F.broadcast(nsamp)).select(
+        "n_sample_vecs",
+        "n_exact_pairs",
+        "n_cell_found",
+        ratio("n_cell_found", "n_exact_pairs").alias("recall"),
+        "n_exact_tight",
+        "n_found_tight",
+        ratio("n_found_tight", "n_exact_tight").alias("recall_tight"),
+    )
+
+
+def sim_cell_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only: float k-means centroids have no
+    engine-portable replay — the same inherent reason as sim_ivf_topk;
+    the recall column IS the in-band evidence, floor-pinned in pytest)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return cell_recall_report(emb, dim)
+
+
+QUERIES["sim_cell_recall_report"] = sim_cell_recall_report
+
+
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the cell-path pair generator itself (rows-only,
+    same inherent float-centroid reason)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_pairs_cells(emb, dim)
+
+
+QUERIES["dedup_semantic_cells"] = dedup_semantic_cells

@@ -339,6 +339,31 @@ def srp_recall_stress(spark, big_dir: str, factor: int) -> dict:
     return out
 
 
+def cell_recall_stress(spark, big_dir: str, factor: int) -> dict:
+    """Measured IVF-cell pair recall at stress scale — the instrument
+    that demonstrates the past-envelope handoff (r8): where the SRP pair
+    family saturates (0.599 at 100×/11 planes), the cell path's recall
+    is whatever this records, at a candidate constant that never grows
+    with corpus size."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        cell_recall_report,
+        n_planes_for,
+    )
+
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        n = emb.count()
+        t0 = time.time()
+        row = cell_recall_report(emb, dim).first().asDict()
+        row["t"] = round(time.time() - t0, 2)
+        row["n_corpus"] = n
+        row["planes_srp_would_use"] = n_planes_for(n)
+        out[tag] = row
+    return out
+
+
 def knn_recall_stress(spark, big_dir: str, factor: int) -> dict:
     """Measured top-k recall of the probed ANN path at stress scale —
     the kNN twin of :func:`srp_recall_stress` (r7: query-side multi-probe
@@ -437,6 +462,8 @@ def main() -> None:
         results["knn_recall"] = knn_recall_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "jaccard_lowdensity" in sys.argv[2:]:
         results["jaccard_lowdensity"] = jaccard_lowdensity_stress(spark, factor)
+    if not sys.argv[2:] or "cell_recall" in sys.argv[2:]:
+        results["cell_recall"] = cell_recall_stress(spark, big_dir, factor)
     print(json.dumps({"factor": factor, "results": results}))
 
 

@@ -56,6 +56,9 @@ ALLOWED = {
     "multimodal_image_near_dup": {"BNLJ", "SinglePartition"},
     "multimodal_audio_near_dup": {"BNLJ", "SinglePartition"},
     "multimodal_video_near_dup": {"BNLJ", "SinglePartition"},
+    # sample quadratic ground truth + 1-row recall counts — the exact
+    # srp_recall_report pattern, stratified (r8)
+    "sim_cell_recall_report": {"BNLJ", "SinglePartition"},
 }
 
 

@@ -534,3 +534,20 @@ def test_semantic_pairs_survive_dense_corpus(spark, sf_dir):
     dim = len(emb.select("embedding").first()[0])
     pairs = semantic_pairs(dense, dim).count()
     assert pairs > 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_cell_recall_report_floors(spark, sf):
+    """The IVF-cell pair path's in-band instrument (r8): overall recall
+    at gate scale must stay high (0.942 measured at sf0.1 — cells are
+    coarse there), and the tight-pair recall column must be present
+    (its stress-scale floor lives in test_stress_floor against the
+    committed STRESS artifacts, where tight pairs actually exist)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        sim_cell_recall_report,
+    )
+
+    row = sim_cell_recall_report(spark, sf).first()
+    assert row["n_exact_pairs"] >= 0 and row["n_cell_found"] <= row["n_exact_pairs"]
+    assert row["recall"] >= 0.85, row.asDict()
+    assert 0.0 <= row["recall_tight"] <= 1.0
