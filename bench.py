@@ -228,6 +228,13 @@ def main() -> None:
             # bench wall.
             reruns = [t]
             for _ in range(2):
+                # clearCache between reruns (ADVICE r8): CacheManager
+                # matches bounded_cache'd subtrees by logical plan across
+                # the fresh DataFrame objects, so without this the rerun
+                # medians are systematically warmer than the single-shot
+                # ≥3 s timings and prior-round artifacts they're
+                # geomean-compared against.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 d = qs[name](spark, SF_DIR)
                 d.write.format("noop").mode("overwrite").save()
@@ -273,6 +280,20 @@ def main() -> None:
         )
         if len(summary) < 1900:
             break
+    else:
+        # even the 1-entry summary blew the cap (ADVICE r8): drop
+        # "slowest" entirely so the captured line is always valid JSON
+        # instead of a mid-object truncation in the driver's 2000-char
+        # stdout tail.
+        summary = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": float(sf),
+            }
+        )
     print(summary)
 
 

@@ -1333,7 +1333,12 @@ def assign_clusters_udf(cents: np.ndarray, n_assign: int = IVF_N_ASSIGN):
     def _assign(qs: pd.Series) -> pd.Series:
         mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.float64)))
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        top = np.argsort(-(mat @ cents.T), axis=1)[:, :n_assign].astype(np.int32)
+        # kind="stable": tied centroid similarities must resolve by
+        # index deterministically across numpy builds (the default
+        # introsort makes tie order incidental, not guaranteed)
+        top = np.argsort(-(mat @ cents.T), axis=1, kind="stable")[
+            :, :n_assign
+        ].astype(np.int32)
         return pd.Series(list(top))
 
     return _assign
@@ -1391,7 +1396,7 @@ def _ivf_probe_and_score(
     # centroids are unit-norm so the dot IS the cosine up to query scale)
     q_ids, q_mat, q_norms = _collect_quantized(queries)
     cos_qc = q_mat.astype(np.float64) @ cents.T
-    order = np.argsort(-cos_qc, axis=1)[:, :nprobe]
+    order = np.argsort(-cos_qc, axis=1, kind="stable")[:, :nprobe]
     probe_rows = [
         (int(q_ids[i]), int(j)) for i in range(len(q_ids)) for j in order[i]
     ]

@@ -2719,7 +2719,11 @@ def _linreg_oracle(iters: int = LINREG_ITERS) -> str:
     """Unrolled-CTE twin of the GD loop (the PageRank oracle pattern):
     it{k} carries the standing weights, g{k} the gradient/SSE aggregate
     under them; the final SELECT stacks the trajectory."""
-    toks = "string_split_regex(lower(text), '[^a-z0-9]+')"
+    # Canonical _TOKS idiom (operators/dedup.py:794): \s+ split with
+    # empties dropped — the SAME tokenizer definition as the Spark
+    # side's tokens_expr(), so punctuation/hyphens/leading separators
+    # in a future fixture can't silently diverge x1/x2 between engines.
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     # AS MATERIALIZED: every CTE here is referenced through scalar
     # subqueries many times; DuckDB inlines non-materialized CTEs per
     # reference, which EXPLODES the unrolled chain combinatorially

@@ -69,13 +69,26 @@ def test_stress_artifacts_hold_recall_floor():
                 recall = row.get("recall")
                 assert recall is not None, f"{path}:{section}:{scale} missing recall"
                 planes = row.get("planes", 0)
-                if section == "srp_recall" and planes > SUPPORTED_MAX_PLANES:
-                    # saturation probe (see module docstring): must be
-                    # explained in the artifact, and must actually BE
-                    # past the envelope it claims to probe
+                if (
+                    section == "srp_recall"
+                    and planes > SUPPORTED_MAX_PLANES
+                    and recall < RECALL_FLOOR
+                ):
+                    # saturation probe (see module docstring): past the
+                    # envelope AND actually sub-floor — exactly the
+                    # "EXPECTEDLY sub-floor" contract.  Must be explained
+                    # in the artifact.  A past-envelope row that somehow
+                    # clears the floor falls through to the normal
+                    # assertion (and passes) — it isn't a saturation
+                    # probe and gets no exemption (ADVICE r8).
                     assert "saturation" in data.get("note", ""), (
                         f"{os.path.basename(path)} records planes={planes} "
-                        "recall without a saturation note"
+                        f"sub-floor recall {recall:.3f} without a "
+                        "saturation note"
+                    )
+                    checked.append(
+                        (os.path.basename(path), section + ":saturation",
+                         scale, round(recall, 3))
                     )
                     continue
                 assert recall >= RECALL_FLOOR, (
