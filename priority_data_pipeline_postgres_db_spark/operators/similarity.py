@@ -2515,3 +2515,438 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_semantic_cells"] = dedup_semantic_cells
+
+
+# ---------------------------------------------------------------------------
+# Sharded semantic dedup — the past-envelope scale-out (VERDICT r8 #1)
+# ---------------------------------------------------------------------------
+
+# vectors per shard the sharder aims at: the measured-good operating
+# point of the SRP pair family (9 planes / k=4 held 0.886 pair recall at
+# 60k vectors, STRESS_x30; the envelope breaks at 11 planes / 200k —
+# probe_k_for).  ceil(n / SHARD_TARGET) shards puts every shard at a
+# plane count the 0.8 recall floor is measured for.
+SHARD_TARGET = 60_000
+# gate-scale corpora (500-2k vectors) fit one shard; the registry entry
+# forces this count so the shard key is REAL under the hash gate
+GATE_SHARDS = 4
+
+
+def n_shards_for(n_corpus: int, shard_target: int = SHARD_TARGET) -> int:
+    """ceil(n / SHARD_TARGET), min 1 — the production shard count."""
+    return max(1, -(-n_corpus // shard_target))
+
+
+def shard_expr(n_shards: int, col: str = "vec_id") -> Column:
+    """Deterministic random shard id in [0, n_shards): md5-60 of the
+    SALTED id, mod S.  The salt ("shard_") keeps the shard hash
+    INDEPENDENT of the md5 sampling key used by the recall instruments
+    (same unsalted prefix would correlate sample membership with shard
+    id and bias the cross-shard miss measurement).  A pure function of
+    vec_id, so shard assignment is corpus-independent: a sample shards
+    exactly as the full corpus does — the property
+    ``sharded_recall_report`` relies on.  DuckDB twin:
+    ``('0x' || substr(md5('shard_' || CAST(vec_id AS VARCHAR)), 1,
+    15))::BIGINT % S`` (the established md5-60 pairing)."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard_"), F.col(col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (key % n_shards).cast("int")
+
+
+def semantic_pairs_sharded(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = SEM_THRESHOLD,
+    max_bucket: int = SEM_MAX_BUCKET,
+    shard_target: int = SHARD_TARGET,
+    n_shards: int | None = None,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Loose-threshold semantic near-dup pairs past the SRP envelope:
+    disjoint random shards, each sized INSIDE the measured ≤9-plane
+    recall envelope, each running the full ``semantic_pairs`` pipeline —
+    as ONE Spark plan, not a driver loop.
+
+    The envelope problem (probe_k_for, STRESS_x100_r8): single-bit
+    multi-probe pair recall saturates past 9 planes (0.599 at 11
+    planes / 200k vectors), and a loose-threshold pair (~66° apart at
+    cosine 0.35) co-locates in NO corpus-wide angular structure — cells
+    read 0.106 there.  There is no sub-quadratic structure that finds
+    them all; the scale-out is therefore EXPLICIT sharding with a
+    quantified miss:
+
+    - shard = md5-60(salted vec_id) % S with S = ceil(n / SHARD_TARGET),
+      so each shard's plane count n_planes_for(ceil(n/S)) stays ≤ 9 and
+      the per-shard recall floor is the MEASURED in-envelope one (≥0.8).
+    - a pair is emitted iff both members land in the same shard AND the
+      in-shard SRP gate finds it: recall ≈ (1/S) × in-shard recall.
+      The cross-shard miss (S-1)/S is STRUCTURAL, deterministic in
+      expectation, and reported in-band by ``sharded_recall_report`` —
+      not silently absorbed.  Because shards are uniform random over
+      pairs, the found set is an UNBIASED ~1/S sample of the loose-pair
+      population: duplicate-rate estimation, diversity scoring, and
+      stratified subsampling read it directly with a 1/S correction.
+      Pair ENUMERATION at loose thresholds needs the tight cascade
+      (``semantic_pairs_cascade``) — tight pairs (the actual duplicate
+      regime) are recovered corpus-wide by the cell path at any scale.
+
+    Execution shape: the shard id FOLDS into the bucket key
+    (bucket·S + shard — injective, so same-key ⟺ same (bucket, shard)),
+    which makes the whole thing the ordinary bucketed self-join with a
+    wider key: no per-shard plan copies, no driver loop, S can be
+    thousands on a real cluster and the plan is unchanged.  Hot-bucket
+    caps apply per (table, bucket, shard) — i.e. per shard, matching a
+    per-shard ``semantic_pairs`` run.  Bit-flip probes are computed on
+    the UNFOLDED bucket inside the UDF, then folded, so probes stay
+    within shard by construction.
+
+    Fully deterministic (md5 shards + md5 hyperplanes + integer-cosine
+    verify) — replays bit-for-bit in the DuckDB oracle, so the registry
+    entry is HASH-GATED, unlike the float-centroid cell path."""
+    from ..util import bounded_cache
+
+    n_corpus = memo_count(emb)
+    if n_shards is None:
+        n_shards = n_shards_for(n_corpus, shard_target)
+    if n_planes is None:
+        shard_size = -(-n_corpus // n_shards)
+        n_planes = n_planes_for(shard_size)
+    _warn_if_past_pair_envelope(n_planes)  # only an explicit override can trip it
+    k = probe_k_for(n_planes)
+
+    def fold() -> Column:
+        return F.col("bucket").cast("long") * n_shards + shard_expr(n_shards)
+
+    if k == 0:
+        capped = _cap_buckets(
+            _srp_bucketed(emb, dim, n_planes).withColumn("bucket", fold()),
+            max_bucket,
+        )
+        a, b = capped.alias("a"), capped.alias("b")
+        raw = a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        return _verified_pairs_auto(raw, emb, threshold, n_corpus)
+    allb = bounded_cache(
+        _srp_probed(emb, dim, n_planes, k).withColumn("bucket", fold())
+    )
+    home = allb.filter(F.col("slot") == 0).drop("slot")
+    capped = _cap_buckets(home, max_bucket)
+    surv = capped.select("vec_id", "table_id")
+    a = allb.drop("slot").join(surv, ["vec_id", "table_id"]).alias("a")
+    b = capped.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.table_id") == F.col("b.table_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_a"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id_b"),
+    )
+    return _verified_pairs_auto(raw, emb, threshold, n_corpus)
+
+
+def dedup_semantic_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the sharded pair pipeline with GATE_SHARDS forced
+    (gate corpora fit one shard; a forced S=4 makes the shard fold, the
+    per-shard caps, and the per-shard plane count all REAL under the
+    hash gate).  Hash-gated: the whole chain is md5/integer arithmetic,
+    mirrored CTE-for-CTE by ``_sharded_pair_sql``."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_pairs_sharded(emb, dim, n_shards=GATE_SHARDS)
+
+
+QUERIES["dedup_semantic_sharded"] = dedup_semantic_sharded
+
+
+def _sharded_pair_sql(n_shards: int) -> str:
+    """DuckDB twin of ``semantic_pairs_sharded`` at a FIXED shard count —
+    the shared _SRP_* CTE chain (which it must track) with (a) the plane
+    count derived from ceil(n / S) instead of n, and (b) a shard column
+    carried through buckets/caps/probes and added to the join keys
+    (equivalent to the Spark side's injective bucket·S + shard fold)."""
+    shard = (
+        "CAST(('0x' || substr(md5('shard_' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {n_shards} AS INTEGER)"
+    )
+    return f'''
+        WITH np AS (
+          SELECT LEAST(GREATEST(CAST((SELECT count(*) FROM range(0, 62) r(i)
+                   WHERE (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))
+                         < (SELECT (((count(*) + {n_shards - 1}) // {n_shards})
+                                    + {TARGET_OCCUPANCY - 1})
+                                   // {TARGET_OCCUPANCY} FROM embeddings))
+                 AS INTEGER), 1), 30) AS p
+        ), dims AS (
+          SELECT len(embedding) AS d FROM embeddings LIMIT 1
+        ), pl AS (
+          SELECT t.generate_series AS t, p.generate_series AS p,
+                 list_transform(range(0, (SELECT d FROM dims)),
+                   i -> ((('0x' || substr(md5(
+                       CAST(t.generate_series AS VARCHAR) || '_'
+                       || CAST(p.generate_series AS VARCHAR) || '_'
+                       || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                     % 2001) - 1000)) AS pl
+          FROM generate_series(0, {N_TABLES - 1}) t,
+               (SELECT CAST(r.i AS INTEGER) AS generate_series
+                FROM range(0, 62) r(i)
+                WHERE r.i < (SELECT p FROM np)) p
+        ), qv AS (
+          SELECT vec_id, {shard} AS shard,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ), dots AS (
+          SELECT q.vec_id, q.shard, pl.t, pl.p,
+                 list_dot_product(q.qv, pl.pl) AS dot
+          FROM qv q CROSS JOIN pl
+        ), buckets AS (
+          SELECT vec_id, shard, t,
+                 CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, shard, t
+        ), capped AS (
+          SELECT vec_id, shard, t, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY shard, t, bucket) AS bn
+            FROM buckets
+          ) WHERE bn <= {SEM_MAX_BUCKET}
+        ), pk AS (
+          SELECT CASE WHEN (SELECT p FROM np) <= 4 THEN 0
+                      WHEN (SELECT p FROM np) <= 8 THEN 2
+                      ELSE 4 END AS k
+        ), probes AS (
+          SELECT vec_id, shard, t, bucket FROM capped
+          UNION ALL
+          SELECT c.vec_id, c.shard, c.t, xor(c.bucket, CAST(1 AS BIGINT) << d.p)
+          FROM capped c JOIN (
+            SELECT vec_id, t, p,
+                   row_number() OVER (PARTITION BY vec_id, t
+                                      ORDER BY abs(dot), p) AS rk
+            FROM dots
+          ) d ON d.vec_id = c.vec_id AND d.t = c.t
+          WHERE d.rk <= (SELECT k FROM pk)
+        ), cand AS (
+          SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS va,
+                          GREATEST(a.vec_id, b.vec_id) AS vb
+          FROM probes a JOIN capped b
+            ON a.shard = b.shard AND a.t = b.t AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id
+        ), n AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS norm2 FROM qv
+        ), pairs AS (
+          SELECT va, vb,
+                 list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                   AS cosine
+          FROM cand
+          JOIN n a ON a.vec_id = cand.va
+          JOIN n b ON b.vec_id = cand.vb
+          WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2))
+                  >= {SEM_THRESHOLD}
+        )
+        SELECT va AS vec_id_a, vb AS vec_id_b, cosine FROM pairs
+    '''
+
+
+ORACLE["dedup_semantic_sharded"] = _sharded_pair_sql(GATE_SHARDS)
+
+
+def semantic_pairs_cascade(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = SEM_THRESHOLD,
+    tight_threshold: float = CELL_TIGHT_COSINE,
+    shard_target: int = SHARD_TARGET,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """The documented past-envelope CASCADE, as one operator: a TIGHT
+    pass corpus-wide via the IVF cell path (``semantic_pairs_cells`` —
+    no plane count to grow; 0.976 tight-pair recall measured at 200k
+    vectors, corpus-size-independent constant) UNIONED with a LOOSE
+    pass per random shard (``semantic_pairs_sharded`` — each shard
+    inside the measured SRP recall envelope).
+
+    What each leg buys at 100 TB: the tight leg enumerates the actual
+    DUPLICATE regime (cosine ≥ tight_threshold) at any corpus size —
+    that is the set SemDeDup-style pruning deletes, so it must be
+    (and is) corpus-wide.  The loose leg contributes an unbiased ~1/S
+    sample of the merely-SIMILAR population for rate estimation and
+    diversity scoring; its structural cross-shard miss is measured
+    in-band by ``sharded_recall_report``, never silently absorbed.
+
+    Output: one row per found pair with the exact cosine and which
+    pass(es) produced it — ``tight_pass`` / ``shard_pass`` flags (the
+    cosines agree bit-for-bit where both fire: both legs share the one
+    integer-cosine verify kernel).  Rows-only under the gate: the cell
+    leg's float k-means centroids have no engine-portable replay (the
+    sharded leg alone is the hash-gated entry)."""
+    tight = semantic_pairs_cells(emb, dim, threshold=tight_threshold)
+    loose = semantic_pairs_sharded(
+        emb, dim, threshold=threshold,
+        shard_target=shard_target, n_shards=n_shards,
+    )
+    t = tight.select(
+        "vec_id_a", "vec_id_b", F.col("cosine").alias("cos_t")
+    )
+    l = loose.select(
+        "vec_id_a", "vec_id_b", F.col("cosine").alias("cos_l")
+    )
+    return t.join(l, ["vec_id_a", "vec_id_b"], "full").select(
+        "vec_id_a",
+        "vec_id_b",
+        F.coalesce("cos_t", "cos_l").alias("cosine"),
+        F.col("cos_t").isNotNull().alias("tight_pass"),
+        F.col("cos_l").isNotNull().alias("shard_pass"),
+    )
+
+
+def dedup_semantic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only: float centroids in the cell leg; the
+    in-band evidence lives in ``sim_sharded_recall_report``, floor-pinned
+    in pytest).  GATE_SHARDS forced, as in ``dedup_semantic_sharded``."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_pairs_cascade(emb, dim, n_shards=GATE_SHARDS)
+
+
+QUERIES["dedup_semantic_cascade"] = dedup_semantic_cascade
+
+
+def sharded_recall_report(
+    emb: DataFrame,
+    dim: int,
+    *,
+    mod: int | None = None,
+    threshold: float = SEM_THRESHOLD,
+    tight_threshold: float = CELL_TIGHT_COSINE,
+    shard_target: int = SHARD_TARGET,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Stratified recall of the sharded cascade against exact sample
+    ground truth — the instrument that turns the sharding design's
+    promises into measured numbers (the ``cell_recall_report``
+    discipline: production config over an md5-mod sample; shard
+    assignment is a pure function of vec_id, so the sample shards
+    EXACTLY as the full corpus does, and full-corpus centroids assign
+    the sample's cells).
+
+    One row, three claims:
+    - ``recall_within_shard``: of exact loose pairs whose members share
+      a shard, the fraction the in-shard SRP gate finds — must hold the
+      in-envelope ≥0.8 floor at ANY corpus size (each shard is inside
+      the measured envelope by construction; pinned in pytest).
+    - ``recall_tight``: of exact TIGHT pairs (the duplicate regime),
+      the fraction the cascade (cells ∪ shards) finds corpus-wide —
+      the ≥0.8 acceptance the handoff claims.
+    - ``cross_shard_miss_rate``: exact loose pairs in DIFFERENT shards
+      that the cascade still missed, over all exact pairs — the
+      structural (S-1)/S loss, REPORTED rather than silently absorbed
+      (cells claw back the tight subset of it, so the measured miss
+      sits below the structural bound)."""
+    from .dedup import _auto_mod, embedding_near_dup_pairs
+    from ..util import bounded_cache
+
+    n_corpus = memo_count(emb)
+    if mod is None:
+        mod = _auto_mod(n_corpus)
+    if n_shards is None:
+        n_shards = n_shards_for(n_corpus, shard_target)
+    n_planes = n_planes_for(-(-n_corpus // n_shards))
+    key = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = bounded_cache(emb.filter(key % mod == 0))
+    exact = embedding_near_dup_pairs(sample, threshold=threshold, max_rows=None)
+    sh = (
+        semantic_pairs_sharded(
+            sample, dim, threshold=threshold,
+            n_shards=n_shards, n_planes=n_planes,
+        )
+        .select("vec_id_a", "vec_id_b")
+        .withColumn("_s", F.lit(1))
+    )
+    k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
+    cents = fit_ivf_centroids(emb, k_clusters)
+    cells = (
+        _semantic_pairs_cells_with(
+            sample, cents, tight_threshold, memo_count(sample)
+        )
+        .select("vec_id_a", "vec_id_b")
+        .withColumn("_c", F.lit(1))
+    )
+    same_shard = shard_expr(n_shards, "vec_id_a") == shard_expr(
+        n_shards, "vec_id_b"
+    )
+    tight = F.col("cosine") >= tight_threshold
+    found = F.col("_s").isNotNull() | F.col("_c").isNotNull()
+    counts = (
+        exact.join(sh, ["vec_id_a", "vec_id_b"], "left")
+        .join(cells, ["vec_id_a", "vec_id_b"], "left")
+        .withColumn("same_shard", same_shard)
+        .agg(
+            F.count("*").cast("long").alias("n_exact_pairs"),
+            F.count(F.when(F.col("same_shard"), 1))
+            .cast("long").alias("n_same_shard"),
+            F.count(F.when(F.col("same_shard"), F.col("_s")))
+            .cast("long").alias("n_shard_found"),
+            F.count(F.when(tight, 1)).cast("long").alias("n_exact_tight"),
+            F.count(F.when(tight & found, 1))
+            .cast("long").alias("n_tight_found"),
+            F.count(F.when(found, 1)).cast("long").alias("n_cascade_found"),
+            F.count(F.when(~F.col("same_shard") & ~found, 1))
+            .cast("long").alias("n_cross_missed"),
+        )
+    )
+    nsamp = sample.agg(F.count("*").cast("long").alias("n_sample_vecs"))
+
+    def ratio(num: str, den: str):
+        return (
+            F.when(F.col(den) == 0, F.lit(1.0))
+            .otherwise(F.col(num).cast("double") / F.col(den).cast("double"))
+        )
+
+    return counts.crossJoin(F.broadcast(nsamp)).select(
+        "n_sample_vecs",
+        F.lit(n_shards).cast("int").alias("n_shards"),
+        F.lit(n_planes).cast("int").alias("planes_per_shard"),
+        "n_exact_pairs",
+        "n_same_shard",
+        "n_shard_found",
+        ratio("n_shard_found", "n_same_shard").alias("recall_within_shard"),
+        "n_exact_tight",
+        "n_tight_found",
+        ratio("n_tight_found", "n_exact_tight").alias("recall_tight"),
+        "n_cascade_found",
+        ratio("n_cascade_found", "n_exact_pairs").alias("recall_overall"),
+        "n_cross_missed",
+        F.when(F.col("n_exact_pairs") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_cross_missed").cast("double")
+            / F.col("n_exact_pairs").cast("double")
+        )
+        .alias("cross_shard_miss_rate"),
+    )
+
+
+def sim_sharded_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only: the cells leg's float centroids — same
+    inherent reason as sim_cell_recall_report; the recall columns ARE
+    the in-band evidence, floor-pinned in pytest).  GATE_SHARDS forced
+    so cross-shard structure exists at gate scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return sharded_recall_report(emb, dim, n_shards=GATE_SHARDS)
+
+
+QUERIES["sim_sharded_recall_report"] = sim_sharded_recall_report

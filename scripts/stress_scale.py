@@ -388,6 +388,37 @@ def knn_recall_stress(spark, big_dir: str, factor: int) -> dict:
     return out
 
 
+def sharded_recall_stress(spark, big_dir: str, factor: int) -> dict:
+    """Measured stratified recall of the sharded cascade at stress scale
+    (VERDICT r8 #1: turn the past-envelope warning into an operator).
+    At each scale the PRODUCTION shard count S = ceil(n / SHARD_TARGET)
+    applies — 1 shard at 1x/10x (inside the envelope, sharding inert),
+    4 shards at 100x (past it, sharding live) — and the report records
+    within-shard recall (must hold the in-envelope >=0.8 floor at ANY
+    scale), tight-pair cascade recall (the cells handoff), and the
+    measured cross-shard miss rate against its structural (S-1)/S
+    bound."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        n_shards_for,
+        sharded_recall_report,
+    )
+
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        n = emb.count()
+        t0 = time.time()
+        row = sharded_recall_report(emb, dim).first().asDict()
+        row["t"] = round(time.time() - t0, 2)
+        row["n_corpus"] = n
+        row["structural_bound"] = round(
+            (n_shards_for(n) - 1) / n_shards_for(n), 3
+        )
+        out[tag] = row
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     targets = sys.argv[2:] or STRESS
@@ -464,6 +495,8 @@ def main() -> None:
         results["jaccard_lowdensity"] = jaccard_lowdensity_stress(spark, factor)
     if not sys.argv[2:] or "cell_recall" in sys.argv[2:]:
         results["cell_recall"] = cell_recall_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "sharded_recall" in sys.argv[2:]:
+        results["sharded_recall"] = sharded_recall_stress(spark, big_dir, factor)
     print(json.dumps({"factor": factor, "results": results}))
 
 

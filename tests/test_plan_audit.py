@@ -59,6 +59,9 @@ ALLOWED = {
     # sample quadratic ground truth + 1-row recall counts — the exact
     # srp_recall_report pattern, stratified (r8)
     "sim_cell_recall_report": {"BNLJ", "SinglePartition"},
+    # r9: sample quadratic ground truth + 1-row stratified recall counts —
+    # the same bounded pattern as the srp/cell recall reports
+    "sim_sharded_recall_report": {"BNLJ", "SinglePartition"},
 }
 
 

@@ -551,3 +551,142 @@ def test_cell_recall_report_floors(spark, sf):
     assert row["n_exact_pairs"] >= 0 and row["n_cell_found"] <= row["n_exact_pairs"]
     assert row["recall"] >= 0.85, row.asDict()
     assert 0.0 <= row["recall_tight"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Sharded semantic dedup (r9: the past-envelope scale-out)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_one_shard_is_identity(spark, sf_dir):
+    """S=1 sharding must be EXACTLY semantic_pairs: the fold becomes
+    bucket·1 + 0 and every pair is same-shard — any divergence means the
+    fold or cap semantics drifted from the unsharded pipeline."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        semantic_pairs,
+        semantic_pairs_sharded,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    def pset(df):
+        return {(r["vec_id_a"], r["vec_id_b"], r["cosine"]) for r in df.collect()}
+
+    base = pset(semantic_pairs(emb, dim))
+    sharded = pset(semantic_pairs_sharded(emb, dim, n_shards=1))
+    assert base == sharded
+    assert base
+
+
+def test_sharded_equals_union_of_per_shard_runs(spark, sf_dir):
+    """The definitional property: the one-plan sharded pipeline must
+    equal the union of an independent semantic_pairs run over each
+    shard's subset (same plane count).  This pins that the folded bucket
+    key really partitions candidate generation, capping, and probing
+    per shard — the claim the 100 TB design rests on."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        n_planes_for,
+        semantic_pairs,
+        semantic_pairs_sharded,
+        shard_expr,
+    )
+
+    S = 3
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n = emb.count()
+    planes = n_planes_for(-(-n // S))
+    def pset(df):
+        return {(r["vec_id_a"], r["vec_id_b"], r["cosine"]) for r in df.collect()}
+
+    sharded = pset(semantic_pairs_sharded(emb, dim, n_shards=S, n_planes=planes))
+    per_shard = set()
+    for s in range(S):
+        sub = emb.filter(shard_expr(S) == s)
+        per_shard |= pset(semantic_pairs(sub, dim, n_planes=planes))
+    assert sharded == per_shard
+    assert sharded
+
+
+def test_sharded_pairs_are_same_shard_only(spark, sf_dir):
+    """Every emitted pair's members share a shard (the structural
+    contract the miss-rate accounting depends on)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        GATE_SHARDS,
+        semantic_pairs_sharded,
+        shard_expr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = semantic_pairs_sharded(emb, dim, n_shards=GATE_SHARDS)
+    cross = pairs.filter(
+        shard_expr(GATE_SHARDS, "vec_id_a")
+        != shard_expr(GATE_SHARDS, "vec_id_b")
+    )
+    assert cross.count() == 0
+
+
+def test_cascade_flags_and_leg_consistency(spark, sf_dir):
+    """Cascade rows: every shard_pass pair appears in the sharded leg's
+    own output; every tight_pass row carries cosine ≥ the tight bar;
+    every row has at least one flag set."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        CELL_TIGHT_COSINE,
+        GATE_SHARDS,
+        semantic_pairs_cascade,
+        semantic_pairs_sharded,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    casc = semantic_pairs_cascade(emb, dim, n_shards=GATE_SHARDS).cache()
+    assert casc.filter(~F.col("tight_pass") & ~F.col("shard_pass")).count() == 0
+    assert (
+        casc.filter(
+            F.col("tight_pass") & (F.col("cosine") < CELL_TIGHT_COSINE)
+        ).count()
+        == 0
+    )
+    shard_leg = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_sharded(emb, dim, n_shards=GATE_SHARDS)
+        .select("vec_id_a", "vec_id_b").collect()
+    }
+    flagged = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in casc.filter(F.col("shard_pass"))
+        .select("vec_id_a", "vec_id_b").collect()
+    }
+    assert flagged == shard_leg
+    casc.unpersist()
+
+
+def test_sharded_recall_report_floors(spark):
+    """Gate-scale floors for the in-band instrument (sf0.01, GATE_SHARDS):
+    within-shard recall must hold the in-envelope ≥0.8 floor, tight
+    recall the cascade's ≥0.8 acceptance, and the measured cross-shard
+    miss can never exceed the structural (S-1)/S bound (cells can only
+    claw pairs BACK from it)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        GATE_SHARDS,
+        sim_sharded_recall_report,
+    )
+
+    row = (
+        sim_sharded_recall_report(spark, "/root/testdata/sf0.01")
+        .first()
+        .asDict()
+    )
+    assert row["n_exact_pairs"] > 0, "degenerate sample: no ground truth"
+    assert row["n_same_shard"] > 0, "degenerate sharding: no same-shard pairs"
+    assert row["recall_within_shard"] >= 0.8, row
+    assert row["recall_tight"] >= 0.8, row
+    structural = (GATE_SHARDS - 1) / GATE_SHARDS
+    assert row["cross_shard_miss_rate"] <= structural + 1e-9, row

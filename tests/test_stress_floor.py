@@ -61,6 +61,36 @@ def test_stress_artifacts_hold_recall_floor():
                         (os.path.basename(path), "cell_tight", scale,
                          round(row["recall_tight"], 3))
                     )
+        # sharded_recall (r9): the past-envelope scale-out's three claims
+        # (see sharded_recall_report) — within-shard recall holds the
+        # in-envelope floor at ANY scale, tight cascade recall holds 0.8,
+        # and the measured cross-shard miss never exceeds its structural
+        # (S-1)/S bound
+        shr = data.get("results", {}).get("sharded_recall")
+        if isinstance(shr, dict):
+            for scale, row in shr.items():
+                if not isinstance(row, dict) or "recall_within_shard" not in row:
+                    continue
+                if row.get("n_same_shard", 0) > 0:
+                    assert row["recall_within_shard"] >= RECALL_FLOOR, (
+                        f"{os.path.basename(path)} sharded_recall[{scale}] "
+                        f"within-shard {row['recall_within_shard']} < {RECALL_FLOOR}"
+                    )
+                if row.get("n_exact_tight", 0) > 0:
+                    assert row["recall_tight"] >= RECALL_FLOOR, (
+                        f"{os.path.basename(path)} sharded_recall[{scale}] "
+                        f"tight {row['recall_tight']} < {RECALL_FLOOR}"
+                    )
+                bound = row.get("structural_bound")
+                if bound is not None:
+                    assert row["cross_shard_miss_rate"] <= bound + 1e-9, (
+                        f"{os.path.basename(path)} sharded_recall[{scale}] "
+                        f"miss {row['cross_shard_miss_rate']} > structural {bound}"
+                    )
+                checked.append(
+                    (os.path.basename(path), "sharded_within", scale,
+                     round(row["recall_within_shard"], 3))
+                )
         for section in ("srp_recall", "knn_recall"):
             rec = data.get("results", {}).get(section)
             if not isinstance(rec, dict):
