@@ -2957,15 +2957,68 @@ def multi_signal_components(docs: DataFrame) -> DataFrame:
     edge-induced subgraph.  Deterministic end to end, so the ensemble
     sits under the same hash gate as its parts.
     """
-    from .dedup import simhash_pairs
+    from .dedup import (
+        _bands_from_sig,
+        _candidates_from_bands,
+        _simhash_pairs_from_sketch,
+        dual_sketch_udf,
+        verify_pairs_jaccard,
+    )
 
-    jac = minhash_verified_pairs(docs, n=3, threshold=0.5).select(
+    # ONE corpus scan, ONE tokenize (r9, VERDICT r8 #4): the dual-sketch
+    # UDF computes both signatures per Arrow batch and the cached sketch
+    # relation forks into the two (unchanged) band pipelines — the two
+    # chains previously each re-read and re-tokenized the corpus.
+    dual = dual_sketch_udf(3)
+    sketch = bounded_cache(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", dual(F.col("text")).alias("d"))
+        .select(
+            "doc_id",
+            F.col("d.sig").alias("sig"),
+            F.col("d.simhash").alias("simhash"),
+        )
+    )
+    sig = sketch.filter(F.size("sig") > 0).select("doc_id", "sig")
+    jac = verify_pairs_jaccard(
+        _candidates_from_bands(_bands_from_sig(sig), max_bucket=64),
+        docs,
+        n=3,
+        threshold=0.5,
+    ).select("doc_id_a", "doc_id_b")
+    sh = sketch.filter(F.col("simhash").isNotNull()).select("doc_id", "simhash")
+    # COMPONENT-EQUIVALENT compression of the SimHash leg (r9): the
+    # Hamming graph factors through sketch VALUES — docs sharing a
+    # sketch are a guaranteed clique (Hamming 0), and every cross-sketch
+    # doc edge is the same sketch-pair edge repeated |A|·|B| times.  For
+    # CC, star each identical-sketch group to its min-id rep (a real
+    # Hamming-0 edge) and Hamming-join the DISTINCT sketches once; the
+    # compressed set is a subset of the verified edges with identical
+    # connectivity.  Measured at 10× stress: 8.48M verified doc edges →
+    # ~13k stars + rep pairs over 37k distinct sketches; the CC loop
+    # stops paying for clique re-statement.  The full pair ENUMERATION
+    # (``dedup_simhash_pairs``) is untouched — this is the CC feed only.
+    groups = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    stars = (
+        sh.join(groups, "simhash")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b")
+        )
+    )
+    reps = bounded_cache(
+        groups.select(F.col("rep").alias("doc_id"), "simhash")
+    )
+    rep_pairs = _simhash_pairs_from_sketch(reps, max_hamming=3).select(
         "doc_id_a", "doc_id_b"
     )
-    sim = simhash_pairs(docs, max_hamming=3).select("doc_id_a", "doc_id_b")
-    comp = connected_components(
-        docs.select("doc_id"), jac.unionByName(sim).distinct()
-    )
+    sim = rep_pairs.unionByName(stars)
+    # NO distinct on the union: min-label propagation is insensitive to
+    # duplicate edges (every aggregation is a min), the only dups are the
+    # jac∩sim overlap (bounded 2×), and the distinct was a full exchange
+    # of the edge set — 8.7M rows at 10× stress — bought for nothing the
+    # CC loop doesn't already absorb.
+    comp = connected_components(docs.select("doc_id"), jac.unionByName(sim))
     return comp.select(
         "doc_id",
         "component",

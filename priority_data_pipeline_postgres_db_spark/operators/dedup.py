@@ -302,6 +302,14 @@ def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
     # self-join.  At cluster scale this is persist(MEMORY_AND_DISK) on the
     # signature table — hash the corpus once, reuse everywhere.
     sig = bounded_cache(sig)
+    return _bands_from_sig(sig)
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
+    """Band rows from an ALREADY-computed (and cached/filtered) signature
+    relation — split out (r9) so a caller that computes signatures in a
+    shared scan (``corpus.multi_signal_components``' dual-sketch pass)
+    feeds the identical band build the standalone path uses."""
     n_bands = _N_HASHES // _BAND_ROWS
     # band key = the raw band slice joined as a string (NOT F.hash, whose
     # murmur has no DuckDB twin): engine-portable, and an equi-join on a
@@ -333,7 +341,13 @@ def minhash_candidate_pairs(
     failure; capped buckets trade a little recall for bounded work, and AQE
     skew-split handles the moderate ones).
     """
-    bands = minhash_bands(docs, n)
+    return _candidates_from_bands(minhash_bands(docs, n), max_bucket)
+
+
+def _candidates_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Capped LSH self-join over an already-built band relation — split
+    out (r9) for shared-scan callers; semantics identical to
+    ``minhash_candidate_pairs``."""
     counts = bands.groupBy("band_id", "band_key").count()
     bands = bands.join(
         F.broadcast(counts.filter(F.col("count") > max_bucket)),
@@ -587,6 +601,71 @@ def simhash_udf():
     return _sim
 
 
+def dual_sketch_udf(n: int, n_hashes: int = _N_HASHES):
+    """text → struct(sig array<long>, simhash long): BOTH sketches from
+    ONE tokenize in ONE Arrow pass (r9, VERDICT r8 #4).  The MinHash and
+    SimHash chains each re-read and re-tokenized the corpus through
+    their own pandas UDF; an ensemble consumer
+    (``corpus.multi_signal_components``) pays the scan, the Arrow
+    transfer, and ``text.lower().split()`` once and forks the cached
+    sketch relation into both band pipelines.  Value-parity with
+    ``minhash_signature_udf`` and ``simhash_udf`` is pinned in pytest —
+    the per-field kernels below are the same operations on the same
+    token stream (shingle-set md5-60 affine-min; distinct-token md5-60
+    sign bits)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    params = _affine_params(n_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    bit_idx = np.arange(_SIM_BITS, dtype=np.int64)
+    empty = np.array([], dtype=np.int64)
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sig", T.ArrayType(T.LongType())),
+                T.StructField("simhash", T.LongType()),
+            ]
+        )
+    )
+    def _dual(texts: pd.Series) -> pd.DataFrame:
+        sigs, shs = [], []
+        for text in texts:
+            toks = text.lower().split() if text else []
+            # minhash leg (minhash_signature_udf verbatim)
+            if len(toks) < n:
+                sigs.append(empty)
+            else:
+                shingles = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                h60 = np.fromiter(
+                    (_md5_60(s) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                h = (h60 & 0x7FFFFFFF)[None, :]
+                sigs.append(((a_vec * h + b_vec) % _MERSENNE).min(axis=1))
+            # simhash leg (simhash_udf verbatim)
+            uniq = sorted(set(toks))
+            if not uniq:
+                shs.append(None)
+            else:
+                hu = np.fromiter(
+                    (_md5_60(t) for t in uniq), dtype=np.int64, count=len(uniq)
+                )
+                bits = ((hu[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
+                counts = (bits * 2 - 1).sum(axis=0)
+                packed = 0
+                for b in np.nonzero(counts > 0)[0]:
+                    packed |= 1 << int(b)
+                shs.append(packed)
+        return pd.DataFrame({"sig": sigs, "simhash": shs})
+
+    return _dual
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-≤k candidate pairs via 15-bit chunk banding (exact for k≤3:
     with 4 chunks, distance ≤3 forces one identical chunk), then exact
@@ -598,6 +677,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("simhash").isNotNull())
     )
     sh = bounded_cache(sh)
+    return _simhash_pairs_from_sketch(sh, max_hamming)
+
+
+def _simhash_pairs_from_sketch(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """Chunk-banded Hamming join over an already-computed (cached,
+    null-filtered) sketch relation — split out (r9) for shared-scan
+    callers; semantics identical to ``simhash_pairs``."""
     chunks = F.array(
         *[
             F.struct(

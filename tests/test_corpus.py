@@ -978,3 +978,74 @@ def test_bloom_bits_no_false_negatives():
     probe = rng.integers(-(2**62), 2**62, size=200_000, dtype=np.int64)
     probe = np.setdiff1d(probe, keys)
     assert might(probe).mean() < 0.01
+
+
+# ---------------------------------------------------------------------------
+# multi-signal ensemble (r9 shared scan + component-equivalent compression)
+# ---------------------------------------------------------------------------
+
+
+def test_dual_sketch_udf_matches_standalone_udfs(spark, sf_dir):
+    """The shared-scan dual sketch must be VALUE-identical to the two
+    standalone UDFs on every document — any drift silently changes the
+    ensemble's candidate sets."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        dual_sketch_udf,
+        minhash_signature_udf,
+        simhash_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dual = docs.select(
+        "doc_id", dual_sketch_udf(3)(F.col("text")).alias("d")
+    ).select("doc_id", F.col("d.sig").alias("sig"), F.col("d.simhash").alias("sh"))
+    mh = docs.select(
+        "doc_id", minhash_signature_udf(3)(F.col("text")).alias("sig")
+    )
+    sh = docs.select("doc_id", simhash_udf()(F.col("text")).alias("sh"))
+    d = {r["doc_id"]: (list(r["sig"]), r["sh"]) for r in dual.collect()}
+    m = {r["doc_id"]: list(r["sig"]) for r in mh.collect()}
+    s = {r["doc_id"]: r["sh"] for r in sh.collect()}
+    assert set(d) == set(m) == set(s)
+    for k in d:
+        assert d[k][0] == m[k], f"minhash sig drift at doc {k}"
+        assert d[k][1] == s[k], f"simhash drift at doc {k}"
+
+
+def test_multi_signal_matches_naive_union(spark, sf_dir):
+    """The sketch-compressed CC feed (identical-sketch stars + rep-level
+    Hamming pairs) must produce EXACTLY the components of the naive
+    union (full verified Jaccard ∪ full verified SimHash pairs,
+    distinct) — the compression is claimed connectivity-equivalent, so
+    pin it against the straightforward implementation."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        connected_components,
+        multi_signal_components,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import (
+        minhash_verified_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["component"], r["survivor"])
+        for r in multi_signal_components(docs).collect()
+    }
+    jac = minhash_verified_pairs(docs, n=3, threshold=0.5).select(
+        "doc_id_a", "doc_id_b"
+    )
+    sim = simhash_pairs(docs, max_hamming=3).select("doc_id_a", "doc_id_b")
+    naive = connected_components(
+        docs.select("doc_id"), jac.unionByName(sim).distinct()
+    )
+    want = {
+        (r["doc_id"], r["component"], r["doc_id"] == r["component"])
+        for r in naive.collect()
+    }
+    assert got == want
+    assert got  # non-degenerate fixture
