@@ -419,6 +419,138 @@ def sharded_recall_stress(spark, big_dir: str, factor: int) -> dict:
     return out
 
 
+def pipeline_full_cycle_stress(spark, big_dir: str, factor: int) -> dict:
+    """The composed reference lifecycle, timed end-to-end at stress scale
+    (VERDICT r8 #5): config + schema registry -> FULL refresh (source
+    read -> ingest normalization -> audit columns -> atomic batch-commit
+    staging) -> watermark restore -> INCREMENTAL refresh (watermark
+    filter + idempotent dedup-append) -> a star rollup over the landed
+    table -> watermark-advance verification.  Every stage is the
+    already-verified operator; this times the COMPOSITION, which is the
+    reference's actual workload (SURVEY 3.1) and was previously only
+    e2e-tested at sf0.001."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.plans.pipeline import (
+        ParquetEntitySource,
+        Pipeline,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import (
+        ControlStore,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.metadata import (
+        SchemaRegistry,
+    )
+
+    edmx = """<edmx:Edmx xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx" Version="4.0">
+ <edmx:DataServices><Schema xmlns="http://docs.oasis-open.org/odata/ns/edm">
+  <EntityType Name="EVENTS"><Key><PropertyRef Name="EVENT_ID"/></Key>
+   <Property Name="EVENT_ID" Type="Edm.Int64"/>
+   <Property Name="TS" Type="Edm.DateTimeOffset"/>
+   <Property Name="VALUE" Type="Edm.Decimal"/>
+  </EntityType></Schema></edmx:DataServices></edmx:Edmx>"""
+
+    # factor-x events with remapped ids and the SAME ts distribution, so
+    # the watermark filter selects the same fraction at any scale
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.count()
+    if not os.path.isfile(os.path.join(big_dir, "events.parquet", "_SUCCESS")):
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        (
+            ev.crossJoin(reps)
+            .withColumn(
+                "event_id", F.col("event_id") + F.col("rep") * (n_ev * 10)
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{big_dir}/events.parquet")
+        )
+
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        tmp = tempfile.mkdtemp(prefix="pipe_cycle_")
+        try:
+            control = ControlStore(os.path.join(tmp, "control.json"))
+            cfg = {
+                "datasourceName": "t",
+                "uri": "unused://",
+                "accountID": "stress001",
+                "systemTimezone": "UTC",
+                "sourceSystem": "priority",
+                "entities": [
+                    {
+                        "EntityID": "EVENTS",
+                        "filterFlag": True,
+                        "filterField": "ts",
+                        "expand": [],
+                        "lastRun": "2024-01-20 00:00:00",
+                        "dataStartDate": "2024-01-01 00:00:00",
+                    }
+                ],
+            }
+            control.insert_config(cfg, datasource_id="ds1")
+            p = Pipeline(
+                spark,
+                control,
+                SchemaRegistry.from_edmx(edmx),
+                ParquetEntitySource(d),
+                StagingWarehouse(
+                    spark, os.path.join(tmp, "wh"), account_id="stress001"
+                ),
+                "ds1",
+            )
+            spark.catalog.clearCache()
+            t0 = time.time()
+            full = p.refresh_data(incremental=False)
+            t_full = time.time() - t0
+            assert not full.errors, full.errors
+            # full run advanced the watermark to "now"; restore a
+            # mid-range one so the incremental selects a real slice
+            control.update_last_run("ds1", "EVENTS", value="2024-01-20 00:00:00")
+            t0 = time.time()
+            inc = p.refresh_data(incremental=True)
+            t_inc = time.time() - t0
+            assert not inc.errors, inc.errors
+            # star rollup over the LANDED table (the downstream consumer)
+            t0 = time.time()
+            p.warehouse.read("events").groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day")
+            ).agg(
+                F.count("*").alias("n"), F.sum("value").alias("revenue")
+            ).write.format("noop").mode("overwrite").save()
+            t_star = time.time() - t0
+            # watermark advanced past the restore point by the inc run
+            wm = control.latest_config("ds1")["entities"][0]["lastRun"]
+            assert wm > "2024-01-20 00:00:00", wm
+            rows = full.total_records() + inc.total_records()
+            wall = t_full + t_inc + t_star
+            out[tag] = {
+                "rows_ingested": rows,
+                "t_full": round(t_full, 2),
+                "t_incremental": round(t_inc, 2),
+                "t_star_query": round(t_star, 2),
+                "wall": round(wall, 2),
+                "rows_per_s": int(rows / max(wall, 1e-9)),
+            }
+            print(
+                f"pipeline_full_cycle[{tag}]: {rows} rows in {wall:.2f}s"
+                f" ({int(rows / max(wall, 1e-9))} rows/s)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    r1, rb = out.get("1x"), out.get(f"{factor}x")
+    if r1 and rb:
+        out["ratio"] = round(rb["wall"] / max(r1["wall"], 1e-9), 1)
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     targets = sys.argv[2:] or STRESS
@@ -497,6 +629,8 @@ def main() -> None:
         results["cell_recall"] = cell_recall_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "sharded_recall" in sys.argv[2:]:
         results["sharded_recall"] = sharded_recall_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "pipeline_full_cycle" in sys.argv[2:]:
+        results["pipeline_full_cycle"] = pipeline_full_cycle_stress(spark, big_dir, factor)
     print(json.dumps({"factor": factor, "results": results}))
 
 
