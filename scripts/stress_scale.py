@@ -164,6 +164,10 @@ STRESS = [
     # r8: distributed batch GD — one map-side-combined aggregate per
     # round; the cost curve should be a clean linear scan multiple
     "q_quality_linreg",
+    # r9: the past-envelope scale-out — sharded loose pass (hash-gated
+    # pipeline, one plan at any S) and the tight-cells ∪ shard cascade
+    "dedup_semantic_sharded",
+    "dedup_semantic_cascade",
 ]
 
 
