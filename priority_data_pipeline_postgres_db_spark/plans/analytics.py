@@ -2778,3 +2778,176 @@ def _linreg_oracle(iters: int = LINREG_ITERS) -> str:
 
 
 ORACLE["q_quality_linreg"] = _linreg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact distributed Lloyd's k-means (r9)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 5
+KMEANS_K = 3  # the oracle unroll and the CASE assignment are written for 3
+
+
+def q_kmeans_docstats(
+    spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Distributed Lloyd's k-means under the full hash gate: cluster
+    documents on integer token-stat features (n_tokens, n_distinct,
+    n_chars) for ``iters`` rounds, engine-exact.  This is the TRAINING
+    LOOP of the IVF quantizer (operators/similarity.py:1256) made
+    bit-portable: there the centroids are float means over a sampled
+    corpus (inherently order-sensitive, hence that family is rows-only);
+    here every distance, assignment, and centroid update is an integer
+    op, so the full trajectory hash-matches a DuckDB unroll.
+
+    Execution shape is the ``q_quality_linreg`` primitive: per round ONE
+    map-side-combined aggregate over the corpus (conditional sums per
+    centroid — no shuffle wider than the final 1-row reduce), centroids
+    re-literalized on the driver.  Assignment is a pure map-side CASE
+    over K=3 literal centroids; ties break to the LOWEST cid on both
+    engines.  Centroid update is the truncated mean (``_tdiv_py``);
+    an emptied cluster keeps its previous centroid.  Init: the features
+    of the K smallest doc_ids (deterministic, no RNG).
+
+    Overflow headroom: sum(d2) needs n·3·max_coord² < 2^63 — at these
+    feature bounds (n_chars ≲ 10⁴) that is ~3·10¹⁰ docs per partition
+    sum; at 100 TB the per-round cost is one corpus scan + a 15-number
+    aggregate, and rounds are a small constant.
+
+    Output: one row per (iter, cid) with the STANDING centroid used for
+    that round's assignment, the resulting cluster size, and the total
+    inertia (sum of min squared distances) under those centroids."""
+    from ..operators.dedup import tokens_expr
+    from ..util import bounded_cache
+
+    docs = load(spark, sf_dir, "documents")
+    base = bounded_cache(
+        docs.select(
+            F.col("doc_id"),
+            F.size(tokens_expr()).cast("long").alias("x1"),
+            F.size(F.array_distinct(tokens_expr())).cast("long").alias("x2"),
+            F.col("n_chars").cast("long").alias("x3"),
+        )
+    )
+    k = KMEANS_K
+    init = base.orderBy("doc_id").limit(k).collect()  # bounded: K rows
+    cents = [(int(r["x1"]), int(r["x2"]), int(r["x3"])) for r in init]
+    rows = []
+    for it in range(iters + 1):
+        d = [
+            f"((x1-({c[0]}))*(x1-({c[0]})) + (x2-({c[1]}))*(x2-({c[1]}))"
+            f" + (x3-({c[2]}))*(x3-({c[2]})))"
+            for c in cents
+        ]
+        cid = (
+            f"(CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END)"
+        )
+        dmin = (
+            f"(CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN {d[0]} "
+            f"WHEN {d[1]} <= {d[2]} THEN {d[1]} ELSE {d[2]} END)"
+        )
+        exprs = [f"CAST(sum({dmin}) AS BIGINT) AS inertia"]
+        for j in range(k):
+            exprs.append(
+                f"CAST(sum(CASE WHEN {cid} = {j} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n{j}"
+            )
+            for fi, fn in enumerate(("x1", "x2", "x3")):
+                exprs.append(
+                    f"CAST(sum(CASE WHEN {cid} = {j} THEN {fn} ELSE 0 END)"
+                    f" AS BIGINT) AS s{j}_{fi}"
+                )
+        agg = base.selectExpr(*exprs).first()
+        inertia = int(agg["inertia"])
+        for j in range(k):
+            rows.append(
+                (it, j, int(agg[f"n{j}"]), cents[j][0], cents[j][1],
+                 cents[j][2], inertia)
+            )
+        if it == iters:
+            break
+        nxt = []
+        for j in range(k):
+            nj = int(agg[f"n{j}"])
+            if nj > 0:
+                nxt.append(
+                    tuple(_tdiv_py(int(agg[f"s{j}_{fi}"]), nj) for fi in range(3))
+                )
+            else:  # emptied cluster keeps its centroid (both engines)
+                nxt.append(cents[j])
+        cents = nxt
+    return spark.createDataFrame(
+        rows,
+        "iter int, cid int, size long, c_tokens long, c_distinct long,"
+        " c_chars long, inertia long",
+    )
+
+
+QUERIES["q_kmeans_docstats"] = q_kmeans_docstats
+
+
+def _kmeans_oracle(iters: int = KMEANS_ITERS, k: int = KMEANS_K) -> str:
+    """Unrolled-CTE twin of the Lloyd loop (the linreg oracle pattern):
+    it{r} carries the standing centroids, a{r} the per-doc assignment
+    (ROW_NUMBER over (d2, cid) = the Spark CASE's lowest-cid tie rule),
+    g{r} the per-cluster sums, i{r} the inertia; every CTE MATERIALIZED
+    so DuckDB evaluates each exactly once."""
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    parts = [
+        f"""base AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(len({toks}) AS BIGINT) AS x1,
+                 CAST(len(list_distinct({toks})) AS BIGINT) AS x2,
+                 CAST(n_chars AS BIGINT) AS x3
+          FROM documents
+        ), it0 AS MATERIALIZED (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INTEGER)
+                   AS cid,
+                 x1 AS c1, x2 AS c2, x3 AS c3
+          FROM (SELECT * FROM base ORDER BY doc_id LIMIT {k})
+        )"""
+    ]
+    for r in range(iters + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+          SELECT doc_id, x1, x2, x3, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, cid)
+                   AS rn
+          FROM (SELECT b.doc_id, b.x1, b.x2, b.x3, c.cid,
+                       (b.x1-c.c1)*(b.x1-c.c1) + (b.x2-c.c2)*(b.x2-c.c2)
+                       + (b.x3-c.c3)*(b.x3-c.c3) AS d2
+                FROM base b CROSS JOIN it{r} c)
+        ), g{r} AS MATERIALIZED (
+          SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2,
+                 CAST(sum(x3) AS BIGINT) AS s3
+          FROM a{r} WHERE rn = 1 GROUP BY cid
+        ), i{r} AS MATERIALIZED (
+          SELECT CAST(sum(d2) AS BIGINT) AS inertia FROM a{r} WHERE rn = 1
+        )"""
+        )
+        if r < iters:
+            upd = lambda s: _tdiv_sql(f"g.{s}", "g.n")  # noqa: E731
+            parts.append(
+                f"""it{r + 1} AS MATERIALIZED (
+          SELECT c.cid,
+                 COALESCE({upd('s1')}, c.c1) AS c1,
+                 COALESCE({upd('s2')}, c.c2) AS c2,
+                 COALESCE({upd('s3')}, c.c3) AS c3
+          FROM it{r} c LEFT JOIN g{r} g USING (cid)
+        )"""
+            )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS iter, c.cid,"
+        f" COALESCE(g.n, CAST(0 AS BIGINT)) AS size,"
+        f" c.c1 AS c_tokens, c.c2 AS c_distinct, c.c3 AS c_chars,"
+        f" (SELECT inertia FROM i{r}) AS inertia"
+        f" FROM it{r} c LEFT JOIN g{r} g USING (cid)"
+        for r in range(iters + 1)
+    )
+    return "WITH " + ",\n        ".join(parts) + "\n        " + sel
+
+
+ORACLE["q_kmeans_docstats"] = _kmeans_oracle()

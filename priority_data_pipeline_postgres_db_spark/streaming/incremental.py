@@ -526,6 +526,76 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the missing half of
+    ``stream_click_attribution``: every purchase emits, matched to the
+    clicks the same user made in the preceding window OR null-padded
+    once the watermark PROVES no qualifying click can still arrive.
+    The null-padded rows are the operationally interesting output (the
+    un-attributed conversions a marketing pipeline alerts on), and they
+    exercise the state-eviction EMIT path that an inner join never
+    runs: an outer interval join holds each left row in state until
+    the watermark passes its join bound, then emits it exactly once
+    with nulls.  Spark's AvailableNow trigger runs a terminal no-data
+    batch that advances the watermark to max(event time) - delay and
+    flushes that state, so over a static landing dir the result is
+    EXACTLY the batch LEFT JOIN — hash-gateable like the inner form.
+
+    State bound at scale: left rows live watermark-delay + window past
+    their event time, right rows watermark-delay — identical to the
+    inner join; the outer-ness only adds the one-shot eviction emit."""
+
+    ev = _event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            c_user_id = user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        "click_event_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    _STREAM_SERIAL[0] += 1
+    name = f"stream_attribution_outer_{_STREAM_SERIAL[0]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("stream_oattr_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_attribution_outer", q)
+    return spark.table(name)
+
+
 EVENT_CATEGORIES = [
     ("click", "engagement"),
     ("view", "engagement"),
@@ -682,6 +752,7 @@ QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_sessionize_append": stream_sessionize_append,
     "stream_click_attribution": stream_click_attribution,
+    "stream_attribution_outer": stream_attribution_outer,
     "stream_user_totals": stream_user_totals,
 }
 
@@ -740,6 +811,32 @@ ORACLE = {
          AND p.ts >= c.ts
          AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    # Matched rows always emit; a null-padded row emits only once the
+    # terminal watermark SEALS the purchase.  Terminal global watermark
+    # W = least(max click_ts, max purchase_ts) - delay (Spark takes the
+    # min across the two watermark operators), and eviction is STRICT
+    # (p.ts < W): a purchase exactly AT the watermark is still held —
+    # pinned by test_streaming.py::test_attribution_outer_boundary.
+    "stream_attribution_outer": f"""
+        WITH wm AS (
+          SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+          ) - INTERVAL 60 MINUTE AS w
+        )
+        SELECT p.event_id AS purchase_event_id,
+               p.user_id,
+               c.event_id AS click_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+        WHERE p.event_type = 'purchase'
+          AND (c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm))
     """,
     "stream_sessionize": """
         WITH flagged AS (

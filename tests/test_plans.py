@@ -818,3 +818,34 @@ def test_session_transitions_planted_chain(spark, tmp_path):
         ("view", "purchase"): (1, 500000),
         ("view", "click"): (1, 500000),
     }
+
+
+def test_kmeans_docstats_lloyd_invariants(spark, sf_dir):
+    """Lloyd's algorithm guarantees: inertia is non-increasing across
+    rounds — up to the TRUNCATED-mean centroid update, which trades
+    exact-Lloyd monotonicity for bit-portability and can wobble the
+    objective by O(coords·n) (each truncated coordinate is off by <1,
+    so per-doc distance shifts by at most ~2·max_coord+1).  Cluster
+    sizes at every round must partition the corpus exactly."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        KMEANS_K,
+        q_kmeans_docstats,
+    )
+
+    out = q_kmeans_docstats(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    by_iter: dict[int, list] = {}
+    for r in out:
+        by_iter.setdefault(r["iter"], []).append(r)
+    inertias = []
+    for it in sorted(by_iter):
+        rows = by_iter[it]
+        assert sorted(r["cid"] for r in rows) == list(range(KMEANS_K))
+        assert sum(r["size"] for r in rows) == n_docs
+        assert len({r["inertia"] for r in rows}) == 1  # one total per round
+        inertias.append(rows[0]["inertia"])
+    for prev, cur in zip(inertias, inertias[1:]):
+        # descent up to truncation wobble (measured 187 on 50 docs)
+        assert cur <= prev + max(10, prev // 1000)
+    assert inertias[-1] < inertias[0] * 0.9  # it actually moved

@@ -477,3 +477,46 @@ def test_stream_cdc_upsert_matches_latest_wins_across_microbatches(
     finally:
         S.MAX_FILES_PER_TRIGGER = old
     assert got_mb == expected
+
+
+def test_attribution_outer_boundary(spark, tmp_path):
+    """Pins the outer-join eviction boundary the oracle encodes: a
+    purchase whose event time equals the terminal watermark exactly
+    (p.ts == max_ts - delay) is STILL HELD — null-padding requires the
+    watermark to pass it strictly.  Also pins that matched rows emit
+    regardless of sealing, and that an unsealed unmatched purchase
+    never emits."""
+    import datetime
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.streaming import incremental as S
+
+    t0 = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    h = datetime.timedelta(hours=1)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # sealed + unmatched: ts < W  -> null row emits
+        (0, t0 - m, 50, "purchase", 1.0),
+        # boundary: ts == W exactly   -> held, no emit
+        (1, t0, 100, "purchase", 1.0),
+        # matched pair: click 5 min before a purchase -> emits even
+        # though both are unsealed (inside the final watermark hour)
+        (4, t0 + h - 5 * m, 200, "click", 1.0),
+        (5, t0 + h, 200, "purchase", 1.0),
+        # watermark anchors: latest click and latest purchase at t0 + 1h
+        (2, t0 + h, 999, "click", 1.0),
+        (3, t0 + h, 998, "purchase", 1.0),
+    ]
+    d = os.path.join(tmp_path, "boundary")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["purchase_event_id"], r["click_event_id"])
+        for r in S.stream_attribution_outer(spark, d).collect()
+    }
+    assert (0, None) in out  # sealed unmatched -> null-padded
+    assert (5, 4) in out  # matched emits without sealing
+    assert all(p != 1 for p, _ in out)  # ts == W held
+    assert all(p != 3 for p, _ in out)  # unsealed unmatched held
