@@ -178,6 +178,15 @@ HEADLINE = [
     "q_quality_linreg",
     "dedup_semantic_cells",
     "sim_cell_recall_report",
+    # r9: past-envelope sharding family, trainable k-means, outer
+    # stream-stream join, and the two lakehouse maintenance ops
+    "dedup_semantic_sharded",
+    "dedup_semantic_cascade",
+    "sim_sharded_recall_report",
+    "q_kmeans_docstats",
+    "stream_attribution_outer",
+    "k1_snapshot_expiry",
+    "k1_zorder_scan",
 ]
 
 

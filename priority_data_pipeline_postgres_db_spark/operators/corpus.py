@@ -3058,3 +3058,199 @@ ORACLE["dedup_multi_signal"] = f"""
            (root = CAST(min(node) AS BIGINT)) AS survivor
     FROM reach GROUP BY root
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training under the hash gate (r9)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def corpus_bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_MERGES
+) -> DataFrame:
+    """Train the first ``rounds`` BPE merges over the corpus, engine-
+    exact — the tokenizer-TRAINING half next to
+    ``corpus_tokenizer_fertility``'s apply-side measurement.  Classic
+    byte-pair encoding: start from character sequences per word TYPE
+    (weighted by corpus frequency), and per round promote the most
+    frequent adjacent symbol pair (ties: higher count, then lexicographic
+    left, then right) and merge it greedily left-to-right everywhere.
+
+    Scale shape: the corpus is scanned ONCE (the word-frequency groupBy
+    — the only data-sized step); every merge round then runs on the word
+    TYPE table (vocabulary-sized, ~10M rows at 100 TB, trivially
+    distributed).  The greedy leftmost merge is NOT a sequential fold
+    here: within a run of consecutive matching positions greedy takes
+    every other one, so it is computed relationally as run-membership
+    parity (posexplode -> lead -> run id = pos - row_number among
+    matches -> odd rank within run merges), all window functions over
+    (word, pos) — no UDF, no driver loop over rows.  The winning pair
+    itself is a 1-row driver literal per round, the linreg/k-means
+    primitive.  The DuckDB oracle unrolls the identical relational
+    algebra per round (m{r}/t{r} CTEs), so the full merge-table
+    trajectory hash-matches.
+
+    Output: one row per round — (iter, merge_left, merge_right,
+    pair_count)."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = bounded_cache(
+        freq.select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("toks"),
+        )
+    )
+    out = []
+    for r in range(1, rounds + 1):
+        pairs = cur.filter(F.size("toks") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS l, toks[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        lft, rgt, cnt = best["l"], best["r"], int(best["cnt"])
+        out.append((r, lft, rgt, cnt))
+        if r == rounds:  # the last winner needs no rewrite
+            break
+
+        wp = Window.partitionBy("word").orderBy("pos")
+        e = (
+            cur.select("word", "freq", F.posexplode("toks").alias("pos", "t"))
+            .withColumn("nxt", F.lead("t").over(wp))
+            .withColumn(
+                "match",
+                F.coalesce(
+                    (F.col("t") == F.lit(lft)) & (F.col("nxt") == F.lit(rgt)),
+                    F.lit(False),
+                ),
+            )
+        )
+        # greedy leftmost within a run of consecutive matches = odd rank
+        # in the run (run id: pos minus rank among the word's matches)
+        e = e.withColumn(
+            "grp",
+            F.when(
+                F.col("match"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "match").orderBy("pos")
+                ),
+            ),
+        ).withColumn(
+            "mh",
+            F.col("match")
+            & (
+                F.row_number().over(
+                    Window.partitionBy("word", "match", "grp").orderBy("pos")
+                )
+                % 2
+                == 1
+            ),
+        )
+        e = e.withColumn("pm", F.coalesce(F.lag("mh").over(wp), F.lit(False)))
+        cur = bounded_cache(
+            e.filter(~F.col("pm"))
+            .withColumn(
+                "v",
+                F.when(F.col("mh"), F.concat("t", "nxt")).otherwise(F.col("t")),
+            )
+            .groupBy("word", "freq")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)")
+                .alias("toks")
+            )
+        )
+    return spark.createDataFrame(
+        out, "iter int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
+
+
+def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
+    """Unrolled twin of the BPE loop: p{r} pair counts, m{r} the winning
+    pair (same ORDER BY tie rule), e/f/g/h/k{r} the run-parity greedy
+    merge, t{r} the rewritten type table.  Everything MATERIALIZED —
+    m{r} is referenced via scalar subqueries and t{r} feeds two
+    consumers."""
+    parts = [
+        f"""freq AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+          GROUP BY word
+        ), t0 AS MATERIALIZED (
+          SELECT word, freq,
+                 list_transform(generate_series(1, length(word)),
+                                i -> substr(word, i, 1)) AS toks
+          FROM freq
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+          SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, toks[i] AS l, toks[i + 1] AS r2
+            FROM t{r - 1}, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+          ) GROUP BY l, r2
+        ), m{r} AS MATERIALIZED (
+          SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+        )"""
+        )
+        if r < rounds:  # the last winner needs no rewrite
+            parts.append(
+                f"""e{r} AS MATERIALIZED (
+          SELECT word, freq, i AS pos, toks[i] AS t,
+                 CASE WHEN i < len(toks) THEN toks[i + 1] END AS nxt
+          FROM t{r - 1}, unnest(generate_series(1, len(toks))) AS u(i)
+        ), f{r} AS MATERIALIZED (
+          SELECT *, COALESCE(t = (SELECT l FROM m{r})
+                             AND nxt = (SELECT r2 FROM m{r}), FALSE) AS match
+          FROM e{r}
+        ), g{r} AS MATERIALIZED (
+          SELECT *, CASE WHEN match THEN pos - ROW_NUMBER()
+                   OVER (PARTITION BY word, match ORDER BY pos) END AS grp
+          FROM f{r}
+        ), h{r} AS MATERIALIZED (
+          SELECT *, match AND (ROW_NUMBER()
+                   OVER (PARTITION BY word, match, grp ORDER BY pos) % 2 = 1)
+                   AS mh
+          FROM g{r}
+        ), k{r} AS MATERIALIZED (
+          SELECT *, COALESCE(lag(mh) OVER (PARTITION BY word ORDER BY pos),
+                             FALSE) AS pm
+          FROM h{r}
+        ), t{r} AS MATERIALIZED (
+          SELECT word, freq,
+                 list(CASE WHEN mh THEN t || nxt ELSE t END ORDER BY pos)
+                   AS toks
+          FROM k{r} WHERE NOT pm GROUP BY word, freq
+        )"""
+            )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS iter, l AS merge_left,"
+        f" r2 AS merge_right, cnt AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n        ".join(parts) + "\n        " + sel
+
+
+ORACLE["corpus_bpe_merges"] = _bpe_oracle()

@@ -264,6 +264,68 @@ ORACLE["k1_schema_evolution_read"] = """
 """
 
 
+def k1_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry under the hash gate (r9): three committed batches,
+    retention keep_last=1 — b1 and b2 fold into ONE retention base (the
+    table exactly as-of horizon b2) and their dirs are deleted; b3 stays
+    individually addressable.  The returned frame is the as_of="b2" read
+    AFTER expiry, which must be bit-identical to the same read before it
+    (the base substitutes for the expired batches transparently); an
+    as_of below the horizon now raises SnapshotExpiredError instead of
+    silently lying (tests/test_staging.py pins that and the crash-window
+    visibility rules)."""
+    wh = _staged_three_batches(spark, sf_dir, "events_exp")
+    wh.expire_snapshots("events_exp", keep_last=1)
+    return wh.read("events_exp", as_of="b2").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+QUERIES["k1_snapshot_expiry"] = k1_snapshot_expiry
+
+# identical to the time-travel oracle by design: expiry must not change
+# any still-addressable snapshot
+ORACLE["k1_snapshot_expiry"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def k1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering rewrite + the 2-D range scan it exists for
+    (r9): land events in a throwaway warehouse, rewrite_clustered along
+    the Morton curve over (user_id, event_id), then read back with a
+    range predicate on BOTH dims.  The result is content-identical to
+    the plain filter (the oracle checks exactly that — clustering is a
+    pure layout property); the LAYOUT claim (every file covers a small
+    z-range, so min/max footer pruning skips most files for this scan)
+    is pinned separately in tests/test_staging.py with measured
+    touched-file counts vs an unclustered rewrite."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_zorder_"))
+    ev = load(spark, sf_dir, "events")
+    wh.write(ev, "events_z", incremental=False)
+    wh.rewrite_clustered("events_z", zorder_by=["user_id", "event_id"])
+    return (
+        wh.read("events_z")
+        .filter(
+            F.col("user_id").between(40, 70) & F.col("event_id").between(2000, 5000)
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+QUERIES["k1_zorder_scan"] = k1_zorder_scan
+
+ORACLE["k1_zorder_scan"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 70 AND event_id BETWEEN 2000 AND 5000
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions (SURVEY.md §2.7 row): parse the events.props
     JSON payload and aggregate on an extracted field. from_json with an

@@ -158,6 +158,10 @@ STRESS = [
     # r8: ensemble CC — the union edge set at 10x stresses the
     # propagation loop over a far denser graph than either signal alone
     "dedup_multi_signal",
+    # r9: per-round one-aggregate k-means (scan-linear by design) and
+    # the outer interval join (state ∝ unsealed rows, not corpus)
+    "q_kmeans_docstats",
+    "stream_attribution_outer",
     # r8: streaming semantic dedup — per-batch incremental pair work
     # against a growing warehouse-resident standing corpus
     "stream_semantic_dedup",

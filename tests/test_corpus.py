@@ -1049,3 +1049,56 @@ def test_multi_signal_matches_naive_union(spark, sf_dir):
     }
     assert got == want
     assert got  # non-degenerate fixture
+
+
+def test_bpe_merges_match_sequential_reference(spark, sf_dir):
+    """The relational greedy merge (run-parity over match islands) must
+    equal the textbook SEQUENTIAL left-to-right fold — the definition it
+    re-expresses.  Full trajectory equality on the real corpus, driven
+    by an in-test pure-Python BPE."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        BPE_MERGES,
+        corpus_bpe_merges,
+    )
+
+    got = [
+        (r["iter"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in corpus_bpe_merges(spark, sf_dir).collect()
+    ]
+
+    words = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("explode(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS w")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    types = {r["w"]: list(r["w"]) for r in words}
+    freq = {r["w"]: r["count"] for r in words}
+
+    def best():
+        c = {}
+        for w, toks in types.items():
+            f = freq[w]
+            for a, b in zip(toks, toks[1:]):
+                c[(a, b)] = c.get((a, b), 0) + f
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+    want = []
+    for r in range(1, BPE_MERGES + 1):
+        (lft, rgt), cnt = best()
+        want.append((r, lft, rgt, cnt))
+        if r == BPE_MERGES:
+            break
+        for w, toks in types.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == lft and toks[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            types[w] = out
+
+    assert got == want  # full trajectory, counts included
