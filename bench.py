@@ -187,6 +187,8 @@ HEADLINE = [
     "stream_attribution_outer",
     "k1_snapshot_expiry",
     "k1_zorder_scan",
+    "corpus_bpe_merges",
+    "corpus_bpe_encode",
 ]
 
 

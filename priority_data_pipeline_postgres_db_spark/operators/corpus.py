@@ -3094,6 +3094,20 @@ def corpus_bpe_merges(
 
     Output: one row per round — (iter, merge_left, merge_right,
     pair_count)."""
+    _, merges = _bpe_loop(spark, sf_dir, rounds, apply_last=False)
+    return spark.createDataFrame(
+        merges, "iter int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def _bpe_loop(
+    spark: SparkSession, sf_dir: str, rounds: int, *, apply_last: bool
+) -> tuple[DataFrame, list]:
+    """Shared BPE training loop: returns (final word-type table with its
+    ``toks`` segmentation, [(iter, left, right, count), ...]).  The
+    training entry skips the last rewrite (it only reports winners);
+    the encode entry applies it (the segmentation must reflect ALL
+    learned merges)."""
     docs = load(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens_expr()).alias("word"))
@@ -3128,7 +3142,7 @@ def corpus_bpe_merges(
         )
         lft, rgt, cnt = best["l"], best["r"], int(best["cnt"])
         out.append((r, lft, rgt, cnt))
-        if r == rounds:  # the last winner needs no rewrite
+        if r == rounds and not apply_last:  # training needs no last rewrite
             break
 
         wp = Window.partitionBy("word").orderBy("pos")
@@ -3178,20 +3192,52 @@ def corpus_bpe_merges(
                 .alias("toks")
             )
         )
-    return spark.createDataFrame(
-        out, "iter int, merge_left string, merge_right string, pair_count long"
-    )
+    return cur, out
 
 
 QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
 
 
-def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
+def corpus_bpe_encode(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the learned BPE to the corpus — the encode half of
+    ``corpus_bpe_merges``: per document, word count and total BPE token
+    count under the fully-merged segmentation.  Execution: the merge
+    loop runs on the vocab-sized TYPE table (including the final
+    winner's rewrite), then per-type BPE lengths broadcast-join back to
+    the exploded corpus — one corpus scan plus a vocabulary join, the
+    tokenizer-application shape a 100 TB pipeline actually runs (the
+    type table is the 'tokenizer file').  Hash-gated via the same
+    unrolled oracle extended through t{rounds} and the identical
+    join-back."""
+    cur, _ = _bpe_loop(spark, sf_dir, rounds, apply_last=True)
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens_expr()).alias("word"))
+    return (
+        words.join(
+            F.broadcast(cur.select("word", F.size("toks").cast("long").alias("bpe_len"))),
+            "word",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("bpe_len").alias("n_bpe_tokens"),
+        )
+    )
+
+
+QUERIES["corpus_bpe_encode"] = corpus_bpe_encode
+
+
+def _bpe_oracle(rounds: int = BPE_MERGES, *, encode: bool = False) -> str:
     """Unrolled twin of the BPE loop: p{r} pair counts, m{r} the winning
     pair (same ORDER BY tie rule), e/f/g/h/k{r} the run-parity greedy
     merge, t{r} the rewritten type table.  Everything MATERIALIZED —
     m{r} is referenced via scalar subqueries and t{r} feeds two
-    consumers."""
+    consumers.  ``encode=True`` rewrites through t{rounds} and returns
+    the per-document join-back (the corpus_bpe_encode twin) instead of
+    the merge table."""
     parts = [
         f"""freq AS MATERIALIZED (
           SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -3215,7 +3261,7 @@ def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
           SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
         )"""
         )
-        if r < rounds:  # the last winner needs no rewrite
+        if r < rounds or encode:  # training needs no last rewrite
             parts.append(
                 f"""e{r} AS MATERIALIZED (
           SELECT word, freq, i AS pos, toks[i] AS t,
@@ -3245,12 +3291,21 @@ def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
           FROM k{r} WHERE NOT pm GROUP BY word, freq
         )"""
             )
-    sel = "\n        UNION ALL ".join(
-        f"SELECT CAST({r} AS INTEGER) AS iter, l AS merge_left,"
-        f" r2 AS merge_right, cnt AS pair_count FROM m{r}"
-        for r in range(1, rounds + 1)
-    )
+    if encode:
+        sel = f"""SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) d
+        JOIN t{rounds} t USING (word)
+        GROUP BY d.doc_id"""
+    else:
+        sel = "\n        UNION ALL ".join(
+            f"SELECT CAST({r} AS INTEGER) AS iter, l AS merge_left,"
+            f" r2 AS merge_right, cnt AS pair_count FROM m{r}"
+            for r in range(1, rounds + 1)
+        )
     return "WITH " + ",\n        ".join(parts) + "\n        " + sel
 
 
 ORACLE["corpus_bpe_merges"] = _bpe_oracle()
+ORACLE["corpus_bpe_encode"] = _bpe_oracle(encode=True)

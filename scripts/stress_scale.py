@@ -162,6 +162,11 @@ STRESS = [
     # the outer interval join (state ∝ unsealed rows, not corpus)
     "q_kmeans_docstats",
     "stream_attribution_outer",
+    # r9: BPE training (one corpus scan + vocab-sized merge rounds) and
+    # the Z-order maintenance rewrite (one range shuffle over the table)
+    "corpus_bpe_merges",
+    "corpus_bpe_encode",
+    "k1_zorder_scan",
     # r8: streaming semantic dedup — per-batch incremental pair work
     # against a growing warehouse-resident standing corpus
     "stream_semantic_dedup",
