@@ -189,6 +189,7 @@ HEADLINE = [
     "k1_zorder_scan",
     "corpus_bpe_merges",
     "corpus_bpe_encode",
+    "q_triangle_count",
 ]
 
 

@@ -3013,3 +3013,112 @@ def _kmeans_oracle(iters: int = KMEANS_ITERS, k: int = KMEANS_K) -> str:
 
 
 ORACLE["q_kmeans_docstats"] = _kmeans_oracle()
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph (parts
+    that share an order), exact under the hash gate — the graph-
+    analytics primitive next to ``q_part_pagerank``.
+
+    Scale design is the textbook degree orientation: every undirected
+    edge points from its (degree, id)-smaller endpoint to the larger,
+    making the graph a DAG whose max out-degree is O(sqrt(m)); each
+    triangle then appears EXACTLY once as a wedge u->v->w closed by
+    u->w, so enumeration is two hash joins bounded by sum(outdeg^2) =
+    O(m^1.5) instead of the naive sum(deg^2) that a high-degree hub
+    blows up (the reason plain wedge counting dies on power-law graphs
+    at 100 TB).  Edge construction groups each order's part set once
+    (orders are small) and explodes ordered pairs — one shuffle, never
+    a lineitem self-join.
+
+    Output: one row — nodes, edges, oriented wedges, triangles."""
+    li = load(spark, sf_dir, "lineitem")
+    parts_per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        parts_per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    from ..util import bounded_cache
+
+    edges = bounded_cache(edges)
+    deg = bounded_cache(
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = bounded_cache(
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "v").select("u", "v", "w")
+    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["u", "w"])
+    return spark.createDataFrame(
+        [
+            (
+                deg.count(),
+                edges.count(),
+                wedges.count(),
+                tri.count(),
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long",
+    )
+
+
+QUERIES["q_triangle_count"] = q_triangle_count
+
+ORACLE["q_triangle_count"] = """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM pp x JOIN pp y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n
+    ), o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ), w AS (
+      SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o1.dst = o2.src
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM w JOIN o o3 ON o3.src = w.u AND o3.dst = w.w
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT n_triangles FROM t) AS n_triangles
+"""

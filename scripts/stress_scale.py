@@ -167,6 +167,8 @@ STRESS = [
     "corpus_bpe_merges",
     "corpus_bpe_encode",
     "k1_zorder_scan",
+    # r9: degree-oriented triangle closure (O(m^1.5) wedge bound)
+    "q_triangle_count",
     # r8: streaming semantic dedup — per-batch incremental pair work
     # against a growing warehouse-resident standing corpus
     "stream_semantic_dedup",

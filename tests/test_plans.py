@@ -849,3 +849,41 @@ def test_kmeans_docstats_lloyd_invariants(spark, sf_dir):
         # descent up to truncation wobble (measured 187 on 50 docs)
         assert cur <= prev + max(10, prev // 1000)
     assert inertias[-1] < inertias[0] * 0.9  # it actually moved
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Degree-oriented wedge closure must equal the brute-force triple
+    count on the real co-purchase graph (and the orientation invariant:
+    every triangle counted exactly once)."""
+    from itertools import combinations
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_triangle_count,
+    )
+
+    row = q_triangle_count(spark, sf_dir).first()
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for ps in orders.values():
+        for a, b in combinations(sorted(ps), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # a < b < c: each triangle once
+    )
+    nodes = len(adj)
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+        nodes,
+        len(edges),
+        tris,
+    )
