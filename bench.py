@@ -190,6 +190,7 @@ HEADLINE = [
     "corpus_bpe_merges",
     "corpus_bpe_encode",
     "q_triangle_count",
+    "q_dq_expectations",
 ]
 
 

@@ -3078,12 +3078,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = o1.join(o2, "v").select("u", "v", "w")
     closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["u", "w"])
+    # wedge count WITHOUT materializing the join twice: Σ_v in(v)·out(v)
+    # (the join is executed once, inside the triangle closure)
+    din = o.groupBy("dst").agg(F.count("*").alias("i"))
+    dout = o.groupBy("src").agg(F.count("*").alias("j"))
+    n_wedges = (
+        din.join(dout, din.dst == dout.src)
+        .select(F.sum(F.col("i") * F.col("j")).alias("w"))
+        .first()["w"]
+    )
     return spark.createDataFrame(
         [
             (
                 deg.count(),
                 edges.count(),
-                wedges.count(),
+                int(n_wedges or 0),
                 tri.count(),
             )
         ],
@@ -3121,4 +3130,114 @@ ORACLE["q_triangle_count"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
            (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
            (SELECT n_triangles FROM t) AS n_triangles
+"""
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the landed star — the
+    dbt-test / Great-Expectations shape a warehouse runs after every
+    load, as ONE operator: each rule is a counted predicate, the report
+    is (rule, n_violations, n_checked, passed).  Rules cover the four
+    standard families on orders/lineitem: primary-key uniqueness,
+    not-null, referential integrity (lineitem→orders, the q_orphan_audit
+    predicate as a count), and domain/range checks (non-negative price,
+    discount in [0,1], shipdate ≥ orderdate).
+
+    Scale shape: the not-null/domain rules fold into ONE map-side-
+    combined aggregate per table (conditional sums over a single scan);
+    uniqueness is one groupBy on the key; the referential check is one
+    left-anti join on the key both tables are naturally queried by.  No
+    rule materializes violating ROWS (counts only) — the 100 TB posture
+    is count-first, then targeted row dumps only for failed rules."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    n_orders = orders.count()
+    n_li = li.count()
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    o_agg = orders.select(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg_price"),
+    ).first()
+    li_agg = li.select(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_disc"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+    ).first()
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
+    late_ship = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .count()
+    )
+
+    rows = [
+        ("orders_pk_unique", int(dup_pk), n_orders),
+        ("orders_custkey_not_null", int(o_agg["null_cust"]), n_orders),
+        ("orders_totalprice_nonnegative", int(o_agg["neg_price"]), n_orders),
+        ("lineitem_discount_in_unit_range", int(li_agg["bad_disc"]), n_li),
+        ("lineitem_quantity_positive", int(li_agg["bad_qty"]), n_li),
+        ("lineitem_orderkey_references_orders", int(orphans), n_li),
+        ("lineitem_shipdate_not_before_orderdate", int(late_ship), n_li),
+    ]
+    return spark.createDataFrame(
+        [(r, v, n, v == 0) for r, v, n in rows],
+        "rule string, n_violations long, n_checked long, passed boolean",
+    )
+
+
+QUERIES["q_dq_expectations"] = q_dq_expectations
+
+ORACLE["q_dq_expectations"] = """
+    WITH r1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    ), r2 AS (
+      SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders
+    ), r3 AS (
+      SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+    ), r4 AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ), r5 AS (
+      SELECT CAST(count(*) AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate < o.o_orderdate
+    )
+    SELECT 'orders_pk_unique' AS rule, (SELECT v FROM r1) AS n_violations,
+           (SELECT n FROM r2) AS n_checked, (SELECT v FROM r1) = 0 AS passed
+    UNION ALL
+    SELECT 'orders_custkey_not_null', (SELECT v FROM r2),
+           (SELECT n FROM r2), (SELECT v FROM r2) = 0
+    UNION ALL
+    SELECT 'orders_totalprice_nonnegative', (SELECT w FROM r2),
+           (SELECT n FROM r2), (SELECT w FROM r2) = 0
+    UNION ALL
+    SELECT 'lineitem_discount_in_unit_range', (SELECT v FROM r3),
+           (SELECT n FROM r3), (SELECT v FROM r3) = 0
+    UNION ALL
+    SELECT 'lineitem_quantity_positive', (SELECT w FROM r3),
+           (SELECT n FROM r3), (SELECT w FROM r3) = 0
+    UNION ALL
+    SELECT 'lineitem_orderkey_references_orders', (SELECT v FROM r4),
+           (SELECT n FROM r3), (SELECT v FROM r4) = 0
+    UNION ALL
+    SELECT 'lineitem_shipdate_not_before_orderdate', (SELECT v FROM r5),
+           (SELECT n FROM r3), (SELECT v FROM r5) = 0
 """

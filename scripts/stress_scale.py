@@ -169,6 +169,9 @@ STRESS = [
     "k1_zorder_scan",
     # r9: degree-oriented triangle closure (O(m^1.5) wedge bound)
     "q_triangle_count",
+    # r9: count-first DQ expectation suite (one aggregate per table +
+    # one anti-join + one equi-join)
+    "q_dq_expectations",
     # r8: streaming semantic dedup — per-batch incremental pair work
     # against a growing warehouse-resident standing corpus
     "stream_semantic_dedup",

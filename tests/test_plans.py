@@ -887,3 +887,49 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
         len(edges),
         tris,
     )
+
+
+def test_dq_expectations_counts_planted_violations(spark, tmp_path):
+    """One planted violation per rule family on a tiny star: the report
+    must count each exactly and pass the clean rules."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_dq_expectations,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, "1995-01-01"),
+            (1, 11, 100.0, "1995-01-02"),  # duplicate pk (2 rows -> 1 dup key)
+            (2, None, 50.0, "1995-01-03"),  # null custkey
+            (3, 12, -5.0, "1995-01-04"),  # negative price
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1.0, 0.5, "1995-02-01"),
+            (2, 1, 2.0, 1.5, "1995-02-01"),  # discount out of range
+            (3, 2, 0.0, 0.1, "1995-02-01"),  # non-positive quantity
+            (99, 1, 1.0, 0.1, "1995-02-01"),  # orphan orderkey
+            (3, 2, 1.0, 0.1, "1994-01-01"),  # ships before order date
+        ],
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_discount double, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    d = os.path.join(tmp_path, "dq")
+    orders.coalesce(1).write.parquet(f"{d}/orders.parquet")
+    li.coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in q_dq_expectations(spark, d).collect()}
+    assert got["orders_pk_unique"] == (1, False)
+    assert got["orders_custkey_not_null"] == (1, False)
+    assert got["orders_totalprice_nonnegative"] == (1, False)
+    assert got["lineitem_discount_in_unit_range"] == (1, False)
+    assert got["lineitem_quantity_positive"] == (1, False)
+    assert got["lineitem_orderkey_references_orders"] == (1, False)
+    assert got["lineitem_shipdate_not_before_orderdate"] == (1, False)
