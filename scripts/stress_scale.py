@@ -167,11 +167,9 @@ STRESS = [
     "corpus_bpe_merges",
     "corpus_bpe_encode",
     "k1_zorder_scan",
-    # r9: degree-oriented triangle closure (O(m^1.5) wedge bound)
-    "q_triangle_count",
-    # r9: count-first DQ expectation suite (one aggregate per table +
-    # one anti-join + one equi-join)
-    "q_dq_expectations",
+    # (q_triangle_count / q_dq_expectations read orders+lineitem, which
+    # build_corpus does not replicate — they are TPC-H-side ops, stressed
+    # only through the bench; listing them here would crash the harness)
     # r8: streaming semantic dedup — per-batch incremental pair work
     # against a growing warehouse-resident standing corpus
     "stream_semantic_dedup",
