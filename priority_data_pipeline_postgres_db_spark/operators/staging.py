@@ -143,9 +143,17 @@ class StagingWarehouse:
 
         if not incremental:
             # replace semantics: unlink old batches only once the new one
-            # is fully written (shrinks the non-atomic window to unlinks)
+            # is fully written (shrinks the non-atomic window to unlinks).
+            # A standing retention marker (expire_snapshots) must reset
+            # with the history it described: a stale horizon would compare
+            # against the NEW batch's id and can silently filter it out
+            # (auto ns ids sort below explicit ids like 'b2' — measured as
+            # an empty read; tests/test_staging.py pins the fix)
             for d in self._batches(path):
                 shutil.rmtree(os.path.join(path, d))
+            marker = os.path.join(path, EXPIRY_META)
+            if os.path.isfile(marker):
+                os.remove(marker)
 
         n = 0
         if _has_parquet_files(tmp):

@@ -479,3 +479,31 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, tmp_path, sf_dir):
                                & F.col("event_id").between(lo_e, hi_e))
     )
     assert both < ctl
+
+
+def test_full_refresh_resets_expiry_marker(spark, tmp_path):
+    """A full refresh (and compact(), which routes through it) on an
+    expired table must clear the retention marker with the history it
+    described — a stale horizon compares against the NEW batch's auto
+    ns id (which sorts below explicit ids like 'b2') and silently
+    filtered the fresh data out before the fix."""
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="mreset")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string")
+    for i, bid in enumerate(["b1", "b2", "b3"]):
+        wh.write(df.filter(f"id = {i + 1}"), "T", incremental=True, batch_id=bid)
+    wh.expire_snapshots("T", keep_last=1)
+
+    wh.write(df, "T", incremental=False)  # full refresh, auto ns id
+    assert wh.read("t").count() == 3
+    assert len(wh.snapshots("T")) == 1
+
+    # compact() after expiry: same path, same guarantee
+    wh2 = StagingWarehouse(spark, str(tmp_path), account_id="mreset2")
+    for i, bid in enumerate(["b1", "b2", "b3"]):
+        wh2.write(df.filter(f"id <= {i + 1}").withColumn("v", F.lit(i)),
+                  "U", incremental=True, batch_id=bid)
+    wh2.set_upsert_keys("U", ["id"], "v")
+    wh2.expire_snapshots("U", keep_last=1)
+    wh2.compact("U")
+    got = {r["id"]: r["v"] for r in wh2.read("u").collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
