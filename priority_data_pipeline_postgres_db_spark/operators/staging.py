@@ -422,8 +422,26 @@ class StagingWarehouse:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+        # the base must mirror the batches' nested hive layout: partition
+        # discovery refuses a flat dir next to `col=val` siblings, so a
+        # flat base would break every read of a partitioned table
+        part_cols = []
+        probe = os.path.join(path, f"{BATCH_COL}={doomed[0]}")
+        while True:
+            subs = sorted(
+                s
+                for s in os.listdir(probe)
+                if "=" in s and os.path.isdir(os.path.join(probe, s))
+            )
+            if not subs:
+                break
+            part_cols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
         tmp = os.path.join(path, f".tmp-expire-{uuid.uuid4().hex[:8]}")
-        folded.drop(BATCH_COL).write.mode("overwrite").parquet(tmp)
+        writer = folded.drop(BATCH_COL).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
         os.rename(tmp, os.path.join(path, f"{BATCH_COL}={base_id}"))
 
         # step 4: THE commit — atomic marker replace flips visibility

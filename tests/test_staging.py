@@ -507,3 +507,35 @@ def test_full_refresh_resets_expiry_marker(spark, tmp_path):
     wh2.compact("U")
     got = {r["id"]: r["v"] for r in wh2.read("u").collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_expire_snapshots_preserves_hive_layout(spark, tmp_path, sf_dir):
+    """Expiry on a hive-partitioned table: the retention base must mirror
+    the batches' nested `col=val` layout (partition discovery refuses a
+    flat dir next to partitioned siblings), and the partition column
+    keeps pruning after the fold."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import BATCH_COL
+    from priority_data_pipeline_postgres_db_spark.plans.tables import (
+        load,
+        normalize_events_ts,
+    )
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="hive1")
+    ev = load(spark, sf_dir, "events").withColumn("event_day", F.to_date("ts"))
+    for bid, pred in (
+        ("b1", "ts < '2024-01-10'"),
+        ("b2", "ts >= '2024-01-10' and ts < '2024-01-20'"),
+        ("b3", "ts >= '2024-01-20'"),
+    ):
+        wh.write(ev.filter(pred), "EVP", incremental=True, batch_id=bid,
+                 partition_by=["event_day"])
+    before = {tuple(r) for r in wh.read("evp").select("event_id", "event_day").collect()}
+
+    out = wh.expire_snapshots("EVP", keep_last=1)
+    assert out["expired"] == ["b1", "b2"]
+    after = {tuple(r) for r in wh.read("evp").select("event_id", "event_day").collect()}
+    assert after == before
+    base_dir = os.path.join(wh._path("EVP"), f"{BATCH_COL}=b2~base")
+    assert any(d.startswith("event_day=") for d in os.listdir(base_dir))
