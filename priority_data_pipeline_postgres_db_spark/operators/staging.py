@@ -228,6 +228,7 @@ class StagingWarehouse:
         zorder_by: list[str],
         n_files: int = 16,
         bits: int = 16,
+        partition_by: list[str] | None = None,
     ) -> WriteReport:
         """Multi-dimensional clustering rewrite — the OPTIMIZE ZORDER BY
         maintenance op on plain parquet.  Rewrites the table's current
@@ -288,7 +289,13 @@ class StagingWarehouse:
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-        return self.write(clustered, table_name, incremental=False)
+        # partition_by preserves a hive layout through the rewrite (the
+        # production pattern is z-order WITHIN each time partition); a
+        # rewrite without it intentionally flattens, which is safe —
+        # replace semantics leave one consistent layout either way
+        return self.write(
+            clustered, table_name, incremental=False, partition_by=partition_by
+        )
 
     # -- upsert metadata: compact-on-read wiring (VERDICT r2 #4) ----------
     def set_upsert_keys(self, table_name: str, pk: list[str], order_col: str) -> None:

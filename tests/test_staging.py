@@ -539,3 +539,26 @@ def test_expire_snapshots_preserves_hive_layout(spark, tmp_path, sf_dir):
     assert after == before
     base_dir = os.path.join(wh._path("EVP"), f"{BATCH_COL}=b2~base")
     assert any(d.startswith("event_day=") for d in os.listdir(base_dir))
+
+
+def test_zorder_rewrite_preserves_hive_partitioning(spark, tmp_path, sf_dir):
+    """rewrite_clustered(partition_by=...) keeps the hive layout: z-order
+    runs WITHIN each partition dir and the partition column still prunes."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import BATCH_COL
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="zhive")
+    ev = load(spark, sf_dir, "events").withColumn("event_day", F.to_date("ts"))
+    wh.write(ev, "EVZ", incremental=False, partition_by=["event_day"])
+    before = wh.read("evz").count()
+
+    wh.rewrite_clustered(
+        "EVZ", zorder_by=["user_id", "event_id"], n_files=8,
+        partition_by=["event_day"],
+    )
+    assert wh.read("evz").count() == before
+    batch = wh.snapshots("EVZ")[-1]
+    bdir = os.path.join(wh._path("EVZ"), f"{BATCH_COL}={batch}")
+    assert any(d.startswith("event_day=") for d in os.listdir(bdir))
