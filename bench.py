@@ -191,6 +191,7 @@ HEADLINE = [
     "corpus_bpe_encode",
     "q_triangle_count",
     "q_dq_expectations",
+    "k1_table_changes",
 ]
 
 

@@ -297,6 +297,57 @@ class StagingWarehouse:
             clustered, table_name, incremental=False, partition_by=partition_by
         )
 
+    def table_changes(
+        self, table_name: str, from_snapshot, to_snapshot
+    ) -> DataFrame:
+        """Row-level change data feed between two snapshots — the Delta
+        CDF / `table_changes()` surface, DERIVED rather than logged: the
+        upsert contract makes each snapshot a keyed state (time-travel
+        read), so the diff is one full-outer join on the pk with the
+        contract's order column deciding change type:
+
+        - pk absent at ``from`` → ``insert``
+        - pk absent at ``to``   → ``delete`` (possible once compact() or
+          a full refresh rewrote history; append-only tables never emit it)
+        - newer order value     → ``update_postimage`` (the row carries
+          the post-image; unchanged keys are excluded)
+
+        Cost at scale: two partition-pruned snapshot reads + one shuffle
+        join on the pk — no change log to store or to scale.  Consumers
+        that poll a table incrementally read ``table_changes(t, last_seen,
+        current)`` instead of diffing full copies."""
+        from pyspark.sql import functions as F
+
+        meta = self.upsert_keys(table_name)
+        if meta is None:
+            raise ValueError(
+                f"table_changes({table_name!r}) needs an upsert contract "
+                "(set_upsert_keys) — without a pk there is no row identity "
+                "to diff"
+            )
+        pk, order_col = meta["pk"], meta["order_col"]
+        old = self.read(table_name, as_of=from_snapshot)
+        new = self.read(table_name, as_of=to_snapshot)
+        payload = [c for c in new.columns if c not in pk]
+        n2 = new.select(*pk, *[F.col(c).alias(f"_n_{c}") for c in payload])
+        o2 = old.select(*pk, F.col(order_col).alias("_o_ord"))
+        j = n2.join(o2, pk, "full_outer")
+        ct = (
+            F.when(F.col("_o_ord").isNull(), F.lit("insert"))
+            .when(F.col(f"_n_{order_col}").isNull(), F.lit("delete"))
+            .when(F.col(f"_n_{order_col}") != F.col("_o_ord"),
+                  F.lit("update_postimage"))
+        )
+        return (
+            j.withColumn("_change_type", ct)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *pk,
+                "_change_type",
+                *[F.col(f"_n_{c}").alias(c) for c in payload],
+            )
+        )
+
     # -- upsert metadata: compact-on-read wiring (VERDICT r2 #4) ----------
     def set_upsert_keys(self, table_name: str, pk: list[str], order_col: str) -> None:
         """Declare the table's upsert contract: latest row per ``pk`` by

@@ -326,6 +326,59 @@ ORACLE["k1_zorder_scan"] = """
 """
 
 
+def k1_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed under the hash gate (r9): three event batches
+    land under a (user_id, event_id) upsert contract — each snapshot is
+    'latest event per user' — and ``table_changes(b1 → b3)`` must emit
+    exactly the users whose state appeared (insert) or moved
+    (update_postimage) after the first batch, carrying the post-image.
+    Derived CDF: two time-travel reads + one pk join, no change log."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_cdf_"))
+    ev = load(spark, sf_dir, "events")
+    wh.write(ev.filter(F.col("ts") < "2024-01-10"), "user_state",
+             incremental=True, batch_id="b1")
+    wh.write(ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")),
+             "user_state", incremental=True, batch_id="b2")
+    wh.write(ev.filter(F.col("ts") >= "2024-01-20"), "user_state",
+             incremental=True, batch_id="b3")
+    wh.set_upsert_keys("user_state", ["user_id"], "event_id")
+    return wh.table_changes("user_state", "b1", "b3").select(
+        "user_id", "_change_type", "event_id", "event_type", "value"
+    )
+
+
+QUERIES["k1_table_changes"] = k1_table_changes
+
+# twin: the two snapshot states as latest-per-user windows over the same
+# batch predicates, diffed on the pk with the order column
+ORACLE["k1_table_changes"] = """
+    WITH olds AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+                 AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+      ) WHERE rn = 1
+    ), news AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+                 AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT n.user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS _change_type,
+           n.event_id, n.event_type, n.value
+    FROM news n LEFT JOIN olds o USING (user_id)
+    WHERE o.user_id IS NULL OR n.event_id != o.event_id
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions (SURVEY.md §2.7 row): parse the events.props
     JSON payload and aggregate on an extracted field. from_json with an

@@ -562,3 +562,34 @@ def test_zorder_rewrite_preserves_hive_partitioning(spark, tmp_path, sf_dir):
     batch = wh.snapshots("EVZ")[-1]
     bdir = os.path.join(wh._path("EVZ"), f"{BATCH_COL}={batch}")
     assert any(d.startswith("event_day=") for d in os.listdir(bdir))
+
+
+def test_table_changes_cdf_types(spark, tmp_path):
+    """Derived change feed: inserts/updates on the forward diff, deletes
+    reachable via the reverse diff (a pk present at `from` and absent at
+    `to`); unchanged keys never emit; no contract -> loud error."""
+    import pytest
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="cdf1")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "uid long, ver long, s string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, 21, "b2"), (3, 30, "c")], "uid long, ver long, s string"
+    )
+    wh.write(b1, "S", incremental=True, batch_id="b1")
+    wh.write(b2, "S", incremental=True, batch_id="b2")
+    wh.set_upsert_keys("S", ["uid"], "ver")
+
+    fwd = {r["uid"]: (r["_change_type"], r["ver"], r["s"])
+           for r in wh.table_changes("S", "b1", "b2").collect()}
+    assert fwd == {2: ("update_postimage", 21, "b2"), 3: ("insert", 30, "c")}
+    # uid 1 unchanged -> absent
+
+    rev = {r["uid"]: r["_change_type"]
+           for r in wh.table_changes("S", "b2", "b1").collect()}
+    assert rev == {2: "update_postimage", 3: "delete"}
+
+    wh.write(b1, "NOPK", incremental=True, batch_id="b1")
+    with pytest.raises(ValueError):
+        wh.table_changes("NOPK", "b1", "b1")
