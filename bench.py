@@ -192,6 +192,7 @@ HEADLINE = [
     "q_triangle_count",
     "q_dq_expectations",
     "k1_table_changes",
+    "dedup_semantic_resharded",
 ]
 
 

@@ -2547,20 +2547,22 @@ def n_shards_for(n_corpus: int, shard_target: int = SHARD_TARGET) -> int:
     return max(1, -(-n_corpus // shard_target))
 
 
-def shard_expr(n_shards: int, col: str = "vec_id") -> Column:
+def shard_expr(n_shards: int, col: str = "vec_id", salt: str = "shard_") -> Column:
     """Deterministic random shard id in [0, n_shards): md5-60 of the
     SALTED id, mod S.  The salt ("shard_") keeps the shard hash
     INDEPENDENT of the md5 sampling key used by the recall instruments
     (same unsalted prefix would correlate sample membership with shard
-    id and bias the cross-shard miss measurement).  A pure function of
+    id and bias the cross-shard miss measurement); distinct salts give
+    statistically independent assignments — the OR-amplification lever
+    ``semantic_pairs_resharded`` unions over.  A pure function of
     vec_id, so shard assignment is corpus-independent: a sample shards
     exactly as the full corpus does — the property
     ``sharded_recall_report`` relies on.  DuckDB twin:
-    ``('0x' || substr(md5('shard_' || CAST(vec_id AS VARCHAR)), 1,
+    ``('0x' || substr(md5('<salt>' || CAST(vec_id AS VARCHAR)), 1,
     15))::BIGINT % S`` (the established md5-60 pairing)."""
     key = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("shard_"), F.col(col).cast("string"))), 1, 15
+            F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 15
         ),
         16,
         10,
@@ -2576,6 +2578,7 @@ def semantic_pairs_sharded(
     shard_target: int = SHARD_TARGET,
     n_shards: int | None = None,
     n_planes: int | None = None,
+    salt: str = "shard_",
 ) -> DataFrame:
     """Loose-threshold semantic near-dup pairs past the SRP envelope:
     disjoint random shards, each sized INSIDE the measured ≤9-plane
@@ -2630,7 +2633,9 @@ def semantic_pairs_sharded(
     k = probe_k_for(n_planes)
 
     def fold() -> Column:
-        return F.col("bucket").cast("long") * n_shards + shard_expr(n_shards)
+        return F.col("bucket").cast("long") * n_shards + shard_expr(
+            n_shards, salt=salt
+        )
 
     if k == 0:
         capped = _cap_buckets(
@@ -2668,6 +2673,72 @@ def semantic_pairs_sharded(
     return _verified_pairs_auto(raw, emb, threshold, n_corpus)
 
 
+RESHARD_ROUNDS = 2
+
+
+def _reshard_salt(r: int) -> str:
+    """Round-r shard salt; round 0 is the canonical assignment, so
+    ``semantic_pairs_resharded(rounds=1)`` ≡ ``semantic_pairs_sharded``."""
+    return "shard_" if r == 0 else f"reshard{r}_"
+
+
+def semantic_pairs_resharded(
+    emb: DataFrame,
+    dim: int,
+    rounds: int = RESHARD_ROUNDS,
+    threshold: float = SEM_THRESHOLD,
+    max_bucket: int = SEM_MAX_BUCKET,
+    shard_target: int = SHARD_TARGET,
+    n_shards: int | None = None,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """OR-amplified sharding: union the sharded pair pass over ``rounds``
+    INDEPENDENT (salted) shard assignments — the lever that turns the
+    structural (S−1)/S cross-shard miss into a dial.  A loose pair
+    co-shards in at least one round with probability 1 − (1 − 1/S)^R
+    (S=4: 0.25 → 0.44 at R=2 → 0.68 at R=4), so expected recall is that
+    times the in-envelope within-shard floor; cost is R× the per-shard
+    work, still linear in corpus size and still ONE plan per round with
+    the folded bucket key.  This is LSH's OR-amplification applied at
+    the shard level: rounds are the bands, the in-shard SRP pass is the
+    hash.  The tight regime doesn't need it (cells hold ≥0.97 there —
+    ``semantic_pairs_cascade``); resharding is for pushing LOOSE-pair
+    coverage past one shard sample's 1/S when a use case needs it, with
+    the residual miss still measured in-band
+    (``sharded_recall_report(reshard_rounds=...)``).
+
+    Deterministic end-to-end (salted md5 shards), so hash-gated: the
+    oracle is the UNION of the salted CTE twins."""
+    parts = [
+        semantic_pairs_sharded(
+            emb, dim, threshold=threshold, max_bucket=max_bucket,
+            shard_target=shard_target, n_shards=n_shards, n_planes=n_planes,
+            salt=_reshard_salt(r),
+        )
+        for r in range(rounds)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # cosine is pair-deterministic (shard-independent verify), so the
+    # cross-round duplicates are exact row duplicates
+    return out.distinct()
+
+
+def dedup_semantic_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the OR-amplified pass at GATE_SHARDS and
+    RESHARD_ROUNDS — both shard assignments, their caps, probes and
+    folds are REAL under the hash gate (the oracle unions the salted
+    CTE twins).  Must be a strict superset of ``dedup_semantic_sharded``
+    (round 0 is the same assignment; pinned in pytest)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_pairs_resharded(emb, dim, n_shards=GATE_SHARDS)
+
+
+QUERIES["dedup_semantic_resharded"] = dedup_semantic_resharded
+
+
 def dedup_semantic_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the sharded pair pipeline with GATE_SHARDS forced
     (gate corpora fit one shard; a forced S=4 makes the shard fold, the
@@ -2682,14 +2753,15 @@ def dedup_semantic_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_semantic_sharded"] = dedup_semantic_sharded
 
 
-def _sharded_pair_sql(n_shards: int) -> str:
+def _sharded_pair_sql(n_shards: int, salt: str = "shard_") -> str:
     """DuckDB twin of ``semantic_pairs_sharded`` at a FIXED shard count —
     the shared _SRP_* CTE chain (which it must track) with (a) the plane
     count derived from ceil(n / S) instead of n, and (b) a shard column
     carried through buckets/caps/probes and added to the join keys
-    (equivalent to the Spark side's injective bucket·S + shard fold)."""
+    (equivalent to the Spark side's injective bucket·S + shard fold).
+    ``salt`` selects the shard assignment (the resharding rounds)."""
     shard = (
-        "CAST(('0x' || substr(md5('shard_' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        f"CAST(('0x' || substr(md5('{salt}' || CAST(vec_id AS VARCHAR)), 1, 15))"
         f"::BIGINT % {n_shards} AS INTEGER)"
     )
     return f'''
@@ -2771,6 +2843,12 @@ def _sharded_pair_sql(n_shards: int) -> str:
 
 ORACLE["dedup_semantic_sharded"] = _sharded_pair_sql(GATE_SHARDS)
 
+# UNION (which dedupes) of the salted twins — one per resharding round
+ORACLE["dedup_semantic_resharded"] = "\nUNION\n".join(
+    f"SELECT * FROM ({_sharded_pair_sql(GATE_SHARDS, _reshard_salt(r))})"
+    for r in range(RESHARD_ROUNDS)
+)
+
 
 def semantic_pairs_cascade(
     emb: DataFrame,
@@ -2842,6 +2920,7 @@ def sharded_recall_report(
     tight_threshold: float = CELL_TIGHT_COSINE,
     shard_target: int = SHARD_TARGET,
     n_shards: int | None = None,
+    reshard_rounds: int = RESHARD_ROUNDS,
 ) -> DataFrame:
     """Stratified recall of the sharded cascade against exact sample
     ground truth — the instrument that turns the sharding design's
@@ -2886,6 +2965,14 @@ def sharded_recall_report(
         .select("vec_id_a", "vec_id_b")
         .withColumn("_s", F.lit(1))
     )
+    rs = (
+        semantic_pairs_resharded(
+            sample, dim, rounds=reshard_rounds, threshold=threshold,
+            n_shards=n_shards, n_planes=n_planes,
+        )
+        .select("vec_id_a", "vec_id_b")
+        .withColumn("_r", F.lit(1))
+    )
     k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
     cents = fit_ivf_centroids(emb, k_clusters)
     cells = (
@@ -2900,9 +2987,11 @@ def sharded_recall_report(
     )
     tight = F.col("cosine") >= tight_threshold
     found = F.col("_s").isNotNull() | F.col("_c").isNotNull()
+    found_rs = F.col("_r").isNotNull() | F.col("_c").isNotNull()
     counts = (
         exact.join(sh, ["vec_id_a", "vec_id_b"], "left")
         .join(cells, ["vec_id_a", "vec_id_b"], "left")
+        .join(rs, ["vec_id_a", "vec_id_b"], "left")
         .withColumn("same_shard", same_shard)
         .agg(
             F.count("*").cast("long").alias("n_exact_pairs"),
@@ -2914,6 +3003,8 @@ def sharded_recall_report(
             F.count(F.when(tight & found, 1))
             .cast("long").alias("n_tight_found"),
             F.count(F.when(found, 1)).cast("long").alias("n_cascade_found"),
+            F.count(F.when(found_rs, 1)).cast("long")
+            .alias("n_resharded_found"),
             F.count(F.when(~F.col("same_shard") & ~found, 1))
             .cast("long").alias("n_cross_missed"),
         )
@@ -2939,6 +3030,10 @@ def sharded_recall_report(
         ratio("n_tight_found", "n_exact_tight").alias("recall_tight"),
         "n_cascade_found",
         ratio("n_cascade_found", "n_exact_pairs").alias("recall_overall"),
+        F.lit(reshard_rounds).cast("int").alias("reshard_rounds"),
+        "n_resharded_found",
+        ratio("n_resharded_found", "n_exact_pairs")
+        .alias("recall_overall_resharded"),
         "n_cross_missed",
         F.when(F.col("n_exact_pairs") == 0, F.lit(0.0))
         .otherwise(

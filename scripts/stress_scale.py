@@ -180,6 +180,7 @@ STRESS = [
     # pipeline, one plan at any S) and the tight-cells ∪ shard cascade
     "dedup_semantic_sharded",
     "dedup_semantic_cascade",
+    "dedup_semantic_resharded",
 ]
 
 

@@ -692,3 +692,33 @@ def test_sharded_recall_report_floors(spark):
     assert row["recall_tight"] >= 0.8, row
     structural = (GATE_SHARDS - 1) / GATE_SHARDS
     assert row["cross_shard_miss_rate"] <= structural + 1e-9, row
+
+
+def test_resharded_union_identity_and_monotonicity(spark, sf_dir):
+    """OR-amplified sharding invariants: rounds=1 IS the canonical
+    sharded pass (same salt), more rounds only ADD pairs, and every
+    added pair still clears the verify threshold (it comes from the
+    same verified pipeline under a different assignment)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        GATE_SHARDS,
+        semantic_pairs_resharded,
+        semantic_pairs_sharded,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    one = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_sharded(emb, dim, n_shards=GATE_SHARDS).collect()
+    }
+    r1 = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_resharded(
+            emb, dim, rounds=1, n_shards=GATE_SHARDS
+        ).collect()
+    }
+    r2 = semantic_pairs_resharded(emb, dim, rounds=2, n_shards=GATE_SHARDS).collect()
+    r2_keys = {(r["vec_id_a"], r["vec_id_b"]) for r in r2}
+    assert r1 == one  # round 0 is the canonical assignment
+    assert r2_keys >= one  # amplification only adds
+    assert len(r2_keys) == len(r2)  # union deduped exactly
