@@ -2857,6 +2857,7 @@ def semantic_pairs_cascade(
     tight_threshold: float = CELL_TIGHT_COSINE,
     shard_target: int = SHARD_TARGET,
     n_shards: int | None = None,
+    reshard_rounds: int = 1,
 ) -> DataFrame:
     """The documented past-envelope CASCADE, as one operator: a TIGHT
     pass corpus-wide via the IVF cell path (``semantic_pairs_cells`` —
@@ -2878,12 +2879,24 @@ def semantic_pairs_cascade(
     cosines agree bit-for-bit where both fire: both legs share the one
     integer-cosine verify kernel).  Rows-only under the gate: the cell
     leg's float k-means centroids have no engine-portable replay (the
-    sharded leg alone is the hash-gated entry)."""
+    sharded leg alone is the hash-gated entry).
+
+    ``reshard_rounds > 1`` OR-amplifies the loose leg
+    (``semantic_pairs_resharded``): co-shard probability rises to
+    1 − (1 − 1/S)^R at R× the loose leg's cost — the dial a workload
+    turns when an unbiased 1/S sample of the similar population isn't
+    enough coverage."""
     tight = semantic_pairs_cells(emb, dim, threshold=tight_threshold)
-    loose = semantic_pairs_sharded(
-        emb, dim, threshold=threshold,
-        shard_target=shard_target, n_shards=n_shards,
-    )
+    if reshard_rounds > 1:
+        loose = semantic_pairs_resharded(
+            emb, dim, rounds=reshard_rounds, threshold=threshold,
+            shard_target=shard_target, n_shards=n_shards,
+        )
+    else:
+        loose = semantic_pairs_sharded(
+            emb, dim, threshold=threshold,
+            shard_target=shard_target, n_shards=n_shards,
+        )
     t = tight.select(
         "vec_id_a", "vec_id_b", F.col("cosine").alias("cos_t")
     )

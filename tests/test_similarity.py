@@ -692,6 +692,18 @@ def test_sharded_recall_report_floors(spark):
     assert row["recall_tight"] >= 0.8, row
     structural = (GATE_SHARDS - 1) / GATE_SHARDS
     assert row["cross_shard_miss_rate"] <= structural + 1e-9, row
+    # OR-amplification can only add coverage, and at R rounds the
+    # expected co-shard mass is 1-(1-1/S)^R — require at least half of
+    # the additional expected mass to materialize (sampling slack)
+    assert row["recall_overall_resharded"] >= row["recall_overall"], row
+    r_rounds = row["reshard_rounds"]
+    expect = 1 - (structural ** r_rounds)
+    single = 1 / GATE_SHARDS
+    gain_floor = (expect - single) * 0.5 * row["recall_within_shard"]
+    assert (
+        row["recall_overall_resharded"] >= row["recall_overall"] + gain_floor
+        or row["n_cross_missed"] == 0
+    ), row
 
 
 def test_resharded_union_identity_and_monotonicity(spark, sf_dir):
