@@ -3140,6 +3140,11 @@ def _bpe_loop(
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .first()
         )
+        if best is None:
+            # corpus exhausted its adjacent pairs (e.g. every word a
+            # single symbol after earlier merges) — return the merges
+            # actually learnable rather than crashing on round r
+            break
         lft, rgt, cnt = best["l"], best["r"], int(best["cnt"])
         out.append((r, lft, rgt, cnt))
         if r == rounds and not apply_last:  # training needs no last rewrite

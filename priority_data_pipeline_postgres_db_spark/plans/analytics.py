@@ -2946,6 +2946,11 @@ def q_kmeans_docstats(
     )
     k = KMEANS_K
     init = base.orderBy("doc_id").limit(k).collect()  # bounded: K rows
+    if len(init) < k:
+        raise ValueError(
+            f"q_kmeans_docstats needs at least {k} documents to seed "
+            f"{k} centroids; corpus has {len(init)}"
+        )
     cents = [(int(r["x1"]), int(r["x2"]), int(r["x3"])) for r in init]
     rows = []
     for it in range(iters + 1):

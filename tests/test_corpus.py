@@ -1102,3 +1102,38 @@ def test_bpe_merges_match_sequential_reference(spark, sf_dir):
             types[w] = out
 
     assert got == want  # full trajectory, counts included
+
+
+def test_bpe_exhausted_corpus_stops_early(spark, tmp_path):
+    """A corpus whose words are single symbols has NO adjacent pairs —
+    training must return the learnable merges (none, or those found
+    before exhaustion) instead of crashing on the argmax of an empty
+    relation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_bpe_merges,
+    )
+
+    d = os.path.join(tmp_path, "single")
+    docs = spark.createDataFrame(
+        [(0, "a b c a", "en", "s", 7), (1, "b c a", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = corpus_bpe_merges(spark, d).collect()
+    assert out == []  # every word is one symbol: nothing to merge
+
+    # two-symbol words: exactly ONE merge is learnable, then exhaustion
+    d2 = os.path.join(tmp_path, "pairs")
+    docs2 = spark.createDataFrame(
+        [(0, "ab ab ab", "en", "s", 8), (1, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs2.coalesce(1).write.parquet(os.path.join(d2, "documents.parquet"))
+    out2 = corpus_bpe_merges(spark, d2).collect()
+    assert [(r["merge_left"], r["merge_right"], r["pair_count"]) for r in out2] == [
+        ("a", "b", 4)
+    ]
