@@ -120,11 +120,30 @@ class StagingWarehouse:
         ids + the atomic rename, on plain parquet."""
         path = self._path(table_name)
         os.makedirs(path, exist_ok=True)
+        # a standing retention marker (expire_snapshots) makes ids at or
+        # below the horizon INVISIBLE to read() and DEAD to the next
+        # expiry's reap step — an incremental commit that sorts there
+        # would be silently lost (ADVICE r9: auto ns ids sort below
+        # explicit alpha ids like 'b2').  Explicit ids in that range are
+        # a caller error (re-committing expired history) and raise; auto
+        # ids are by construction the newest write, so they REBASE onto
+        # the base id, which sorts above both the horizon and the base
+        # itself (newest-wins tie-break stays correct) while staying
+        # monotone among later auto ids.
+        exp = self._expiry(table_name) if incremental else None
         if batch_id is not None:
             safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in batch_id)
             if os.path.isdir(os.path.join(path, f"{BATCH_COL}={safe}")):
                 return WriteReport(
                     entity_name or table_name, STG_PREFIX + table_name.lower(), 0
+                )
+            if exp is not None and safe <= exp["horizon"]:
+                raise ValueError(
+                    f"batch_id {safe!r} sorts at or below the retention "
+                    f"horizon {exp['horizon']!r} set by expire_snapshots — "
+                    "the commit would be invisible to reads and reclaimed "
+                    "by the next expiry; use an id that sorts after the "
+                    "horizon"
                 )
             batch_id = safe
         else:
@@ -135,6 +154,8 @@ class StagingWarehouse:
             # lexicographically == numerically; uuid suffix keeps uniqueness
             # across concurrent writers in the same nanosecond.
             batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
+            if exp is not None and batch_id <= exp["horizon"]:
+                batch_id = f"{exp['base']}.{batch_id}"
         tmp = os.path.join(path, f".tmp-{batch_id}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -263,6 +284,22 @@ class StagingWarehouse:
         for c in zorder_by:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
         stats = cur.agg(*aggs).first()
+        for c in zorder_by:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            if mn is not None and not isinstance(mn, (int, float)):
+                raise TypeError(
+                    f"zorder_by column {c!r} is non-numeric "
+                    f"({type(mn).__name__}) — Morton bucketing needs a "
+                    "numeric dimension; cast or derive one first"
+                )
+        if any(stats[f"mn_{c}"] is None for c in zorder_by):
+            # empty table, or a dim with no non-NULL values: there is no
+            # z-value to derive (min/max aggregate returns NULL) — fall
+            # back to a plain rewrite so the maintenance op stays a no-op
+            # layout-wise instead of crashing (ADVICE r9)
+            return self.write(
+                cur, table_name, incremental=False, partition_by=partition_by
+            )
         zparts = []
         hi = (1 << bits) - 1
         for di, c in enumerate(zorder_by):
@@ -326,16 +363,31 @@ class StagingWarehouse:
                 "to diff"
             )
         pk, order_col = meta["pk"], meta["order_col"]
+        if order_col in pk:
+            raise ValueError(
+                f"table_changes({table_name!r}): order_col {order_col!r} is "
+                "part of the pk — a version column inside the row identity "
+                "can never supersede, so the contract cannot diff"
+            )
         old = self.read(table_name, as_of=from_snapshot)
         new = self.read(table_name, as_of=to_snapshot)
         payload = [c for c in new.columns if c not in pk]
-        n2 = new.select(*pk, *[F.col(c).alias(f"_n_{c}") for c in payload])
-        o2 = old.select(*pk, F.col(order_col).alias("_o_ord"))
+        # presence is an EXPLICIT per-side flag, not inferred from the
+        # order column's nullness — a live row whose order value is NULL
+        # must not read as a delete (ADVICE r9)
+        n2 = new.select(
+            *pk,
+            F.lit(1).alias("_n_present"),
+            *[F.col(c).alias(f"_n_{c}") for c in payload],
+        )
+        o2 = old.select(
+            *pk, F.lit(1).alias("_o_present"), F.col(order_col).alias("_o_ord")
+        )
         j = n2.join(o2, pk, "full_outer")
         ct = (
-            F.when(F.col("_o_ord").isNull(), F.lit("insert"))
-            .when(F.col(f"_n_{order_col}").isNull(), F.lit("delete"))
-            .when(F.col(f"_n_{order_col}") != F.col("_o_ord"),
+            F.when(F.col("_o_present").isNull(), F.lit("insert"))
+            .when(F.col("_n_present").isNull(), F.lit("delete"))
+            .when(~F.col(f"_n_{order_col}").eqNullSafe(F.col("_o_ord")),
                   F.lit("update_postimage"))
         )
         return (

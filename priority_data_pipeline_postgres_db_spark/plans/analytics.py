@@ -3219,15 +3219,27 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("count") > 1)
         .count()
     )
+    # F.sum over ZERO rows yields NULL, and the DQ suite is exactly the
+    # op pointed at suspect/degenerate loads — coalesce every conditional
+    # sum so an empty table reports 0 violations / 0 checked (ADVICE r9)
     o_agg = orders.select(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
-        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg_price"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("null_cust"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)), F.lit(0)
+        ).alias("neg_price"),
     ).first()
     li_agg = li.select(
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("bad_disc"),
-        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("bad_qty"),
     ).first()
     orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count()
     late_ship = (
@@ -3261,13 +3273,13 @@ ORACLE["q_dq_expectations"] = """
       SELECT CAST(count(*) AS BIGINT) AS v FROM (
         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
     ), r2 AS (
-      SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v,
-             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS w,
+      SELECT CAST(COALESCE(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v,
+             CAST(COALESCE(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS w,
              CAST(count(*) AS BIGINT) AS n
       FROM orders
     ), r3 AS (
-      SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v,
-             CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS w,
+      SELECT CAST(COALESCE(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v,
+             CAST(COALESCE(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS w,
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem
     ), r4 AS (

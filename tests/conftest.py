@@ -26,6 +26,14 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def gate_dir() -> str:
+    """The driver's correctness-gate scale (sf0.01), derived from the
+    same root as ``sf_dir`` so a relocated fixture tree moves both
+    (ADVICE r9: hardcoded '/root/testdata/sf0.01' silently diverges)."""
+    return os.path.join(os.path.dirname(TESTDATA.rstrip("/")), "sf0.01")
+
+
+@pytest.fixture(scope="session")
 def orders(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
 

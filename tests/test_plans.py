@@ -933,3 +933,30 @@ def test_dq_expectations_counts_planted_violations(spark, tmp_path):
     assert got["lineitem_quantity_positive"] == (1, False)
     assert got["lineitem_orderkey_references_orders"] == (1, False)
     assert got["lineitem_shipdate_not_before_orderdate"] == (1, False)
+
+
+def test_dq_expectations_empty_tables_report_zero(spark, tmp_path):
+    """ADVICE r9: the DQ suite is exactly the op run against suspect or
+    degenerate loads — an EMPTY orders/lineitem pair must report
+    0 violations / 0 checked / passed on every rule, not crash on
+    int(None) from a NULL conditional sum."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        q_dq_expectations,
+    )
+
+    d = str(tmp_path / "dq_empty")
+    spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_discount double, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+
+    rows = q_dq_expectations(spark, d).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert (r["n_violations"], r["n_checked"], r["passed"]) == (0, 0, True)

@@ -670,22 +670,20 @@ def test_cascade_flags_and_leg_consistency(spark, sf_dir):
     casc.unpersist()
 
 
-def test_sharded_recall_report_floors(spark):
+def test_sharded_recall_report_floors(spark, gate_dir):
     """Gate-scale floors for the in-band instrument (sf0.01, GATE_SHARDS):
     within-shard recall must hold the in-envelope ≥0.8 floor, tight
     recall the cascade's ≥0.8 acceptance, and the measured cross-shard
     miss can never exceed the structural (S-1)/S bound (cells can only
-    claw pairs BACK from it)."""
+    claw pairs BACK from it).  The probabilistic amplification-gain
+    assertion keeps the n_cross_missed==0 escape hatch as its primary
+    slack on small samples (ADVICE r9)."""
     from priority_data_pipeline_postgres_db_spark.operators.similarity import (
         GATE_SHARDS,
         sim_sharded_recall_report,
     )
 
-    row = (
-        sim_sharded_recall_report(spark, "/root/testdata/sf0.01")
-        .first()
-        .asDict()
-    )
+    row = sim_sharded_recall_report(spark, gate_dir).first().asDict()
     assert row["n_exact_pairs"] > 0, "degenerate sample: no ground truth"
     assert row["n_same_shard"] > 0, "degenerate sharding: no same-shard pairs"
     assert row["recall_within_shard"] >= 0.8, row

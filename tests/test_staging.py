@@ -593,3 +593,94 @@ def test_table_changes_cdf_types(spark, tmp_path):
     wh.write(b1, "NOPK", incremental=True, batch_id="b1")
     with pytest.raises(ValueError):
         wh.table_changes("NOPK", "b1", "b1")
+
+
+def test_incremental_after_expiry_survives(spark, tmp_path):
+    """ADVICE r9 (medium): an incremental commit whose auto-generated ns
+    id sorts at or below the standing retention horizon (possible when
+    history used explicit alpha ids like 'b2') must not be silently
+    hidden from reads and reaped by the next expiry — the id REBASES
+    above the horizon.  Explicit ids in the dead range raise loudly."""
+    import pytest
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="exp5")
+    _three_event_batches(spark, wh, "EV")
+    wh.expire_snapshots("EV", keep_last=1)  # horizon=b2; ns ids sort < 'b2'
+
+    late = spark.createDataFrame(
+        [(9, "2024-01-09", "late")], "id long, day string, payload string"
+    )
+    r = wh.write(late, "EV", incremental=True)  # auto id
+    assert r.records_written == 1
+    assert (9, "2024-01-09", "late") in {
+        tuple(x) for x in wh.read("ev").collect()
+    }
+    # the next expiry folds it into the new base instead of reaping it
+    wh.expire_snapshots("EV", keep_last=1)
+    assert (9, "2024-01-09", "late") in {
+        tuple(x) for x in wh.read("ev").collect()
+    }
+    # explicit id in the dead range = caller error, loud
+    with pytest.raises(ValueError, match="retention horizon"):
+        wh.write(late, "EV", incremental=True, batch_id="a1")
+
+
+def test_table_changes_null_order_value_is_not_delete(spark, tmp_path):
+    """ADVICE r9: presence is an explicit flag, not order-col nullness —
+    a live row whose order value is NULL at `to` must classify by
+    null-safe comparison (update if it changed, absent if unchanged),
+    never as a delete; order_col inside the pk raises."""
+    import pytest
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="cdf2")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, None, "c")],
+        "uid long, ver long, s string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, None, "a2"), (2, 20, "b"), (3, None, "c"), (4, 40, "d")],
+        "uid long, ver long, s string",
+    )
+    wh.write(b1, "S", incremental=True, batch_id="b1")
+    wh.write(b2, "S", incremental=True, batch_id="b2")
+    wh.set_upsert_keys("S", ["uid"], "ver")
+
+    fwd = {r["uid"]: r["_change_type"]
+           for r in wh.table_changes("S", "b1", "b2").collect()}
+    # uid 1: the NULL-ver b2 row never supersedes under the contract
+    # (desc NULLS LAST), so the logical view keeps ver=10 — unchanged;
+    # uid 2 unchanged; uid 3 lives with a NULL ver on BOTH sides —
+    # unchanged (the pre-fix code inferred presence from ver nullness
+    # and emitted it every diff); uid 4 new
+    assert fwd == {4: "insert"}
+    rev = {r["uid"]: r["_change_type"]
+           for r in wh.table_changes("S", "b2", "b1").collect()}
+    assert rev == {4: "delete"}
+
+    wh.set_upsert_keys("S", ["uid", "ver"], "ver")
+    with pytest.raises(ValueError, match="part of the pk"):
+        wh.table_changes("S", "b1", "b2")
+
+
+def test_rewrite_clustered_degenerate_stats(spark, tmp_path):
+    """ADVICE r9: an empty table or an all-NULL z-dim has no min/max to
+    bucket — fall back to a plain rewrite (reads identical, no crash);
+    a non-numeric dim raises a clear TypeError."""
+    import pytest
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="zdeg")
+    empty = spark.createDataFrame([], "a long, b long, s string")
+    wh.write(empty, "E", incremental=False)
+    wh.rewrite_clustered("E", zorder_by=["a", "b"])  # no crash
+    assert wh.read("e").count() == 0
+
+    rows = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y")], "a long, b long, s string"
+    )
+    wh.write(rows, "N", incremental=False)
+    before = {tuple(r) for r in wh.read("n").collect()}
+    wh.rewrite_clustered("N", zorder_by=["a", "b"])  # b all-NULL
+    assert {tuple(r) for r in wh.read("n").collect()} == before
+
+    with pytest.raises(TypeError, match="non-numeric"):
+        wh.rewrite_clustered("N", zorder_by=["s"])
