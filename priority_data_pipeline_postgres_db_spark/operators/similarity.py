@@ -26,6 +26,8 @@ engine-portable).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -2691,6 +2693,7 @@ def semantic_pairs_resharded(
     shard_target: int = SHARD_TARGET,
     n_shards: int | None = None,
     n_planes: int | None = None,
+    plan: "SemanticDedupPlan | None" = None,
 ) -> DataFrame:
     """OR-amplified sharding: union the sharded pair pass over ``rounds``
     INDEPENDENT (salted) shard assignments — the lever that turns the
@@ -2708,7 +2711,17 @@ def semantic_pairs_resharded(
     (``sharded_recall_report(reshard_rounds=...)``).
 
     Deterministic end-to-end (salted md5 shards), so hash-gated: the
-    oracle is the UNION of the salted CTE twins."""
+    oracle is the UNION of the salted CTE twins.
+
+    ``plan`` (from ``plan_semantic_dedup``) supplies rounds, threshold,
+    shard count and plane count in one object — the planner-to-operator
+    handoff; explicit keyword arguments are ignored when a plan is
+    given."""
+    if plan is not None:
+        rounds = plan.reshard_rounds
+        threshold = plan.threshold
+        n_shards = plan.n_shards
+        n_planes = plan.n_planes
     parts = [
         semantic_pairs_sharded(
             emb, dim, threshold=threshold, max_bucket=max_bucket,
@@ -3068,3 +3081,170 @@ def sim_sharded_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_sharded_recall_report"] = sim_sharded_recall_report
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup planner — the measured sharding laws as a callable
+# (VERDICT r9 #1: "turn the quantified boundary into a usable function")
+# ---------------------------------------------------------------------------
+
+# Measured calibration constants the laws predict FROM (provenance in
+# SCALE.md and the STRESS artifacts; the planner tests pin predictions
+# against those artifacts within ±0.05):
+# - in-envelope within-shard pair recall at the loose SEM_THRESHOLD bar:
+#   0.871 at 200k vectors / S=4 / 9 planes (STRESS_x100_r9
+#   sharded_recall), 0.886 at 60k / S=1 (STRESS_x30).
+WITHIN_SHARD_RECALL = 0.87
+# - tight-regime (cosine ≥ CELL_TIGHT_COSINE) corpus-wide recall of the
+#   cascade's cell leg: 0.976 cells-only, 0.990 cascade (STRESS_x100_r9).
+TIGHT_CASCADE_RECALL = 0.97
+# R× linear cost grows without structural limit, but past ~S rounds the
+# marginal co-shard probability per round collapses — cap where the law
+# says a target is effectively unreachable rather than burn unbounded
+# passes (1-(1-1/S)^16 = 0.99 at S=4).
+MAX_PLANNED_ROUNDS = 16
+
+
+@dataclass(frozen=True)
+class SemanticDedupPlan:
+    """Sizing decision for a loose-threshold semantic dedup run, derived
+    entirely from the measured laws:
+
+    - ``n_shards``   S = ceil(n / shard_target) — every shard inside the
+                     ≤9-plane SRP recall envelope;
+    - ``n_planes``   n_planes_for(ceil(n / S)) — the per-shard SRP size;
+    - ``reshard_rounds`` R = min rounds with
+                     (1 − (1 − 1/S)^R) × within_shard ≥ target_recall
+                     (OR-amplification law, measured tracking theory at
+                     200k vectors: predicted 0.381, observed 0.384);
+    - ``predicted_overall`` that expression at the chosen R;
+    - ``cost_multiple`` = R (each round is one linear in-envelope pass);
+    - ``achievable`` False when even MAX_PLANNED_ROUNDS can't reach the
+      target (the structural answer for sub-quadratic angular search:
+      the plan then carries the best reachable prediction, loudly);
+    - ``regime`` "tight" when the threshold sits in the duplicate regime
+      (≥ CELL_TIGHT_COSINE): the cell path is corpus-wide there, so no
+      sharding or amplification is needed at any corpus size.
+    """
+
+    n_vectors: int
+    threshold: float
+    target_recall: float
+    regime: str
+    n_shards: int
+    n_planes: int
+    reshard_rounds: int
+    predicted_within_shard: float
+    predicted_overall: float
+    cost_multiple: float
+    achievable: bool
+
+
+def predicted_resharded_recall(n_shards: int, rounds: int) -> float:
+    """The OR-amplification law: expected loose-pair recall of ``rounds``
+    independent shard assignments at ``n_shards`` shards — co-shard
+    probability 1 − (1 − 1/S)^R times the measured in-envelope
+    within-shard recall."""
+    p_coshard = 1.0 - (1.0 - 1.0 / n_shards) ** rounds
+    return p_coshard * WITHIN_SHARD_RECALL
+
+
+def plan_semantic_dedup(
+    n_vectors: int,
+    target_recall: float,
+    threshold: float = SEM_THRESHOLD,
+    *,
+    shard_target: int = SHARD_TARGET,
+    max_rounds: int = MAX_PLANNED_ROUNDS,
+) -> SemanticDedupPlan:
+    """Size a semantic-dedup run for ``n_vectors`` embeddings and a
+    recall target — S, planes, R and the predicted recall/cost, from
+    the measured laws instead of docstring excavation.
+
+    Feed the result to ``semantic_pairs_resharded(..., plan=plan)`` (or
+    ``semantic_pairs_cascade`` for the tight+loose union).  At 100 TB
+    the only input that changes is ``n_vectors``; every derived number
+    scales with it (S in the thousands only widens the folded bucket
+    key).  ``achievable=False`` is the honest boundary: loose-pair
+    enumeration past the amplification budget has no sub-quadratic
+    structure (SCALE.md), so the planner says so instead of silently
+    under-delivering."""
+    if n_vectors < 1:
+        raise ValueError("n_vectors must be >= 1")
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError("target_recall must be in (0, 1]")
+    if threshold >= CELL_TIGHT_COSINE:
+        # duplicate regime: the cell path is corpus-wide — one pass,
+        # no shards, no amplification, at any corpus size
+        pred = TIGHT_CASCADE_RECALL
+        return SemanticDedupPlan(
+            n_vectors=n_vectors,
+            threshold=threshold,
+            target_recall=target_recall,
+            regime="tight",
+            n_shards=1,
+            n_planes=n_planes_for(n_vectors),
+            reshard_rounds=1,
+            predicted_within_shard=pred,
+            predicted_overall=pred,
+            cost_multiple=1.0,
+            achievable=target_recall <= pred,
+        )
+    n_shards = n_shards_for(n_vectors, shard_target)
+    n_planes = n_planes_for(-(-n_vectors // n_shards))
+    rounds, achievable = max_rounds, False
+    for r in range(1, max_rounds + 1):
+        if predicted_resharded_recall(n_shards, r) >= target_recall:
+            rounds, achievable = r, True
+            break
+    return SemanticDedupPlan(
+        n_vectors=n_vectors,
+        threshold=threshold,
+        target_recall=target_recall,
+        regime="loose",
+        n_shards=n_shards,
+        n_planes=n_planes,
+        reshard_rounds=rounds,
+        predicted_within_shard=WITHIN_SHARD_RECALL,
+        predicted_overall=predicted_resharded_recall(n_shards, rounds),
+        cost_multiple=float(rounds),
+        achievable=achievable,
+    )
+
+
+# Gate sizing for the planner entry: the sf0.01 gate corpus holds 500
+# embeddings; a 125-vector shard target makes the planner derive S=4
+# (the same shard structure the other gate entries force via
+# GATE_SHARDS) and a 0.5 loose-recall target makes it derive R=3 —
+# one more amplification round than RESHARD_ROUNDS, so the plan's R
+# actually drives the execution under the hash gate.
+GATE_PLAN_SHARD_TARGET = 125
+GATE_PLAN_TARGET_RECALL = 0.5
+_GATE_PLAN = plan_semantic_dedup(
+    500, GATE_PLAN_TARGET_RECALL, shard_target=GATE_PLAN_SHARD_TARGET
+)
+
+
+def dedup_semantic_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: a PLANNER-SIZED resharded run — S, planes and R
+    all come from ``plan_semantic_dedup`` (not hand-chosen constants),
+    and the whole derived configuration executes under the hash gate
+    (the oracle unions R salted CTE twins at the planner's S, itself
+    f-string-built from the same plan object, so a planner retune
+    re-derives the oracle automatically)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    plan = plan_semantic_dedup(
+        memo_count(emb),
+        GATE_PLAN_TARGET_RECALL,
+        shard_target=GATE_PLAN_SHARD_TARGET,
+    )
+    return semantic_pairs_resharded(emb, dim, plan=plan)
+
+
+QUERIES["dedup_semantic_planned"] = dedup_semantic_planned
+
+ORACLE["dedup_semantic_planned"] = "\nUNION\n".join(
+    f"SELECT * FROM ({_sharded_pair_sql(_GATE_PLAN.n_shards, _reshard_salt(r))})"
+    for r in range(_GATE_PLAN.reshard_rounds)
+)

@@ -732,3 +732,110 @@ def test_resharded_union_identity_and_monotonicity(spark, sf_dir):
     assert r1 == one  # round 0 is the canonical assignment
     assert r2_keys >= one  # amplification only adds
     assert len(r2_keys) == len(r2)  # union deduped exactly
+
+
+def test_planner_laws_and_artifact_pin():
+    """plan_semantic_dedup codifies the measured sharding laws (VERDICT
+    r9 #1): S = ceil(n/shard_target), planes from the per-shard size, R
+    the minimal OR-amplification rounds reaching the target under
+    1-(1-1/S)^R x within-shard recall.  Predictions are pinned within
+    ±0.05 against the STRESS_x100_r9 measurements that calibrated them
+    (within-shard 0.871, resharded-overall 0.384 at 200k/S=4/R=2)."""
+    import json
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        MAX_PLANNED_ROUNDS,
+        SHARD_TARGET,
+        plan_semantic_dedup,
+        predicted_resharded_recall,
+    )
+
+    # law shape: S, planes, monotone R in the target
+    p = plan_semantic_dedup(200_000, 0.38)
+    assert (p.n_shards, p.n_planes, p.reshard_rounds) == (4, 9, 2)
+    assert p.achievable and p.cost_multiple == 2.0
+    lo = plan_semantic_dedup(200_000, 0.2)
+    hi = plan_semantic_dedup(200_000, 0.6)
+    assert lo.reshard_rounds < p.reshard_rounds < hi.reshard_rounds
+
+    # single shard: no amplification needed, R=1
+    one = plan_semantic_dedup(50_000, 0.8)
+    assert one.n_shards == 1 and one.reshard_rounds == 1
+
+    # tight regime: corpus-wide cell path, one pass at ANY size
+    t = plan_semantic_dedup(10**9, 0.9, threshold=0.92)
+    assert t.regime == "tight" and t.cost_multiple == 1.0 and t.achievable
+
+    # unreachable targets are flagged, not silently under-planned
+    u = plan_semantic_dedup(1_000_000, 0.99)
+    assert not u.achievable and u.reshard_rounds == MAX_PLANNED_ROUNDS
+    assert u.predicted_overall < 0.99
+
+    # production default shard sizing
+    assert plan_semantic_dedup(500_000, 0.3).n_shards == -(
+        -500_000 // SHARD_TARGET
+    )
+
+    # artifact pin: the calibration measurements themselves
+    art = "/root/repo/STRESS_x100_r9.json"
+    if os.path.isfile(art):
+        row = json.load(open(art))["results"]["sharded_recall"]["100x"]
+        assert abs(p.predicted_within_shard - row["recall_within_shard"]) <= 0.05
+        assert row["reshard_rounds"] == 2
+        pred = predicted_resharded_recall(row["n_shards"], 2)
+        assert abs(pred - row["recall_overall_resharded"]) <= 0.05
+
+
+def test_planner_drives_resharded_execution(spark, sf_dir):
+    """The plan object is the execution config: a planner-sized
+    resharded run equals the same run with the plan's fields passed
+    explicitly, and R=3 is a superset of the R=2 rounds (round salts
+    are shared prefixes of the same sequence)."""
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        GATE_PLAN_SHARD_TARGET,
+        GATE_PLAN_TARGET_RECALL,
+        plan_semantic_dedup,
+        semantic_pairs_resharded,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n = emb.count()
+    plan = plan_semantic_dedup(
+        n, GATE_PLAN_TARGET_RECALL, shard_target=GATE_PLAN_SHARD_TARGET
+    )
+    assert plan.n_shards == 4 and plan.reshard_rounds == 3
+
+    via_plan = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_resharded(emb, dim, plan=plan)
+        .select("vec_id_a", "vec_id_b")
+        .collect()
+    }
+    explicit = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_resharded(
+            emb,
+            dim,
+            rounds=plan.reshard_rounds,
+            threshold=plan.threshold,
+            n_shards=plan.n_shards,
+            n_planes=plan.n_planes,
+        )
+        .select("vec_id_a", "vec_id_b")
+        .collect()
+    }
+    assert via_plan == explicit and via_plan
+    two = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_pairs_resharded(
+            emb, dim, rounds=2, n_shards=plan.n_shards,
+            n_planes=plan.n_planes,
+        )
+        .select("vec_id_a", "vec_id_b")
+        .collect()
+    }
+    assert two <= via_plan
