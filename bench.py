@@ -188,11 +188,13 @@ HEADLINE = [
     "k1_snapshot_expiry",
     "k1_zorder_scan",
     "corpus_bpe_merges",
-    "corpus_bpe_encode",
+    "corpus_bpe_encode_pretrained",
     "q_triangle_count",
     "q_dq_expectations",
     "k1_table_changes",
     "dedup_semantic_resharded",
+    # r10: planner-sized amplified run
+    "dedup_semantic_planned",
 ]
 
 

@@ -165,7 +165,7 @@ STRESS = [
     # r9: BPE training (one corpus scan + vocab-sized merge rounds) and
     # the Z-order maintenance rewrite (one range shuffle over the table)
     "corpus_bpe_merges",
-    "corpus_bpe_encode",
+    "corpus_bpe_encode_pretrained",
     "k1_zorder_scan",
     # (q_triangle_count / q_dq_expectations read orders+lineitem, which
     # build_corpus does not replicate — they are TPC-H-side ops, stressed

