@@ -352,15 +352,21 @@ class StagingWarehouse:
         Cost at scale: two partition-pruned snapshot reads + one shuffle
         join on the pk — no change log to store or to scale.  Consumers
         that poll a table incrementally read ``table_changes(t, last_seen,
-        current)`` instead of diffing full copies."""
+        current)`` instead of diffing full copies.
+
+        Tables WITHOUT an upsert contract get the APPEND-ONLY feed
+        (``_table_changes_append``): every committed batch is immutable,
+        so the diff is simply the rows of batches in ``(from, to]`` —
+        a partition-pruned scan of only the new batches (no join, no
+        shuffle), every row ``insert``.  That covers the reference's
+        own append-mode staging tables (priorityDataSource.py:884
+        ``if_exists='append'``)."""
         from pyspark.sql import functions as F
 
         meta = self.upsert_keys(table_name)
         if meta is None:
-            raise ValueError(
-                f"table_changes({table_name!r}) needs an upsert contract "
-                "(set_upsert_keys) — without a pk there is no row identity "
-                "to diff"
+            return self._table_changes_append(
+                table_name, from_snapshot, to_snapshot
             )
         pk, order_col = meta["pk"], meta["order_col"]
         if order_col in pk:
@@ -398,6 +404,52 @@ class StagingWarehouse:
                 "_change_type",
                 *[F.col(f"_n_{c}").alias(c) for c in payload],
             )
+        )
+
+    def _table_changes_append(
+        self, table_name: str, from_snapshot, to_snapshot
+    ) -> DataFrame:
+        """Insert-only change feed for append-only tables (no upsert
+        contract): committed batches are immutable, so the rows that
+        changed between two snapshots are EXACTLY the rows of batches
+        with ``from < batch_id <= to`` — one batch-id watermark diff.
+
+        Both bounds are predicates on the batch partition column, so
+        the scan prunes to only the new batches at file listing: cost
+        is proportional to the NEW data, never the table — the property
+        an incremental 100 TB consumer needs, and a cheaper plan than
+        the keyed diff's full-outer join (which append-only tables
+        don't need: no row identity, no updates, no deletes).
+
+        Snapshots at or below a standing retention horizon are not
+        addressable (their batches folded into the base), same contract
+        as ``read(as_of=...)``."""
+        from pyspark.sql import functions as F
+
+        lo = self._as_of_cutoff(from_snapshot)
+        hi = self._as_of_cutoff(to_snapshot)
+        exp = self._expiry(table_name)
+        if exp and lo < exp["horizon"]:
+            raise SnapshotExpiredError(
+                f"append change feed of {table_name!r} from {lo!r} predates "
+                f"the retention horizon {exp['horizon']!r} set by "
+                "expire_snapshots — the per-batch history below it is folded"
+            )
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(table_name)
+        )
+        # the retention base never qualifies: its content is the state
+        # AT the horizon, and lo >= horizon is enforced above (the same
+        # suffix filter also hides an uncommitted crash-window base)
+        cond = (
+            (F.col(BATCH_COL) > lo)
+            & (F.col(BATCH_COL) <= hi)
+            & (~F.col(BATCH_COL).endswith(BASE_SUFFIX))
+        )
+        return (
+            df.filter(cond)
+            .drop(BATCH_COL)
+            .withColumn("_change_type", F.lit("insert"))
         )
 
     # -- upsert metadata: compact-on-read wiring (VERDICT r2 #4) ----------

@@ -379,6 +379,46 @@ ORACLE["k1_table_changes"] = """
 """
 
 
+def k1_table_changes_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only change data feed under the hash gate (r10, VERDICT r9
+    #6): the raw event stream lands in three immutable batches with NO
+    upsert contract — the reference's own append-mode staging shape
+    (priorityDataSource.py:884 ``if_exists='append'``) — and
+    ``table_changes(b1 → b3)`` must emit exactly the rows of the batches
+    committed after b1, every one an ``insert``.  The batch-id watermark
+    diff is a partition-column predicate: the scan prunes to the new
+    batches at file listing, no join, no shuffle, no change log — cost
+    proportional to the new data.  Composes with the keyed CDC apply
+    (``stream_cdc_upsert``) for end-to-end capture → apply; pinned in
+    tests/test_staging.py."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_cdfa_"))
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wh.write(ev.filter(F.col("ts") < "2024-01-10"), "raw_events",
+             incremental=True, batch_id="b1")
+    wh.write(ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")),
+             "raw_events", incremental=True, batch_id="b2")
+    wh.write(ev.filter(F.col("ts") >= "2024-01-20"), "raw_events",
+             incremental=True, batch_id="b3")
+    return wh.table_changes("raw_events", "b1", "b3")
+
+
+QUERIES["k1_table_changes_append"] = k1_table_changes_append
+
+# twin: the feed is exactly the rows of batches b2+b3 (ts-partitioned
+# by construction above), all inserts
+ORACLE["k1_table_changes_append"] = """
+    SELECT event_id, ts, user_id, event_type, value,
+           'insert' AS _change_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions (SURVEY.md §2.7 row): parse the events.props
     JSON payload and aggregate on an extracted field. from_json with an

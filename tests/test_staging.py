@@ -590,9 +590,14 @@ def test_table_changes_cdf_types(spark, tmp_path):
            for r in wh.table_changes("S", "b2", "b1").collect()}
     assert rev == {2: "update_postimage", 3: "delete"}
 
+    # no upsert contract -> the APPEND-ONLY feed: batches are immutable,
+    # so the diff is the rows of batches in (from, to], all 'insert'
     wh.write(b1, "NOPK", incremental=True, batch_id="b1")
-    with pytest.raises(ValueError):
-        wh.table_changes("NOPK", "b1", "b1")
+    wh.write(b2, "NOPK", incremental=True, batch_id="b2")
+    assert wh.table_changes("NOPK", "b1", "b1").count() == 0  # empty window
+    app = wh.table_changes("NOPK", "b1", "b2").collect()
+    assert {r["uid"] for r in app} == {2, 3}  # b2's rows only
+    assert {r["_change_type"] for r in app} == {"insert"}
 
 
 def test_incremental_after_expiry_survives(spark, tmp_path):
@@ -684,3 +689,54 @@ def test_rewrite_clustered_degenerate_stats(spark, tmp_path):
 
     with pytest.raises(TypeError, match="non-numeric"):
         wh.rewrite_clustered("N", zorder_by=["s"])
+
+
+def test_append_feed_composes_with_keyed_cdc_apply(spark, tmp_path):
+    """End-to-end CDC on plain parquet (VERDICT r9 #6): an append-only
+    SOURCE table's batch-watermark change feed, applied batch-by-batch
+    into a TARGET under an upsert contract, reproduces exactly the
+    latest-per-key state of the source — capture needs no pk, apply
+    resolves newest-wins."""
+    src = StagingWarehouse(spark, str(tmp_path / "src"), account_id="cdc")
+    tgt = StagingWarehouse(spark, str(tmp_path / "tgt"), account_id="cdc")
+    rows = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"),      # b1
+         (1, 11, "a2"), (3, 30, "c"),     # b2: update uid1 + insert uid3
+         (2, 22, "b2")],                  # b3: update uid2
+        "uid long, ver long, s string",
+    )
+    src.write(rows.filter("ver IN (10, 20)"), "RAW", incremental=True, batch_id="b1")
+    src.write(rows.filter("ver IN (11, 30)"), "RAW", incremental=True, batch_id="b2")
+    src.write(rows.filter("ver = 22"), "RAW", incremental=True, batch_id="b3")
+
+    tgt.set_upsert_keys("STATE", ["uid"], "ver")
+    # initial load = snapshot at b1, then one incremental apply per poll
+    tgt.write(src.read("RAW", as_of="b1"), "STATE", incremental=True, batch_id="load-b1")
+    for lo, hi in [("b1", "b2"), ("b2", "b3")]:
+        feed = src.table_changes("RAW", lo, hi)
+        assert feed.select("_change_type").distinct().collect()[0][0] == "insert"
+        tgt.write(feed.drop("_change_type"), "STATE", incremental=True,
+                  batch_id=f"apply-{hi}")
+
+    got = {tuple(r) for r in tgt.read("STATE").collect()}
+    assert got == {(1, 11, "a2"), (2, 22, "b2"), (3, 30, "c")}
+
+
+def test_append_feed_respects_retention_horizon(spark, tmp_path):
+    """The append feed has the same addressability contract as
+    read(as_of=...): a `from` below the expiry horizon raises instead of
+    silently returning a partial feed, and a feed above it still prunes
+    to the new batches only (the retention base never leaks in)."""
+    import pytest
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        SnapshotExpiredError,
+    )
+
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="cdc2")
+    _three_event_batches(spark, wh, "EV")
+    wh.expire_snapshots("EV", keep_last=1)  # horizon=b2, base holds b1+b2
+    with pytest.raises(SnapshotExpiredError):
+        wh.table_changes("EV", "b1", "b3")
+    feed = wh.table_changes("EV", "b2", "b3").collect()
+    assert {r["id"] for r in feed} == {3, 4}  # b3's rows only, no base rows
