@@ -740,3 +740,100 @@ def test_append_feed_respects_retention_horizon(spark, tmp_path):
         wh.table_changes("EV", "b1", "b3")
     feed = wh.table_changes("EV", "b2", "b3").collect()
     assert {r["id"] for r in feed} == {3, 4}  # b3's rows only, no base rows
+
+
+def _euler_pairs(ops):
+    """Deterministic Eulerian circuit over the complete digraph on
+    ``ops`` (self-loops included): a sequence visiting EVERY ordered
+    pair of ops as consecutive elements exactly once — the full
+    maintenance x write-mode interaction matrix in one walk."""
+    edges = {a: [b for b in ops] for a in ops}
+    stack, path = [ops[0]], []
+    while stack:
+        v = stack[-1]
+        if edges[v]:
+            stack.append(edges[v].pop(0))
+        else:
+            path.append(stack.pop())
+    path.reverse()
+    assert len(path) == len(ops) ** 2 + 1
+    return path
+
+
+@__import__("pytest").mark.parametrize("layout", ["flat", "hive"])
+@__import__("pytest").mark.parametrize("pre_marker", [False, True])
+def test_maintenance_write_mode_matrix(spark, tmp_path, layout, pre_marker):
+    """VERDICT r9 #5: every retention/maintenance feature interacts with
+    every write mode — r9 found 3 real bugs only by corner-probing
+    combinations.  This sweeps the FULL matrix {append, full refresh,
+    compact, expire, rewrite, table_changes} x {flat, hive-partitioned}
+    x {standing expiry marker present/absent} as one Eulerian walk
+    (every ordered pair of ops occurs consecutively), asserting the
+    logical read against an independent pure-Python newest-wins model
+    after every single op."""
+    part = ["day"] if layout == "hive" else None
+    wh = StagingWarehouse(
+        spark, str(tmp_path), account_id=f"mx_{layout}_{int(pre_marker)}"
+    )
+    wh.set_upsert_keys("T", ["id"], "ver")
+    model: dict[int, tuple] = {}
+    ver = [0]
+
+    def rows(ids):
+        ver[0] += 1
+        data = [(i, ver[0], f"d{i % 2}", f"v{ver[0]}.{i}") for i in ids]
+        return (
+            spark.createDataFrame(
+                data, "id long, ver long, day string, val string"
+            ),
+            data,
+        )
+
+    def op_append():
+        df, data = rows([1 + ver[0] % 4, 2 + ver[0] % 3])
+        wh.write(df, "T", incremental=True, partition_by=part)
+        for i, v, d, s in data:
+            if i not in model or v >= model[i][0]:
+                model[i] = (v, d, s)
+
+    def op_full_refresh():
+        df, data = rows([1, 2, 3])
+        wh.write(df, "T", incremental=False, partition_by=part)
+        model.clear()
+        for i, v, d, s in data:
+            model[i] = (v, d, s)
+
+    def op_compact():
+        wh.compact("T", partition_by=part)
+
+    def op_expire():
+        wh.expire_snapshots("T", keep_last=1)
+
+    def op_rewrite():
+        wh.rewrite_clustered("T", zorder_by=["id", "ver"], partition_by=part)
+
+    def op_changes():
+        snaps = wh.snapshots("T")
+        if len(snaps) >= 2:
+            feed = wh.table_changes("T", snaps[0], snaps[-1])
+            assert feed.count() >= 0  # executes cleanly on every state
+
+    ops = {
+        "append": op_append,
+        "full_refresh": op_full_refresh,
+        "compact": op_compact,
+        "expire": op_expire,
+        "rewrite": op_rewrite,
+        "changes": op_changes,
+    }
+
+    op_full_refresh()
+    op_append()
+    if pre_marker:
+        op_expire()  # standing marker before the walk starts
+
+    for name in _euler_pairs(list(ops)):
+        ops[name]()
+        got = {r["id"]: (r["ver"], r["day"], r["val"])
+               for r in wh.read("T").collect()}
+        assert got == model, f"after {name} ({layout}, marker={pre_marker})"
