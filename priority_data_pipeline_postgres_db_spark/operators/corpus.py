@@ -3075,7 +3075,14 @@ BPE_MERGES = 6
 _BPE_ARTIFACTS: dict[tuple[str, int], str] = {}
 
 
-def bpe_tokenizer_warehouse(spark, sf_dir, rounds: int = BPE_MERGES):
+def bpe_tokenizer_warehouse(
+    spark,
+    sf_dir,
+    rounds: int = BPE_MERGES,
+    *,
+    docs: DataFrame | None = None,
+    tag: str = "full",
+):
     """Train-once-per-(corpus, rounds) BPE tokenizer artifact: on first
     call, run the training loop and persist BOTH halves of the tokenizer
     file through the atomic staging protocol —
@@ -3089,16 +3096,21 @@ def bpe_tokenizer_warehouse(spark, sf_dir, rounds: int = BPE_MERGES):
 
     Subsequent calls (any entry in the same session, e.g. the merges
     report and then an encode) reuse the stored artifact.  Returns the
-    ``StagingWarehouse`` holding both tables."""
+    ``StagingWarehouse`` holding both tables.
+
+    ``docs``/``tag`` train on an explicit corpus slice under a distinct
+    artifact key (e.g. ``tag="train_even"`` for the held-out
+    application entry) — the tag IS the memo identity, so pass a
+    distinct tag for a distinct slice."""
     from ..util import scratch_dir
     from .staging import StagingWarehouse
 
-    key = (sf_dir, rounds)
+    key = (sf_dir, rounds, tag)
     root = _BPE_ARTIFACTS.get(key)
     if root is None:
         root = scratch_dir("spark_graft_bpe_")
         wh = StagingWarehouse(spark, root)
-        cur, merges = _bpe_loop(spark, sf_dir, rounds, apply_last=True)
+        cur, merges = _bpe_loop(spark, sf_dir, rounds, apply_last=True, docs=docs)
         wh.write(
             spark.createDataFrame(
                 merges,
@@ -3157,29 +3169,96 @@ def corpus_bpe_merges(
     return wh.read("bpe_merges")
 
 
+def _apply_merge(cur: DataFrame, lft: str, rgt: str) -> DataFrame:
+    """One greedy-leftmost merge rewrite over a (word, freq, toks) type
+    table — the run-parity relational form (see ``corpus_bpe_merges``):
+    posexplode → lead → match islands → odd rank merges → lag skips the
+    consumed right token.  Shared by training (rewrite after each
+    learned winner) and APPLICATION (replaying a stored merge list over
+    new word types — the OOV-correct way to tokenize text the training
+    corpus never saw)."""
+    wp = Window.partitionBy("word").orderBy("pos")
+    e = (
+        cur.select("word", "freq", F.posexplode("toks").alias("pos", "t"))
+        .withColumn("nxt", F.lead("t").over(wp))
+        .withColumn(
+            "match",
+            F.coalesce(
+                (F.col("t") == F.lit(lft)) & (F.col("nxt") == F.lit(rgt)),
+                F.lit(False),
+            ),
+        )
+    )
+    # greedy leftmost within a run of consecutive matches = odd rank
+    # in the run (run id: pos minus rank among the word's matches)
+    e = e.withColumn(
+        "grp",
+        F.when(
+            F.col("match"),
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("word", "match").orderBy("pos")
+            ),
+        ),
+    ).withColumn(
+        "mh",
+        F.col("match")
+        & (
+            F.row_number().over(
+                Window.partitionBy("word", "match", "grp").orderBy("pos")
+            )
+            % 2
+            == 1
+        ),
+    )
+    e = e.withColumn("pm", F.coalesce(F.lag("mh").over(wp), F.lit(False)))
+    return (
+        e.filter(~F.col("pm"))
+        .withColumn(
+            "v",
+            F.when(F.col("mh"), F.concat("t", "nxt")).otherwise(F.col("t")),
+        )
+        .groupBy("word", "freq")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)")
+            .alias("toks")
+        )
+    )
+
+
+def _char_types(words: DataFrame) -> DataFrame:
+    """Word-type table at the character segmentation (BPE round 0)."""
+    return words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    )
+
+
 def _bpe_loop(
-    spark: SparkSession, sf_dir: str, rounds: int, *, apply_last: bool
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    *,
+    apply_last: bool,
+    docs: DataFrame | None = None,
 ) -> tuple[DataFrame, list]:
     """Shared BPE training loop: returns (final word-type table with its
     ``toks`` segmentation, [(iter, left, right, count), ...]).  The
     training entry skips the last rewrite (it only reports winners);
     the encode entry applies it (the segmentation must reflect ALL
-    learned merges)."""
-    docs = load(spark, sf_dir, "documents")
+    learned merges).  ``docs`` overrides the corpus (e.g. a train
+    split for held-out application)."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens_expr()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    cur = bounded_cache(
-        freq.select(
-            "word",
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-            ).alias("toks"),
-        )
-    )
+    cur = bounded_cache(_char_types(freq))
     out = []
     for r in range(1, rounds + 1):
         pairs = cur.filter(F.size("toks") >= 2).select(
@@ -3206,54 +3285,7 @@ def _bpe_loop(
         out.append((r, lft, rgt, cnt))
         if r == rounds and not apply_last:  # training needs no last rewrite
             break
-
-        wp = Window.partitionBy("word").orderBy("pos")
-        e = (
-            cur.select("word", "freq", F.posexplode("toks").alias("pos", "t"))
-            .withColumn("nxt", F.lead("t").over(wp))
-            .withColumn(
-                "match",
-                F.coalesce(
-                    (F.col("t") == F.lit(lft)) & (F.col("nxt") == F.lit(rgt)),
-                    F.lit(False),
-                ),
-            )
-        )
-        # greedy leftmost within a run of consecutive matches = odd rank
-        # in the run (run id: pos minus rank among the word's matches)
-        e = e.withColumn(
-            "grp",
-            F.when(
-                F.col("match"),
-                F.col("pos")
-                - F.row_number().over(
-                    Window.partitionBy("word", "match").orderBy("pos")
-                ),
-            ),
-        ).withColumn(
-            "mh",
-            F.col("match")
-            & (
-                F.row_number().over(
-                    Window.partitionBy("word", "match", "grp").orderBy("pos")
-                )
-                % 2
-                == 1
-            ),
-        )
-        e = e.withColumn("pm", F.coalesce(F.lag("mh").over(wp), F.lit(False)))
-        cur = bounded_cache(
-            e.filter(~F.col("pm"))
-            .withColumn(
-                "v",
-                F.when(F.col("mh"), F.concat("t", "nxt")).otherwise(F.col("t")),
-            )
-            .groupBy("word", "freq")
-            .agg(
-                F.expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)")
-                .alias("toks")
-            )
-        )
+        cur = bounded_cache(_apply_merge(cur, lft, rgt))
     return cur, out
 
 
@@ -3317,18 +3349,78 @@ def corpus_bpe_encode_pretrained(
 QUERIES["corpus_bpe_encode_pretrained"] = corpus_bpe_encode_pretrained
 
 
-def _bpe_oracle(rounds: int = BPE_MERGES, *, encode: bool = False) -> str:
-    """Unrolled twin of the BPE loop: p{r} pair counts, m{r} the winning
-    pair (same ORDER BY tie rule), e/f/g/h/k{r} the run-parity greedy
-    merge, t{r} the rewritten type table.  Everything MATERIALIZED —
-    m{r} is referenced via scalar subqueries and t{r} feeds two
-    consumers.  ``encode=True`` rewrites through t{rounds} and returns
-    the per-document join-back (the corpus_bpe_encode twin) instead of
-    the merge table."""
+def bpe_segment_types(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Segment NEW word types by replaying a stored merge list in
+    training order — how a tokenizer is actually APPLIED to text the
+    training corpus never saw: each merge is the same greedy-leftmost
+    relational rewrite used in training, so a word known to training
+    segments identically to the stored vocab, and an out-of-vocabulary
+    word gets the correct merge-rule segmentation (never dropped, never
+    guessed).  Cost: ``len(merges)`` window passes over the NEW type
+    table — vocabulary-sized, corpus-size-independent.
+
+    ``words``: (word, freq) types; returns (word, freq, toks)."""
+    cur = bounded_cache(_char_types(words))
+    for lft, rgt in merges:
+        cur = bounded_cache(_apply_merge(cur, lft, rgt))
+    return cur
+
+
+def corpus_bpe_apply_holdout(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_MERGES
+) -> DataFrame:
+    """Held-out tokenizer application — the cross-corpus half of the BPE
+    lifecycle: TRAIN on the even-doc_id half of the corpus (persisted
+    once via ``bpe_tokenizer_warehouse(tag='train_even')``), then encode
+    the ODD half by REPLAYING the stored merge table over the holdout's
+    own word types (``bpe_segment_types``).  This is what
+    ``corpus_bpe_encode_pretrained``'s vocab join cannot do: a word the
+    training half never saw has no stored segmentation — replaying the
+    merge RULES segments it correctly instead of silently dropping it
+    (exactly how production tokenizers handle unseen text).
+
+    Scale shape: training is vocab-bound as before; application is
+    ``rounds`` window passes over the HOLDOUT type table (vocabulary-
+    sized) plus one corpus scan and one broadcast join-back.  Fully
+    hash-gated: the oracle chains the train CTEs (filtered to the even
+    half) with an apply chain of the same run-parity algebra over the
+    odd half's types."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    hold = docs.filter(F.col("doc_id") % 2 == 1)
+    wh = bpe_tokenizer_warehouse(
+        spark, sf_dir, rounds, docs=train, tag="train_even"
+    )
+    merges: list[tuple[str, str]] = []
+    if wh.exists("bpe_merges"):
+        merges = [
+            (r["merge_left"], r["merge_right"])
+            for r in sorted(
+                wh.read("bpe_merges").collect(), key=lambda r: r["iter"]
+            )
+        ]
+    types = hold.select(F.explode(tokens_expr()).alias("word")).groupBy(
+        "word"
+    ).agg(F.count("*").alias("freq"))
+    return _bpe_encode_with(hold, bpe_segment_types(types, merges))
+
+
+QUERIES["corpus_bpe_apply_holdout"] = corpus_bpe_apply_holdout
+
+
+def _bpe_oracle_parts(
+    rounds: int = BPE_MERGES, *, encode: bool = False, where: str = ""
+) -> list[str]:
+    """CTE blocks of the unrolled BPE twin: p{r} pair counts, m{r} the
+    winning pair (same ORDER BY tie rule), e/f/g/h/k{r} the run-parity
+    greedy merge, t{r} the rewritten type table.  Everything
+    MATERIALIZED — m{r} is referenced via scalar subqueries and t{r}
+    feeds two consumers.  ``where`` filters the training corpus (the
+    held-out twin trains on half)."""
     parts = [
         f"""freq AS MATERIALIZED (
           SELECT word, CAST(count(*) AS BIGINT) AS freq
-          FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+          FROM (SELECT unnest({_TOKS}) AS word FROM documents{where})
           GROUP BY word
         ), t0 AS MATERIALIZED (
           SELECT word, freq,
@@ -3378,6 +3470,13 @@ def _bpe_oracle(rounds: int = BPE_MERGES, *, encode: bool = False) -> str:
           FROM k{r} WHERE NOT pm GROUP BY word, freq
         )"""
             )
+    return parts
+
+
+def _bpe_oracle(rounds: int = BPE_MERGES, *, encode: bool = False) -> str:
+    """Full unrolled twin: the merge-table trajectory, or (``encode``)
+    the per-document join-back through t{rounds}."""
+    parts = _bpe_oracle_parts(rounds, encode=encode)
     if encode:
         sel = f"""SELECT d.doc_id,
                CAST(count(*) AS BIGINT) AS n_words,
@@ -3394,8 +3493,66 @@ def _bpe_oracle(rounds: int = BPE_MERGES, *, encode: bool = False) -> str:
     return "WITH " + ",\n        ".join(parts) + "\n        " + sel
 
 
+def _bpe_holdout_oracle(rounds: int = BPE_MERGES) -> str:
+    """Twin of ``corpus_bpe_apply_holdout``: the train chain filtered to
+    the even half (merges only — no final rewrite needed), then an
+    APPLY chain replaying each m{r} over the odd half's word types with
+    the identical run-parity algebra (a0 char types -> a{r}), and the
+    per-document join-back over the odd half."""
+    parts = _bpe_oracle_parts(rounds, encode=False,
+                              where=" WHERE doc_id % 2 = 0")
+    parts.append(
+        f"""a0 AS MATERIALIZED (
+          SELECT word, CAST(1 AS BIGINT) AS freq,
+                 list_transform(generate_series(1, length(word)),
+                                i -> substr(word, i, 1)) AS toks
+          FROM (SELECT DISTINCT unnest({_TOKS}) AS word
+                FROM documents WHERE doc_id % 2 = 1)
+        )"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ae{r} AS MATERIALIZED (
+          SELECT word, freq, i AS pos, toks[i] AS t,
+                 CASE WHEN i < len(toks) THEN toks[i + 1] END AS nxt
+          FROM a{r - 1}, unnest(generate_series(1, len(toks))) AS u(i)
+        ), af{r} AS MATERIALIZED (
+          SELECT *, COALESCE(t = (SELECT l FROM m{r})
+                             AND nxt = (SELECT r2 FROM m{r}), FALSE) AS match
+          FROM ae{r}
+        ), ag{r} AS MATERIALIZED (
+          SELECT *, CASE WHEN match THEN pos - ROW_NUMBER()
+                   OVER (PARTITION BY word, match ORDER BY pos) END AS grp
+          FROM af{r}
+        ), ah{r} AS MATERIALIZED (
+          SELECT *, match AND (ROW_NUMBER()
+                   OVER (PARTITION BY word, match, grp ORDER BY pos) % 2 = 1)
+                   AS mh
+          FROM ag{r}
+        ), ak{r} AS MATERIALIZED (
+          SELECT *, COALESCE(lag(mh) OVER (PARTITION BY word ORDER BY pos),
+                             FALSE) AS pm
+          FROM ah{r}
+        ), a{r} AS MATERIALIZED (
+          SELECT word, freq,
+                 list(CASE WHEN mh THEN t || nxt ELSE t END ORDER BY pos)
+                   AS toks
+          FROM ak{r} WHERE NOT pm GROUP BY word, freq
+        )"""
+        )
+    sel = f"""SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(a.toks)) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id, unnest({_TOKS}) AS word
+              FROM documents WHERE doc_id % 2 = 1) d
+        JOIN a{rounds} a USING (word)
+        GROUP BY d.doc_id"""
+    return "WITH " + ",\n        ".join(parts) + "\n        " + sel
+
+
 ORACLE["corpus_bpe_merges"] = _bpe_oracle()
 # the pretrained encode composes through the stored artifact, but its
 # algebra is the training loop's own (the stored segmentation is the
 # loop's output verbatim) — same unrolled twin
 ORACLE["corpus_bpe_encode_pretrained"] = _bpe_oracle(encode=True)
+ORACLE["corpus_bpe_apply_holdout"] = _bpe_holdout_oracle()

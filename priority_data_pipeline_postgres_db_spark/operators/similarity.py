@@ -2463,6 +2463,12 @@ def cell_recall_report(
     from .dedup import _auto_mod, embedding_near_dup_pairs
     from ..util import bounded_cache
 
+    if plan is not None:
+        # measure the exact configuration the planner chose — R is a
+        # sized dial now, not a fixed constant
+        threshold = plan.threshold
+        n_shards = plan.n_shards
+        reshard_rounds = plan.reshard_rounds
     n_corpus = memo_count(emb)
     if mod is None:
         mod = _auto_mod(n_corpus)
@@ -2947,6 +2953,7 @@ def sharded_recall_report(
     shard_target: int = SHARD_TARGET,
     n_shards: int | None = None,
     reshard_rounds: int = RESHARD_ROUNDS,
+    plan: "SemanticDedupPlan | None" = None,
 ) -> DataFrame:
     """Stratified recall of the sharded cascade against exact sample
     ground truth — the instrument that turns the sharding design's
@@ -2972,6 +2979,12 @@ def sharded_recall_report(
     from .dedup import _auto_mod, embedding_near_dup_pairs
     from ..util import bounded_cache
 
+    if plan is not None:
+        # measure the exact configuration the planner chose — R is a
+        # sized dial now, not a fixed constant
+        threshold = plan.threshold
+        n_shards = plan.n_shards
+        reshard_rounds = plan.reshard_rounds
     n_corpus = memo_count(emb)
     if mod is None:
         mod = _auto_mod(n_corpus)

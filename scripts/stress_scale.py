@@ -33,6 +33,15 @@ def build_corpus(spark, factor: int) -> str:
 
     out = os.path.join(OUT, f"x{factor}")
     if os.path.isdir(out):
+        # clean-session protocol (VERDICT r9: one entry per session,
+        # remeasure before believing a flag): reuse lets each session
+        # skip the corpus rebuild so the timing run starts on a quiet
+        # heap.  The corpus is deterministic, so reuse is bit-identical.
+        if os.environ.get("SPARK_GRAFT_STRESS_REUSE") == "1" and all(
+            os.path.isdir(os.path.join(out, f"{t}.parquet"))
+            for t in ("documents", "embeddings", "events")
+        ):
+            return out
         shutil.rmtree(out)
     os.makedirs(out)
 

@@ -1168,3 +1168,109 @@ def test_bpe_pretrained_encode_matches_inline_and_reuses_artifact(spark, sf_dir)
     assert wh1.exists("bpe_merges") and wh1.exists("bpe_vocab")
     # the artifact is the tokenizer FILE: merge table rows = trained rounds
     assert wh1.read("bpe_merges").count() > 0
+
+
+def _seq_bpe_train(freq: dict, rounds: int):
+    """In-test sequential reference: train `rounds` BPE merges over a
+    word->count dict (same tie rule as the engine)."""
+    types = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(rounds):
+        c = {}
+        for w, toks in types.items():
+            for a, b in zip(toks, toks[1:]):
+                c[(a, b)] = c.get((a, b), 0) + freq[w]
+        if not c:
+            break
+        (lft, rgt), _cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((lft, rgt))
+        for w in types:
+            types[w] = _seq_bpe_apply_one(types[w], lft, rgt)
+    return merges
+
+
+def _seq_bpe_apply_one(toks, lft, rgt):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == lft and toks[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_bpe_holdout_apply_handles_oov(spark, tmp_path):
+    """Held-out application: train on the even half, encode the odd half
+    by REPLAYING the stored merges — a word the training half never saw
+    must be encoded (merge rules apply to any string), matching the
+    sequential reference tokenizer, not dropped like a vocab join
+    would."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_bpe_apply_holdout,
+    )
+
+    d = os.path.join(tmp_path, "hold")
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low", "en", "s", 24),
+            (2, "low slowest lower", "en", "s", 17),
+            (1, "low slow glow", "en", "s", 13),      # slow/glow OOV-ish
+            (3, "newest widest low", "en", "s", 17),  # newest/widest unseen
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in corpus_bpe_apply_holdout(spark, d).collect()
+    }
+
+    # sequential reference: train on even docs, replay on odd docs
+    train_words = "low lower lowest low low".split() + "low slowest lower".split()
+    freq = {}
+    for w in train_words:
+        freq[w] = freq.get(w, 0) + 1
+    merges = _seq_bpe_train(freq, 6)
+    want = {}
+    for doc_id, text in [(1, "low slow glow"), (3, "newest widest low")]:
+        n_toks = 0
+        for w in text.split():
+            toks = list(w)
+            for lft, rgt in merges:
+                toks = _seq_bpe_apply_one(toks, lft, rgt)
+            n_toks += len(toks)
+        want[doc_id] = (len(text.split()), n_toks)
+    assert got == want
+    # and the OOV words genuinely compress (a learned merge applies
+    # inside 'slow'/'glow' via the 'lo'-family rules)
+    assert got[1][1] < sum(len(w) for w in "low slow glow".split())
+
+
+def test_bpe_segment_types_matches_trained_vocab(spark, sf_dir):
+    """Replaying the stored merge list over the TRAINING words must
+    reproduce the stored vocab segmentation exactly — application and
+    training share one rewrite algebra, so a tokenizer shipped as just
+    its merge table loses nothing."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        bpe_segment_types,
+        bpe_tokenizer_warehouse,
+    )
+
+    wh = bpe_tokenizer_warehouse(spark, sf_dir)
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in sorted(
+            wh.read("bpe_merges").collect(), key=lambda r: r["iter"]
+        )
+    ]
+    vocab = {r["word"]: r["toks"] for r in wh.read("bpe_vocab").collect()}
+    replayed = bpe_segment_types(
+        wh.read("bpe_vocab").select("word", "freq"), merges
+    )
+    got = {r["word"]: r["toks"] for r in replayed.collect()}
+    assert got == vocab and got
