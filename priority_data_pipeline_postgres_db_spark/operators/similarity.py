@@ -2463,12 +2463,6 @@ def cell_recall_report(
     from .dedup import _auto_mod, embedding_near_dup_pairs
     from ..util import bounded_cache
 
-    if plan is not None:
-        # measure the exact configuration the planner chose — R is a
-        # sized dial now, not a fixed constant
-        threshold = plan.threshold
-        n_shards = plan.n_shards
-        reshard_rounds = plan.reshard_rounds
     n_corpus = memo_count(emb)
     if mod is None:
         mod = _auto_mod(n_corpus)
@@ -2877,6 +2871,7 @@ def semantic_pairs_cascade(
     shard_target: int = SHARD_TARGET,
     n_shards: int | None = None,
     reshard_rounds: int = 1,
+    plan: "SemanticDedupPlan | None" = None,
 ) -> DataFrame:
     """The documented past-envelope CASCADE, as one operator: a TIGHT
     pass corpus-wide via the IVF cell path (``semantic_pairs_cells`` —
@@ -2905,6 +2900,12 @@ def semantic_pairs_cascade(
     1 − (1 − 1/S)^R at R× the loose leg's cost — the dial a workload
     turns when an unbiased 1/S sample of the similar population isn't
     enough coverage."""
+    if plan is not None:
+        # the planner-to-cascade handoff: one call from corpus size +
+        # recall target to the tight ∪ amplified-loose union
+        threshold = plan.threshold
+        n_shards = plan.n_shards
+        reshard_rounds = plan.reshard_rounds
     tight = semantic_pairs_cells(emb, dim, threshold=tight_threshold)
     if reshard_rounds > 1:
         loose = semantic_pairs_resharded(

@@ -839,3 +839,26 @@ def test_planner_drives_resharded_execution(spark, sf_dir):
         .collect()
     }
     assert two <= via_plan
+
+
+def test_planner_handoff_cascade_and_report(spark, sf_dir):
+    """The plan object drives all three consumers: cascade and the
+    recall report pick up (threshold, S, R) from it — the report row
+    must echo the plan's S and R."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        plan_semantic_dedup,
+        semantic_pairs_cascade,
+        sharded_recall_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    plan = plan_semantic_dedup(emb.count(), 0.5, shard_target=125)
+    row = sharded_recall_report(emb, dim, plan=plan).first()
+    assert row["n_shards"] == plan.n_shards
+    assert row["reshard_rounds"] == plan.reshard_rounds
+    pairs = semantic_pairs_cascade(emb, dim, plan=plan)
+    assert {"vec_id_a", "vec_id_b", "cosine", "tight_pass", "shard_pass"} <= set(
+        pairs.columns
+    )
+    assert pairs.count() > 0
