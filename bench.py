@@ -193,8 +193,11 @@ HEADLINE = [
     "q_dq_expectations",
     "k1_table_changes",
     "dedup_semantic_resharded",
-    # r10: planner-sized amplified run
+    # r10: planner-sized amplified run, artifact-backed BPE encode paths,
+    # and the append-only CDC feed
     "dedup_semantic_planned",
+    "corpus_bpe_apply_holdout",
+    "k1_table_changes_append",
 ]
 
 

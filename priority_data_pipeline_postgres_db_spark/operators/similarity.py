@@ -3245,13 +3245,22 @@ def dedup_semantic_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the whole derived configuration executes under the hash gate
     (the oracle unions R salted CTE twins at the planner's S, itself
     f-string-built from the same plan object, so a planner retune
-    re-derives the oracle automatically)."""
+    re-derives the oracle automatically).
+
+    Like every gate entry in this family, the shard COUNT is pinned to
+    GATE_SHARDS at any corpus size (shard_target = ceil(n/S)): the law
+    then derives the same R=3 at every sf, so the sf0.1 bench times the
+    sf0.01-gated configuration instead of the R=14 a fixed 125-vector
+    shard target would demand at 16 shards (production sizing uses the
+    planner's default SHARD_TARGET; the law's full range is pytest- and
+    stress-covered)."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    n = memo_count(emb)
     plan = plan_semantic_dedup(
-        memo_count(emb),
+        n,
         GATE_PLAN_TARGET_RECALL,
-        shard_target=GATE_PLAN_SHARD_TARGET,
+        shard_target=max(1, -(-n // GATE_SHARDS)),
     )
     return semantic_pairs_resharded(emb, dim, plan=plan)
 
