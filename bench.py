@@ -198,6 +198,9 @@ HEADLINE = [
     "dedup_semantic_planned",
     "corpus_bpe_apply_holdout",
     "k1_table_changes_append",
+    "corpus_mix_schedule",
+    "q_skew_report",
+    "k1_cdc_poll_cycle",
 ]
 
 

@@ -3556,3 +3556,163 @@ ORACLE["corpus_bpe_merges"] = _bpe_oracle()
 # loop's output verbatim) — same unrolled twin
 ORACLE["corpus_bpe_encode_pretrained"] = _bpe_oracle(encode=True)
 ORACLE["corpus_bpe_apply_holdout"] = _bpe_holdout_oracle()
+
+
+MIX_BUDGET_PCT = 60  # gate default: schedule 60% of the corpus tokens
+
+
+def mix_waterfill(
+    avail: DataFrame, budget: int, *, scale: int = 1_000_000
+) -> DataFrame:
+    """Token-budget WATERFILL across sources — the mixture-scheduling
+    step of a training-data pipeline: given per-source available tokens
+    and target mixture weights, allocate a total ``budget`` so every
+    source gets tokens proportional to its weight until it SATURATES
+    (runs out), with the shortfall redistributed to the others at the
+    same water level.  Single-epoch form: allocation never exceeds
+    availability (no oversampling), so the output is directly a
+    per-source sampling rate.
+
+    Relational closed form (no driver loop): sources sort by their
+    saturation level r = avail·scale / w; a prefix scan finds the first
+    source the remaining budget cannot fill to its level — the water
+    level λ is the budget left at that point spread over the remaining
+    weight.  Everything integer (fixed-point ``scale``), divisions on
+    non-negative operands only (Spark ``div`` truncates, DuckDB ``//``
+    floors — identical on non-negatives), so the schedule replays
+    bit-for-bit in the oracle.  One 20-row window — at 100 TB the
+    source table is still tiny (thousands of rows), while the token
+    counts underneath it come from the one corpus scan.
+
+    ``avail``: (source, w, avail) — weight and available tokens."""
+    from pyspark.sql import Window
+
+    tot = avail.agg(
+        F.sum("w").cast("long").alias("_W"),
+        F.sum("avail").cast("long").alias("_A"),
+    )
+    a = avail.crossJoin(F.broadcast(tot)).withColumn(
+        "r", F.expr(f"CAST(avail AS BIGINT) * {scale} div w")
+    )
+    win = Window.orderBy("r", "source")
+    a = (
+        a.withColumn(
+            "_pre_avail",
+            F.coalesce(
+                F.sum("avail").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "_pre_w",
+            F.coalesce(
+                F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("_w_from", F.col("_W") - F.col("_pre_w"))
+        .withColumn(
+            "_test",
+            F.when(F.col("_pre_avail") > budget, F.lit(-1).cast("long")).otherwise(
+                F.expr(f"({budget} - _pre_avail) * {scale} div _w_from")
+            ),
+        )
+    )
+    lam = (
+        a.filter(F.col("_test") < F.col("r"))
+        .orderBy("r", "source")
+        .limit(1)
+        .select(F.col("_test").alias("_lam"))
+    )
+    # no unsaturated source: the budget covers everything — λ = +inf
+    lam = lam.unionByName(
+        a.sparkSession.createDataFrame([(None,)], "_lam long")
+    ).select(F.first("_lam", ignorenulls=True).alias("_lam"))
+    out = a.crossJoin(F.broadcast(lam)).withColumn(
+        "alloc",
+        F.when(F.col("_lam").isNull() | (F.col("r") <= F.col("_lam")),
+               F.col("avail").cast("long"))
+        .otherwise(F.expr(f"w * _lam div {scale}")),
+    )
+    return out.select(
+        "source",
+        F.col("w").cast("int").alias("w"),
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.col("alloc").cast("long").alias("alloc_tokens"),
+        (F.col("_lam").isNull() | (F.col("r") <= F.col("_lam"))).alias("saturated"),
+        F.expr(f"CAST(alloc * {scale} div avail AS BIGINT)").alias(
+            "sampling_rate_x1e6"
+        ),
+        F.lit(budget).cast("long").alias("budget_tokens"),
+    )
+
+
+def corpus_mix_schedule(
+    spark: SparkSession, sf_dir: str, budget_pct: int = MIX_BUDGET_PCT
+) -> DataFrame:
+    """Registry entry: waterfill a token budget (``budget_pct`` of the
+    corpus) across sources with deterministic non-uniform weights
+    (w = 1 + source_number % 4, so some sources saturate and the
+    algorithm's redistribution is REAL under the gate).  One corpus
+    scan for the per-source token counts, then the 20-row waterfill."""
+    docs = load(spark, sf_dir, "documents")
+    avail = (
+        docs.select("source", F.size(tokens_expr()).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("avail"))
+        .withColumn(
+            "w", F.expr("1 + CAST(substring(source, 4) AS INT) % 4")
+        )
+    )
+    total = avail.agg(F.sum("avail").cast("long")).first()[0]
+    budget = int(total) * budget_pct // 100
+    return mix_waterfill(avail, budget)
+
+
+QUERIES["corpus_mix_schedule"] = corpus_mix_schedule
+
+ORACLE["corpus_mix_schedule"] = f"""
+    WITH av AS MATERIALIZED (
+      SELECT source,
+             CAST(1 + CAST(substring(source, 4) AS INT) % 4 AS BIGINT) AS w,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ), tot AS MATERIALIZED (
+      SELECT CAST(sum(w) AS BIGINT) AS W_tot,
+             CAST(sum(avail) AS BIGINT) AS A_tot,
+             CAST(sum(avail) AS BIGINT) * {MIX_BUDGET_PCT} // 100 AS B
+      FROM av
+    ), scan AS MATERIALIZED (
+      SELECT source, w, avail,
+             avail * 1000000 // w AS r,
+             COALESCE(CAST(sum(avail) OVER (ORDER BY avail * 1000000 // w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS pre_avail,
+             COALESCE(CAST(sum(w) OVER (ORDER BY avail * 1000000 // w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS pre_w
+      FROM av
+    ), tested AS MATERIALIZED (
+      SELECT s.*, t.B,
+             CASE WHEN s.pre_avail > t.B THEN CAST(-1 AS BIGINT)
+                  ELSE (t.B - s.pre_avail) * 1000000 // (t.W_tot - s.pre_w)
+             END AS test
+      FROM scan s CROSS JOIN tot t
+    ), lam AS MATERIALIZED (
+      SELECT test AS lam FROM tested WHERE test < r
+      ORDER BY r, source LIMIT 1
+    )
+    SELECT source, CAST(w AS INTEGER) AS w, avail AS avail_tokens,
+           CASE WHEN (SELECT count(*) FROM lam) = 0
+                     OR r <= (SELECT lam FROM lam)
+                THEN avail ELSE w * (SELECT lam FROM lam) // 1000000
+           END AS alloc_tokens,
+           ((SELECT count(*) FROM lam) = 0 OR r <= (SELECT lam FROM lam))
+             AS saturated,
+           CAST((CASE WHEN (SELECT count(*) FROM lam) = 0
+                           OR r <= (SELECT lam FROM lam)
+                      THEN avail ELSE w * (SELECT lam FROM lam) // 1000000
+                 END) * 1000000 // avail AS BIGINT) AS sampling_rate_x1e6,
+           B AS budget_tokens
+    FROM tested
+"""

@@ -3351,3 +3351,180 @@ ORACLE["q_dq_expectations"] = """
     SELECT 'lineitem_shipdate_not_before_orderdate', (SELECT v FROM r5),
            (SELECT n FROM r3), (SELECT v FROM r5) = 0
 """
+
+
+def _skew_stats(df: DataFrame, key: str, table: str) -> DataFrame:
+    """One-row skew profile for a join/aggregation key: exact per-key
+    counts reduce to a per-COUNT histogram (rows = distinct count
+    values, tiny at any scale), a cumulative scan locates the exact
+    p99 count (rank k = (n_keys-1)*99 div 100 + 1 — the discrete
+    percentile, no float interpolation), and the salt suggestion is
+    ceil(max/p99): the replication factor that levels the hottest key
+    to the p99 partition load.  All integer arithmetic on non-negative
+    operands, so the profile hash-gates."""
+    from pyspark.sql import Window
+
+    cnts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    tot = cnts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_rows"),
+    )
+    hist = cnts.groupBy("cnt").agg(F.count("*").cast("long").alias("nk"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("nk").over(
+            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr("(n_keys - 1) * 99 div 100 + 1"))
+        .agg(F.min("cnt").cast("long").alias("p99_rows"))
+    )
+    return tot.crossJoin(F.broadcast(p99)).select(
+        F.lit(table).alias("table_name"),
+        F.lit(key).alias("key_col"),
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        "p99_rows",
+        F.expr("n_rows * 1000000 div n_keys").cast("long").alias("avg_rows_x1e6"),
+        F.expr("max_rows * 1000000 div p99_rows").cast("long").alias("skew_x1e6"),
+        F.expr("(max_rows + p99_rows - 1) div p99_rows").cast("long").alias(
+            "suggested_salt"
+        ),
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the measurement that sizes the salting
+    every 100 TB shuffle plan needs BEFORE it hits the straggler: per
+    analyzed key, exact cardinality, max and exact-p99 per-key loads,
+    the max/p99 skew ratio, and the suggested salt factor (ceil of it).
+    The heavy groupBy is the same shuffle the production join would do;
+    everything after it is histogram-sized.  Covers the fact-table user
+    key (events.user_id) and the star join key (lineitem.l_suppkey)."""
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+    return _skew_stats(ev, "user_id", "events").unionByName(
+        _skew_stats(li, "l_suppkey", "lineitem")
+    )
+
+
+QUERIES["q_skew_report"] = q_skew_report
+
+
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}' AS table_name, '{key}' AS key_col,
+             s.n_keys, s.n_rows, s.max_rows, p.p99_rows,
+             s.n_rows * 1000000 // s.n_keys AS avg_rows_x1e6,
+             s.max_rows * 1000000 // p.p99_rows AS skew_x1e6,
+             (s.max_rows + p.p99_rows - 1) // p.p99_rows AS suggested_salt
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_rows
+        FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM {table}
+              GROUP BY {key})
+      ) s CROSS JOIN (
+        SELECT CAST(min(cnt) AS BIGINT) AS p99_rows FROM (
+          SELECT cnt, sum(nk) OVER (ORDER BY cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (SELECT cnt, CAST(count(*) AS BIGINT) AS nk FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS cnt FROM {table}
+                   GROUP BY {key})
+                GROUP BY cnt)
+        ) c, (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM
+                (SELECT 1 AS one FROM {table} GROUP BY {key})) t
+        WHERE c.cum >= (t.n_keys - 1) * 99 // 100 + 1
+      ) p
+    """
+
+
+ORACLE["q_skew_report"] = (
+    _skew_sql("events", "user_id")
+    + "\n    UNION ALL\n"
+    + _skew_sql("lineitem", "l_suppkey")
+)
+
+
+def k1_cdc_poll_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental CDC consumer under the hash gate — the
+    composition VERDICT r9 #6 pointed at: an append-only SOURCE table
+    accrues three immutable batches; after each commit a polling
+    consumer reads ``table_changes(last_seen, newest)`` (the batch-id
+    watermark feed, pruned at file listing), applies it into a TARGET
+    under a (user_id, event_id) upsert contract, and advances its
+    consumer watermark through the CONTROL store (K5/K6 — the
+    reference's lastRun machinery reused as the consumer offset).  The
+    final target read must equal latest-event-per-user over the whole
+    stream — however the polls were chopped."""
+    import os as _os
+
+    from ..operators.staging import StagingWarehouse
+    from ..sources.control import ControlStore
+    from ..util import scratch_dir
+
+    root = scratch_dir("spark_graft_poll_")
+    src = StagingWarehouse(spark, root, account_id="cdcsrc")
+    tgt = StagingWarehouse(spark, root, account_id="cdctgt")
+    store = ControlStore(_os.path.join(root, "control.json"))
+    store.insert_config(
+        {
+            "datasourceName": "cdc_poll_demo",
+            "uri": "https://example.invalid/odata/",
+            "accountID": "cdcsrc",
+            "systemTimezone": "UTC",
+            "sourceSystem": "staging",
+            "entities": [
+                {
+                    "EntityID": "RAW_EVENTS",
+                    "filterFlag": True,
+                    "filterField": "ingest_batch",
+                    "expand": [],
+                    "lastRun": "",
+                    "dataStartDate": "2024-01-01 00:00:00",
+                }
+            ],
+        },
+        datasource_id="poll",
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tgt.set_upsert_keys("user_state", ["user_id"], "event_id")
+    slices = [
+        ("b1", ev.filter(F.col("ts") < "2024-01-10")),
+        ("b2", ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))),
+        ("b3", ev.filter(F.col("ts") >= "2024-01-20")),
+    ]
+    for bid, batch in slices:
+        src.write(batch, "raw_events", incremental=True, batch_id=bid)
+        last = store.latest_config("poll")["entities"][0]["lastRun"]
+        feed = src.table_changes("raw_events", last, bid)
+        tgt.write(
+            feed.drop("_change_type"),
+            "user_state",
+            incremental=True,
+            batch_id=f"apply-{bid}",
+        )
+        store.update_last_run("poll", "RAW_EVENTS", value=bid)
+    return tgt.read("user_state").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+QUERIES["k1_cdc_poll_cycle"] = k1_cdc_poll_cycle
+
+# twin: the consumer must converge to latest-event-per-user over the
+# whole stream, however the polls were chopped
+ORACLE["k1_cdc_poll_cycle"] = """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+               AS rn
+      FROM events
+    ) WHERE rn = 1
+"""

@@ -190,6 +190,12 @@ STRESS = [
     "dedup_semantic_sharded",
     "dedup_semantic_cascade",
     "dedup_semantic_resharded",
+    # r10: artifact-backed BPE apply (vocab-bound replay), the mixture
+    # waterfill (source-table-sized), and the polling CDC consumer
+    # (q_skew_report reads lineitem — TPC-H-side, bench-only)
+    "corpus_bpe_apply_holdout",
+    "corpus_mix_schedule",
+    "k1_cdc_poll_cycle",
 ]
 
 

@@ -1274,3 +1274,49 @@ def test_bpe_segment_types_matches_trained_vocab(spark, sf_dir):
     )
     got = {r["word"]: r["toks"] for r in replayed.collect()}
     assert got == vocab and got
+
+
+def test_mix_waterfill_matches_python_reference(spark):
+    """The relational waterfill must equal a sequential reference on a
+    fixture that exercises saturation, redistribution, and the
+    everything-fits case."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        mix_waterfill,
+    )
+
+    rows = [("a", 1, 100), ("b", 2, 50), ("c", 3, 900), ("d", 4, 2000)]
+
+    def reference(budget):
+        # iterative waterfill with the same integer algebra
+        items = sorted(rows, key=lambda r: (r[2] * 1_000_000 // r[1], r[0]))
+        pre_avail, pre_w = 0, 0
+        W = sum(r[1] for r in rows)
+        lam = None
+        for src, w, avail in items:
+            r = avail * 1_000_000 // w
+            test = -1 if pre_avail > budget else (budget - pre_avail) * 1_000_000 // (W - pre_w)
+            if test < r:
+                lam = test
+                break
+            pre_avail += avail
+            pre_w += w
+        out = {}
+        for src, w, avail in rows:
+            r = avail * 1_000_000 // w
+            alloc = avail if (lam is None or r <= lam) else w * lam // 1_000_000
+            out[src] = alloc
+        return out
+
+    avail = spark.createDataFrame(rows, "source string, w int, avail long")
+    for budget in (0, 100, 1000, 2500, 3050, 10_000):
+        got = {
+            r["source"]: r["alloc_tokens"]
+            for r in mix_waterfill(avail, budget).collect()
+        }
+        assert got == reference(budget), budget
+        # allocation never exceeds availability or (within truncation
+        # slack ≤ n_sources) the budget
+        assert all(got[s] <= a for s, _, a in rows)
+        assert sum(got.values()) <= budget + len(rows) or sum(got.values()) == sum(
+            a for _, _, a in rows
+        )

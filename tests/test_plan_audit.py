@@ -62,6 +62,12 @@ ALLOWED = {
     # r9: sample quadratic ground truth + 1-row stratified recall counts —
     # the same bounded pattern as the srp/cell recall reports
     "sim_sharded_recall_report": {"BNLJ", "SinglePartition"},
+    # r10: waterfill window + λ scan over the SOURCE table (rows =
+    # distinct sources, thousands at 100 TB) + 1-row totals broadcast
+    "corpus_mix_schedule": {"BNLJ", "SinglePartition"},
+    # r10: cumulative scan over the per-COUNT histogram (rows = distinct
+    # per-key counts) + 1-row totals/percentile broadcasts
+    "q_skew_report": {"BNLJ", "SinglePartition"},
 }
 
 

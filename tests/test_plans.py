@@ -960,3 +960,46 @@ def test_dq_expectations_empty_tables_report_zero(spark, tmp_path):
     assert len(rows) == 7
     for r in rows:
         assert (r["n_violations"], r["n_checked"], r["passed"]) == (0, 0, True)
+
+
+def test_skew_report_exact_percentile_and_salt(spark, tmp_path):
+    """q_skew_report's p99 is the exact discrete percentile (rank
+    (n-1)*99//100 + 1 over sorted per-key counts) and the salt is
+    ceil(max/p99) — pinned on a planted skew fixture."""
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        _skew_stats,
+    )
+
+    # 99 keys with 1 row, 1 key with 1000 rows
+    rows = [(k,) for k in range(99)] + [(999,)] * 1000
+    df = spark.createDataFrame(rows, "user_id long")
+    got = _skew_stats(df, "user_id", "t").first()
+    assert got["n_keys"] == 100 and got["max_rows"] == 1000
+    # rank = (100-1)*99//100 + 1 = 99 -> the 99th smallest count = 1
+    assert got["p99_rows"] == 1
+    assert got["suggested_salt"] == 1000
+    assert got["skew_x1e6"] == 1000 * 1_000_000
+
+
+def test_cdc_poll_cycle_chop_independent(spark, sf_dir):
+    """The polling consumer converges to the same target state however
+    the stream is chopped: the registry entry's 3-poll result equals a
+    single-poll full load resolved under the same contract."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.plans.analytics import (
+        k1_cdc_poll_cycle,
+    )
+
+    got = {tuple(r) for r in k1_cdc_poll_cycle(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    want = {
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", "value")
+        .collect()
+    }
+    assert got == want and got
