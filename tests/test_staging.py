@@ -837,3 +837,74 @@ def test_maintenance_write_mode_matrix(spark, tmp_path, layout, pre_marker):
         got = {r["id"]: (r["ver"], r["day"], r["val"])
                for r in wh.read("T").collect()}
         assert got == model, f"after {name} ({layout}, marker={pre_marker})"
+
+
+def test_maintenance_random_walks_hold_read_identity(spark):
+    """Beyond the pairwise Eulerian matrix: hypothesis drives random op
+    WALKS (triple+ interactions, varied op multiplicity) against the
+    same independent newest-wins model, read-checked after every op.
+    Derandomized (fixed example set) so CI is stable; the generator
+    covers both layouts and op sequences the matrix's single circuit
+    never visits."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_names = ["append", "full_refresh", "compact", "expire", "rewrite",
+                "changes"]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        seq=st.lists(st.sampled_from(op_names), min_size=5, max_size=10),
+        hive=st.booleans(),
+    )
+    def run_walk(seq, hive):
+        part = ["day"] if hive else None
+        wh = StagingWarehouse(
+            spark, tempfile.mkdtemp(prefix="walk_"), account_id="w"
+        )
+        wh.set_upsert_keys("T", ["id"], "ver")
+        model: dict[int, tuple] = {}
+        ver = [0]
+
+        def write(ids, incremental):
+            ver[0] += 1
+            data = [(i, ver[0], f"d{i % 2}", f"v{ver[0]}") for i in ids]
+            df = spark.createDataFrame(
+                data, "id long, ver long, day string, val string"
+            )
+            wh.write(df, "T", incremental=incremental, partition_by=part)
+            if not incremental:
+                model.clear()
+            for i, v, d, s in data:
+                if i not in model or v >= model[i][0]:
+                    model[i] = (v, d, s)
+
+        ops = {
+            "append": lambda: write([1 + ver[0] % 3, 2 + ver[0] % 4], True),
+            "full_refresh": lambda: write([1, 2, 3], False),
+            "compact": lambda: wh.compact("T", partition_by=part),
+            "expire": lambda: wh.expire_snapshots("T", keep_last=1),
+            "rewrite": lambda: wh.rewrite_clustered(
+                "T", zorder_by=["id", "ver"], partition_by=part
+            ),
+            "changes": lambda: (
+                wh.table_changes("T", wh.snapshots("T")[0],
+                                 wh.snapshots("T")[-1]).count()
+                if len(wh.snapshots("T")) >= 2 else None
+            ),
+        }
+        write([1, 2], False)
+        for name in seq:
+            ops[name]()
+            got = {r["id"]: (r["ver"], r["day"], r["val"])
+                   for r in wh.read("T").collect()}
+            assert got == model, (seq, name, hive)
+
+    run_walk()
