@@ -199,6 +199,7 @@ HEADLINE = [
     "corpus_bpe_apply_holdout",
     "k1_table_changes_append",
     "corpus_mix_schedule",
+    "corpus_mix_apply",
     "q_skew_report",
     "k1_cdc_poll_cycle",
 ]

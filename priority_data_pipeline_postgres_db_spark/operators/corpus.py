@@ -3716,3 +3716,96 @@ ORACLE["corpus_mix_schedule"] = f"""
            B AS budget_tokens
     FROM tested
 """
+
+
+def corpus_mix_apply(
+    spark: SparkSession, sf_dir: str, budget_pct: int = MIX_BUDGET_PCT
+) -> DataFrame:
+    """EXECUTE the mixture schedule — the sampling half that turns
+    ``corpus_mix_schedule``'s per-source rates into an actual training
+    subset: each document keeps with probability rate via deterministic
+    md5 thresholding (md5-60 of the salted doc id mod 1e6 < rate), so
+    the selection is reproducible bit-for-bit, independent of every
+    other hash role in the engine (the ``mix_`` salt), and requires no
+    shuffle — one broadcast of the 20-row schedule against the corpus
+    scan.  Output is the per-source reconciliation a pipeline logs:
+    scheduled allocation vs achieved docs/tokens (sampling is binomial
+    around the rate; the report makes the realized mix observable
+    in-band rather than assumed).
+
+    At 100 TB this is the production shape: the schedule is tiny and
+    broadcast, the corpus scan is one pass with a map-side filter, and
+    the selected subset streams straight into packing/sharding."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "source", F.size(tokens_expr()).cast("long").alias("n_tok")
+    )
+    avail = (
+        per_doc.groupBy("source")
+        .agg(F.sum("n_tok").alias("avail"))
+        .withColumn("w", F.expr("1 + CAST(substring(source, 4) AS INT) % 4"))
+    )
+    total = avail.agg(F.sum("avail").cast("long")).first()[0]
+    budget = int(total) * budget_pct // 100
+    sched = mix_waterfill(avail, budget)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    sel = (
+        per_doc.join(
+            F.broadcast(sched.select("source", "sampling_rate_x1e6")), "source"
+        )
+        .filter(key < F.col("sampling_rate_x1e6"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_selected"),
+            F.sum("n_tok").cast("long").alias("tokens_selected"),
+        )
+    )
+    return (
+        sched.join(sel, "source", "left")
+        .select(
+            "source",
+            "w",
+            "avail_tokens",
+            "alloc_tokens",
+            "sampling_rate_x1e6",
+            F.coalesce("n_docs_selected", F.lit(0)).cast("long").alias(
+                "n_docs_selected"
+            ),
+            F.coalesce("tokens_selected", F.lit(0)).cast("long").alias(
+                "tokens_selected"
+            ),
+        )
+    )
+
+
+QUERIES["corpus_mix_apply"] = corpus_mix_apply
+
+_MIX_SCHED_CTE = ORACLE["corpus_mix_schedule"].strip()
+ORACLE["corpus_mix_apply"] = f"""
+    WITH sched AS MATERIALIZED (
+      {_MIX_SCHED_CTE}
+    ), perdoc AS MATERIALIZED (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS key
+      FROM documents
+    ), sel AS MATERIALIZED (
+      SELECT p.source,
+             CAST(count(*) AS BIGINT) AS n_docs_selected,
+             CAST(sum(p.n_tok) AS BIGINT) AS tokens_selected
+      FROM perdoc p JOIN sched s ON p.source = s.source
+      WHERE p.key < s.sampling_rate_x1e6
+      GROUP BY p.source
+    )
+    SELECT s.source, s.w, s.avail_tokens, s.alloc_tokens,
+           s.sampling_rate_x1e6,
+           COALESCE(l.n_docs_selected, 0) AS n_docs_selected,
+           COALESCE(l.tokens_selected, 0) AS tokens_selected
+    FROM sched s LEFT JOIN sel l ON s.source = l.source
+"""

@@ -195,6 +195,7 @@ STRESS = [
     # (q_skew_report reads lineitem — TPC-H-side, bench-only)
     "corpus_bpe_apply_holdout",
     "corpus_mix_schedule",
+    "corpus_mix_apply",
     "k1_cdc_poll_cycle",
 ]
 

