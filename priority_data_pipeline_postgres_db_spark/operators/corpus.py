@@ -3067,12 +3067,30 @@ ORACLE["dedup_multi_signal"] = f"""
 BPE_MERGES = 6
 
 
-# Train-once memo: (sf_dir, rounds) -> StagingWarehouse root holding the
-# persisted tokenizer artifact (stg_bpe_merges + stg_bpe_vocab).  The
-# production tokenizer lifecycle is train once, persist, encode many —
-# retraining inside every encode was the r9 bench's most expensive entry
-# (VERDICT r9 "what's wrong" #1).
-_BPE_ARTIFACTS: dict[tuple[str, int], str] = {}
+# Train-once memo: (sf_dir, corpus_fingerprint, rounds, tag) ->
+# StagingWarehouse root holding the persisted tokenizer artifact
+# (stg_bpe_merges + stg_bpe_vocab).  The production tokenizer lifecycle
+# is train once, persist, encode many — retraining inside every encode
+# was the r9 bench's most expensive entry (VERDICT r9 "what's wrong"
+# #1).  The fingerprint (documents.parquet mtime) guards against a
+# rewritten corpus at the same path silently serving a stale tokenizer
+# (ADVICE r10).
+_BPE_ARTIFACTS: dict[tuple[str, float, int, str], str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> float:
+    """mtime of the corpus parquet (or the sf_dir itself as a fallback):
+    an in-process rewrite of the same path changes the fingerprint, so
+    the memo retrains instead of serving the stale artifact."""
+    import os as _os
+
+    for cand in ("documents.parquet", ""):
+        p = _os.path.join(sf_dir, cand) if cand else sf_dir
+        try:
+            return _os.path.getmtime(p)
+        except OSError:
+            continue
+    return 0.0
 
 
 def bpe_tokenizer_warehouse(
@@ -3105,7 +3123,7 @@ def bpe_tokenizer_warehouse(
     from ..util import scratch_dir
     from .staging import StagingWarehouse
 
-    key = (sf_dir, rounds, tag)
+    key = (sf_dir, _corpus_fingerprint(sf_dir), rounds, tag)
     root = _BPE_ARTIFACTS.get(key)
     if root is None:
         root = scratch_dir("spark_graft_bpe_")
@@ -3628,11 +3646,16 @@ def mix_waterfill(
     lam = lam.unionByName(
         a.sparkSession.createDataFrame([(None,)], "_lam long")
     ).select(F.first("_lam", ignorenulls=True).alias("_lam"))
+    # greatest(_lam, 0): in the exhausted-budget branch the sentinel water
+    # level is -1, and a negative operand under div/​// diverges between
+    # engines (Spark truncates toward zero, DuckDB floors) — clamping at
+    # zero allocates 0 to exhausted rows in all implementations
+    # identically (ADVICE r10)
     out = a.crossJoin(F.broadcast(lam)).withColumn(
         "alloc",
         F.when(F.col("_lam").isNull() | (F.col("r") <= F.col("_lam")),
                F.col("avail").cast("long"))
-        .otherwise(F.expr(f"w * _lam div {scale}")),
+        .otherwise(F.expr(f"w * greatest(_lam, 0) div {scale}")),
     )
     return out.select(
         "source",
@@ -3705,13 +3728,13 @@ ORACLE["corpus_mix_schedule"] = f"""
     SELECT source, CAST(w AS INTEGER) AS w, avail AS avail_tokens,
            CASE WHEN (SELECT count(*) FROM lam) = 0
                      OR r <= (SELECT lam FROM lam)
-                THEN avail ELSE w * (SELECT lam FROM lam) // 1000000
+                THEN avail ELSE w * greatest((SELECT lam FROM lam), 0) // 1000000
            END AS alloc_tokens,
            ((SELECT count(*) FROM lam) = 0 OR r <= (SELECT lam FROM lam))
              AS saturated,
            CAST((CASE WHEN (SELECT count(*) FROM lam) = 0
                            OR r <= (SELECT lam FROM lam)
-                      THEN avail ELSE w * (SELECT lam FROM lam) // 1000000
+                      THEN avail ELSE w * greatest((SELECT lam FROM lam), 0) // 1000000
                  END) * 1000000 // avail AS BIGINT) AS sampling_rate_x1e6,
            B AS budget_tokens
     FROM tested

@@ -3211,6 +3211,19 @@ def plan_semantic_dedup(
         if predicted_resharded_recall(n_shards, r) >= target_recall:
             rounds, achievable = r, True
             break
+    if not achievable:
+        # out-of-budget target: don't burn max_rounds passes when the
+        # prediction has already plateaued — notably S=1, where recall
+        # is R-independent (every salted assignment produces the same
+        # single shard), so R=2..16 are 15 redundant full passes for
+        # zero gain (ADVICE r10).  Clamp to the smallest R achieving
+        # the best reachable prediction.
+        best = predicted_resharded_recall(n_shards, max_rounds)
+        rounds = next(
+            r
+            for r in range(1, max_rounds + 1)
+            if predicted_resharded_recall(n_shards, r) >= best
+        )
     return SemanticDedupPlan(
         n_vectors=n_vectors,
         threshold=threshold,

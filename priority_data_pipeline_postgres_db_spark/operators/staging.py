@@ -284,9 +284,16 @@ class StagingWarehouse:
         for c in zorder_by:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
         stats = cur.agg(*aggs).first()
+        import decimal
+
         for c in zorder_by:
             mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-            if mn is not None and not isinstance(mn, (int, float)):
+            # Decimal dims (prices) are numeric: min() returns
+            # decimal.Decimal and the int()/cast-to-long bucketing below
+            # handles it — the guard must not reject them (ADVICE r10)
+            if mn is not None and not isinstance(
+                mn, (int, float, decimal.Decimal)
+            ):
                 raise TypeError(
                     f"zorder_by column {c!r} is non-numeric "
                     f"({type(mn).__name__}) — Morton bucketing needs a "

@@ -3528,3 +3528,54 @@ ORACLE["k1_cdc_poll_cycle"] = """
       FROM events
     ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# skew measurement → plan loop (VERDICT r10 #1)
+# ---------------------------------------------------------------------------
+
+
+def j_skew_salted_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew measurement→plan loop closed, under the hash gate: the
+    BI-spec star join (lineitem ⋈ supplier on the fact key the standing
+    ``q_skew_report`` diagnostic measures) executed through
+    ``salted_join`` with the salt count AUTO-SIZED by ``skew_probe`` —
+    one pass over the fact side measures the max/p99 per-key load ratio,
+    ``plan_skew_mitigation`` turns it into ceil(max/p99) salts, and the
+    join runs on the (key, salt) composite shuffle key with the build
+    side exploded ×salts (never hand-picked; tests pin the probe's read
+    and the salted physical plan).  Salting is plan-level only, so the
+    aggregate is bit-identical to the plain-SQL star join the oracle
+    runs.  On this corpus supplier would broadcast; the salted path is
+    the 100 TB shape where the dimension is broadcast-ineligible and one
+    hot l_suppkey stalls the sort-merge — a probe that reads uniform
+    (mitigate=False) degrades to exactly that plain join."""
+    from ..operators.skew import salted_join, skew_probe
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    su = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    plan = skew_probe(li, ["l_suppkey"])
+    j = salted_join(li, su, ["l_suppkey"], salts=plan)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        as_double(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        as_double(F.sum(dec("l_extendedprice", precision=18))).alias("revenue"),
+    )
+
+
+QUERIES["j_skew_salted_star"] = j_skew_salted_star
+
+# twin: the plain star join — salting must be invisible in the result
+ORACLE["j_skew_salted_star"] = """
+    SELECT s_nationkey, count(*) AS n_items,
+           CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+"""

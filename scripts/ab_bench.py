@@ -78,10 +78,17 @@ def main() -> None:
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # fail fast on a bad ref: under shell=True the pipeline returns TAR's
+    # exit status, so an invalid ref would otherwise leave an empty A tree
+    # and surface later as a confusing runner import error (ADVICE r10)
+    subprocess.run(
+        ["git", "rev-parse", "--verify", f"{args.ref}^{{commit}}"],
+        cwd=repo, check=True, capture_output=True,
+    )
     old = tempfile.mkdtemp(prefix="ab_bench_old_")
     subprocess.run(
-        f"git archive {args.ref} | tar -x -C {old}",
-        shell=True, cwd=repo, check=True,
+        f"set -o pipefail; git archive {args.ref} | tar -x -C {old}",
+        shell=True, cwd=repo, check=True, executable="/bin/bash",
     )
     print(f"A = {args.ref} (archived to {old})\nB = working tree {repo}\n")
 

@@ -1303,7 +1303,14 @@ def test_mix_waterfill_matches_python_reference(spark):
         out = {}
         for src, w, avail in rows:
             r = avail * 1_000_000 // w
-            alloc = avail if (lam is None or r <= lam) else w * lam // 1_000_000
+            # max(lam, 0): the engines clamp the exhausted-budget
+            # sentinel (-1) at zero before the division (ADVICE r10 —
+            # floor vs truncate diverge on negative operands)
+            alloc = (
+                avail
+                if (lam is None or r <= lam)
+                else w * max(lam, 0) // 1_000_000
+            )
             out[src] = alloc
         return out
 
@@ -1320,6 +1327,34 @@ def test_mix_waterfill_matches_python_reference(spark):
         assert sum(got.values()) <= budget + len(rows) or sum(got.values()) == sum(
             a for _, _, a in rows
         )
+
+
+def test_mix_waterfill_exhausted_budget_clamps_at_zero(spark):
+    """The exhausted-budget branch (pre_avail > budget, reachable only
+    through truncation slack when w > scale) must allocate ZERO to the
+    remaining rows, never a negative allocation: the -1 sentinel water
+    level divides differently under Spark div (truncate) and DuckDB //
+    (floor), so it is clamped at zero before the division (ADVICE r10).
+    scale=1 makes the branch reachable on a tiny fixture."""
+    from priority_data_pipeline_postgres_db_spark.operators.corpus import (
+        mix_waterfill,
+    )
+
+    # order by r: ('a', r=0) saturates first consuming 3 > budget 2,
+    # so ('b', r=10) hits the pre_avail > budget sentinel branch
+    avail = spark.createDataFrame(
+        [("a", 5, 3), ("b", 1, 10)], "source string, w int, avail long"
+    )
+    rows = {
+        r["source"]: r for r in mix_waterfill(avail, 2, scale=1).collect()
+    }
+    # lam = -1 (sentinel): neither row passes r <= lam, so both route
+    # through the clamped w * max(lam, 0) branch — 0 each, never -w.
+    # The python reference in test_mix_waterfill_matches_python_reference
+    # computes the identical max(lam, 0).
+    assert rows["a"]["alloc_tokens"] == 0
+    assert rows["b"]["alloc_tokens"] == 0
+    assert all(r["alloc_tokens"] >= 0 for r in rows.values())
 
 
 def test_mix_apply_consistent_with_schedule(spark, sf_dir):

@@ -767,10 +767,20 @@ def test_planner_laws_and_artifact_pin():
     t = plan_semantic_dedup(10**9, 0.9, threshold=0.92)
     assert t.regime == "tight" and t.cost_multiple == 1.0 and t.achievable
 
-    # unreachable targets are flagged, not silently under-planned
+    # unreachable targets are flagged, not silently under-planned; with
+    # S>1 the prediction strictly increases in R, so the best reachable
+    # configuration IS max_rounds
     u = plan_semantic_dedup(1_000_000, 0.99)
     assert not u.achievable and u.reshard_rounds == MAX_PLANNED_ROUNDS
     assert u.predicted_overall < 0.99
+
+    # unreachable at S=1: recall is R-independent (every salted
+    # assignment is the same single shard), so the plan must clamp to
+    # R=1 instead of burning max_rounds identical passes (ADVICE r10)
+    u1 = plan_semantic_dedup(50_000, 0.99)
+    assert u1.n_shards == 1 and not u1.achievable
+    assert u1.reshard_rounds == 1
+    assert u1.predicted_overall == predicted_resharded_recall(1, 1)
 
     # production default shard sizing
     assert plan_semantic_dedup(500_000, 0.3).n_shards == -(
