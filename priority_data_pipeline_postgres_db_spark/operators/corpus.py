@@ -3670,6 +3670,56 @@ def mix_waterfill(
     )
 
 
+def _mix_inputs(spark: SparkSession, sf_dir: str):
+    """(per_doc, avail) for the mixture family — one corpus scan shape,
+    gate weights w = 1 + source_number % 4 (non-uniform so saturation
+    and redistribution are REAL under the gate)."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "source", F.size(tokens_expr()).cast("long").alias("n_tok")
+    )
+    avail = (
+        per_doc.groupBy("source")
+        .agg(F.sum("n_tok").alias("avail"))
+        .withColumn("w", F.expr("1 + CAST(substring(source, 4) AS INT) % 4"))
+    )
+    return per_doc, avail
+
+
+# Schedule-once memo, the BPE-artifact pattern (VERDICT r10 #4): the
+# waterfill is computed once per (corpus, budget) and PERSISTED through
+# the atomic staging protocol as ``stg_mix_schedule`` — the production
+# shape, where the scheduling job ships a tiny table and every consumer
+# (apply, packing, audits) reads the artifact instead of recomputing the
+# allocation it was supposed to be bound by.
+_MIX_ARTIFACTS: dict[tuple[str, float, int], str] = {}
+
+
+def mix_schedule_warehouse(
+    spark: SparkSession, sf_dir: str, budget_pct: int = MIX_BUDGET_PCT
+):
+    """Compute-once-persist for the mixture schedule: first call runs
+    the waterfill and writes it as ``stg_mix_schedule``; later calls
+    (apply, the composed pipeline, other sessions pointed at the same
+    root) read the stored 20-row table.  Keyed on the corpus
+    fingerprint like the BPE memo, so a rewritten corpus reschedules."""
+    from ..util import scratch_dir
+    from .staging import StagingWarehouse
+
+    key = (sf_dir, _corpus_fingerprint(sf_dir), budget_pct)
+    root = _MIX_ARTIFACTS.get(key)
+    if root is None:
+        root = scratch_dir("spark_graft_mix_")
+        wh = StagingWarehouse(spark, root)
+        _, avail = _mix_inputs(spark, sf_dir)
+        total = avail.agg(F.sum("avail").cast("long")).first()[0]
+        budget = int(total) * budget_pct // 100
+        wh.write(mix_waterfill(avail, budget), "mix_schedule", incremental=False)
+        _MIX_ARTIFACTS[key] = root
+        return wh
+    return StagingWarehouse(spark, root)
+
+
 def corpus_mix_schedule(
     spark: SparkSession, sf_dir: str, budget_pct: int = MIX_BUDGET_PCT
 ) -> DataFrame:
@@ -3678,15 +3728,7 @@ def corpus_mix_schedule(
     (w = 1 + source_number % 4, so some sources saturate and the
     algorithm's redistribution is REAL under the gate).  One corpus
     scan for the per-source token counts, then the 20-row waterfill."""
-    docs = load(spark, sf_dir, "documents")
-    avail = (
-        docs.select("source", F.size(tokens_expr()).cast("long").alias("n_tok"))
-        .groupBy("source")
-        .agg(F.sum("n_tok").alias("avail"))
-        .withColumn(
-            "w", F.expr("1 + CAST(substring(source, 4) AS INT) % 4")
-        )
-    )
+    _, avail = _mix_inputs(spark, sf_dir)
     total = avail.agg(F.sum("avail").cast("long")).first()[0]
     budget = int(total) * budget_pct // 100
     return mix_waterfill(avail, budget)
@@ -3741,6 +3783,20 @@ ORACLE["corpus_mix_schedule"] = f"""
 """
 
 
+def _mix_sample_key():
+    """Deterministic per-document sampling key in [0, 1e6): md5-60 of
+    the SALTED doc id — the ``mix_`` salt keeps this hash role
+    independent of every other md5 role in the engine (shard ids,
+    split buckets)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+
+
 def corpus_mix_apply(
     spark: SparkSession, sf_dir: str, budget_pct: int = MIX_BUDGET_PCT
 ) -> DataFrame:
@@ -3756,33 +3812,21 @@ def corpus_mix_apply(
     around the rate; the report makes the realized mix observable
     in-band rather than assumed).
 
-    At 100 TB this is the production shape: the schedule is tiny and
-    broadcast, the corpus scan is one pass with a map-side filter, and
-    the selected subset streams straight into packing/sharding."""
-    docs = load(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id", "source", F.size(tokens_expr()).cast("long").alias("n_tok")
+    At 100 TB this is the production shape: the schedule is a PERSISTED
+    artifact (``mix_schedule_warehouse`` — written once through the
+    atomic staging protocol, read here as one broadcast of the stored
+    20-row table, never recomputed inline), the corpus scan is one pass
+    with a map-side filter, and the selected subset streams straight
+    into packing/sharding (``corpus_mix_pipeline``)."""
+    per_doc, _ = _mix_inputs(spark, sf_dir)
+    sched = mix_schedule_warehouse(spark, sf_dir, budget_pct).read(
+        "mix_schedule"
     )
-    avail = (
-        per_doc.groupBy("source")
-        .agg(F.sum("n_tok").alias("avail"))
-        .withColumn("w", F.expr("1 + CAST(substring(source, 4) AS INT) % 4"))
-    )
-    total = avail.agg(F.sum("avail").cast("long")).first()[0]
-    budget = int(total) * budget_pct // 100
-    sched = mix_waterfill(avail, budget)
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long") % 1_000_000
     sel = (
         per_doc.join(
             F.broadcast(sched.select("source", "sampling_rate_x1e6")), "source"
         )
-        .filter(key < F.col("sampling_rate_x1e6"))
+        .filter(_mix_sample_key() < F.col("sampling_rate_x1e6"))
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs_selected"),
@@ -3831,4 +3875,49 @@ ORACLE["corpus_mix_apply"] = f"""
            COALESCE(l.n_docs_selected, 0) AS n_docs_selected,
            COALESCE(l.tokens_selected, 0) AS tokens_selected
     FROM sched s LEFT JOIN sel l ON s.source = l.source
+"""
+
+
+def corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture lifecycle END TO END (VERDICT r10 #4): schedule →
+    apply → pack.  The waterfill schedule comes from the PERSISTED
+    artifact (``mix_schedule_warehouse``), document selection is the
+    deterministic salted-md5 threshold against the broadcast stored
+    table (map-side filter, no shuffle), and the surviving subset flows
+    straight into ``pack_sequences`` — per-language concat-and-chunk
+    (seq_id, seq_offset) assignments, the tensors-on-disk layout a
+    training job reads.  One corpus scan feeds the whole chain; the
+    only shuffle is the packing window's range partition."""
+    docs = load(spark, sf_dir, "documents")
+    sched = mix_schedule_warehouse(spark, sf_dir).read("mix_schedule")
+    sel = docs.join(
+        F.broadcast(sched.select("source", "sampling_rate_x1e6")), "source"
+    ).filter(_mix_sample_key() < F.col("sampling_rate_x1e6"))
+    return pack_sequences(sel.select("doc_id", "lang", "text"))
+
+
+QUERIES["corpus_mix_pipeline"] = corpus_mix_pipeline
+
+# twin: the schedule CTE (itself the verified corpus_mix_schedule SQL),
+# the same salted-md5 selection, then the pack window over the subset
+ORACLE["corpus_mix_pipeline"] = f"""
+    WITH sched AS MATERIALIZED (
+      {_MIX_SCHED_CTE}
+    ), sel AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN sched s ON d.source = s.source
+      WHERE ('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < s.sampling_rate_x1e6
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS seq_start
+      FROM sel
+    )
+    SELECT doc_id, lang, n_tokens, seq_start,
+           seq_start // {SEQ_CAPACITY} AS seq_id,
+           seq_start % {SEQ_CAPACITY} AS seq_offset
+    FROM packed
 """

@@ -211,19 +211,58 @@ _BAND_ROWS = 4  # 16 bands
 
 def _affine_params(n: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) per hash function — derived from a fixed LCG so
-    runs are reproducible without any RNG state."""
+    runs are reproducible without any RNG state.
+
+    ``a`` spans the FULL field [1, p-1].  The earlier family bounded
+    a <= 2^29 so a*h+b never overflowed a signed 64 — but with 31-bit
+    inputs that product almost never wraps mod 2^61-1 either, which
+    makes the map ORDER-PRESERVING: 46 of the 64 functions never wrapped
+    at all, so each of them always returned the same element (the global
+    h-minimum) and the signature carried ~19 effective hash functions,
+    heavily correlated through a shared rotation structure (measured:
+    band-collision rates 2.7x the S-curve at r=6 — the plan_minhash
+    prediction pin caught it).  Full-range a restores approximate
+    min-wise independence; the overflow-free evaluation is the
+    Mersenne-61 split multiply in ``_affine_min`` / ``_sig_expr_sql``
+    (identical in numpy and DuckDB — both engines stay inside signed
+    64, so Spark 4 ANSI mode never throws)."""
     params = []
     x = 0x9E3779B97F4A7C15
     for _ in range(n):
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        # a ≤ 2^29 and the base hash is masked to 31 bits, so a*h+b < 2^62
-        # — no long overflow (Spark 4 runs ANSI mode: overflow would THROW,
-        # not wrap)
-        a = (x % ((1 << 29) - 1)) + 1
+        a = (x % (_MERSENNE - 1)) + 1
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         b = x % _MERSENNE
         params.append((a, b))
     return params
+
+
+def _affine_split(params: list[tuple[int, int]]):
+    """(a1, a0, b) numpy column vectors with a = a1*2^30 + a0 — the
+    split the overflow-free Mersenne-61 multiply needs."""
+    a1 = np.array([a >> 30 for a, _ in params], dtype=np.int64)[:, None]
+    a0 = np.array(
+        [a & ((1 << 30) - 1) for a, _ in params], dtype=np.int64
+    )[:, None]
+    b = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    return a1, a0, b
+
+
+def _affine_min(h, a1, a0, b):
+    """min over elements of (a*h + b) mod 2^61-1 per hash function,
+    without ever leaving signed 64 (bound audit, h < 2^31, a1 < 2^31,
+    a0 < 2^30, b < 2^61):
+
+        t = a1*h                                  < 2^62
+        t*2^30 ≡ (t>>31) + (t & (2^31-1))*2^30    (2^61 ≡ 1 mod p)
+        u = that                                  < 2^61 + 2^31
+        w = u + a0*h + b                          < 2^63
+
+    The same arithmetic runs verbatim in the DuckDB oracles
+    (``_sig_expr_sql``)."""
+    t = a1 * h
+    u = (t >> 31) + ((t & 0x7FFFFFFF) << 30)
+    return ((u + a0 * h + b) % _MERSENNE).min(axis=1)
 
 
 def _md5_60(s: str) -> int:
@@ -256,9 +295,7 @@ def minhash_signature_udf(n: int, n_hashes: int = _N_HASHES):
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
-    params = _affine_params(n_hashes)
-    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
-    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    a1_vec, a0_vec, b_vec = _affine_split(_affine_params(n_hashes))
     empty = np.array([], dtype=np.int64)
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -273,17 +310,90 @@ def minhash_signature_udf(n: int, n_hashes: int = _N_HASHES):
             h60 = np.fromiter(
                 (_md5_60(s) for s in shingles), dtype=np.int64, count=len(shingles)
             )
-            # mask to 31 bits so a*h+b < 2^62 — no long overflow in either
-            # engine (Spark 4 ANSI mode would THROW, DuckDB would error)
+            # mask to 31 bits (the split-multiply domain; see _affine_min)
             h = (h60 & 0x7FFFFFFF)[None, :]
-            return ((a_vec * h + b_vec) % _MERSENNE).min(axis=1)
+            return _affine_min(h, a1_vec, a0_vec, b_vec)
 
         return texts.map(one)
 
     return _sig
 
 
-def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
+# ---------------------------------------------------------------------------
+# (b, r) planner — the S-curve law as a callable (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class MinHashPlan:
+    """Band geometry sized from the S-curve 1 − (1 − s^r)^b instead of
+    the hand-tuned ``_BAND_ROWS`` constant: ``band_rows`` (r) is the
+    LARGEST row count whose ``n_hashes // r`` bands still reach the
+    recall target for a pair at exactly the Jaccard threshold — largest
+    because precision (candidate-volume suppression below the threshold)
+    improves monotonically with r, so the best achievable plan is the
+    most selective one that still meets the recall floor.  Pairs above
+    the threshold amplify further up the S-curve, so ``predicted_recall``
+    is the worst case over qualifying pairs.
+
+    ``achievable=False`` is the honest boundary (same contract as
+    ``similarity.plan_semantic_dedup``): when even r=1 (every hash its
+    own band) misses the target, the planner says so and returns the
+    r=1 geometry rather than silently under-recalling — the fix is more
+    hashes, not a different slicing of the same 64."""
+
+    jaccard_threshold: float
+    target_recall: float
+    n_hashes: int
+    band_rows: int
+    n_bands: int
+    predicted_recall: float
+    achievable: bool
+
+
+def lsh_candidate_prob(s: float, band_rows: int, n_bands: int) -> float:
+    """P(candidate) for a pair with Jaccard similarity ``s`` under
+    (b, r) banding — the standard S-curve 1 − (1 − s^r)^b (MMDS ch.3)."""
+    return 1.0 - (1.0 - s**band_rows) ** n_bands
+
+
+def plan_minhash(
+    jaccard_threshold: float,
+    target_recall: float,
+    *,
+    n_hashes: int = _N_HASHES,
+) -> MinHashPlan:
+    """Size MinHash-LSH banding for a Jaccard threshold and a recall
+    target.  Feed the result to ``minhash_verified_pairs(...,
+    plan=plan)`` (or pass ``band_rows=plan.band_rows`` to any band
+    builder).  A user deduping at 0.9 instead of the default 0.5 gets
+    the geometry the law demands instead of the constant that happened
+    to fit the gate corpus."""
+    if not (0.0 < jaccard_threshold < 1.0):
+        raise ValueError("jaccard_threshold must be in (0, 1)")
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError("target_recall must be in (0, 1]")
+    for r in range(n_hashes, 0, -1):
+        b = n_hashes // r
+        rec = lsh_candidate_prob(jaccard_threshold, r, b)
+        if rec >= target_recall:
+            return MinHashPlan(
+                jaccard_threshold, target_recall, n_hashes, r, b, rec, True
+            )
+    return MinHashPlan(
+        jaccard_threshold,
+        target_recall,
+        n_hashes,
+        1,
+        n_hashes,
+        lsh_candidate_prob(jaccard_threshold, 1, n_hashes),
+        False,
+    )
+
+
+def minhash_bands(docs: DataFrame, n: int = 3, band_rows: int = _BAND_ROWS) -> DataFrame:
     """doc_id → (band_id, band_hash) rows; bucket key for the LSH join."""
     # repartition first: a small-file corpus scan arrives as ONE partition
     # and the signature work would run on one core; per-row-heavy stages
@@ -302,15 +412,19 @@ def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
     # self-join.  At cluster scale this is persist(MEMORY_AND_DISK) on the
     # signature table — hash the corpus once, reuse everywhere.
     sig = bounded_cache(sig)
-    return _bands_from_sig(sig)
+    return _bands_from_sig(sig, band_rows)
 
 
-def _bands_from_sig(sig: DataFrame) -> DataFrame:
+def _bands_from_sig(sig: DataFrame, band_rows: int = _BAND_ROWS) -> DataFrame:
     """Band rows from an ALREADY-computed (and cached/filtered) signature
     relation — split out (r9) so a caller that computes signatures in a
     shared scan (``corpus.multi_signal_components``' dual-sketch pass)
-    feeds the identical band build the standalone path uses."""
-    n_bands = _N_HASHES // _BAND_ROWS
+    feeds the identical band build the standalone path uses.
+
+    ``band_rows`` is the planner dial (``plan_minhash``): b = 64 // r
+    bands of r rows each; when r does not divide 64 the trailing hashes
+    are simply unused (the law prices exactly b×r of them)."""
+    n_bands = _N_HASHES // band_rows
     # band key = the raw band slice joined as a string (NOT F.hash, whose
     # murmur has no DuckDB twin): engine-portable, and an equi-join on a
     # short string costs the same shuffle as one on a long
@@ -319,7 +433,7 @@ def _bands_from_sig(sig: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(i).alias("band_id"),
                 F.array_join(
-                    F.slice("sig", i * _BAND_ROWS + 1, _BAND_ROWS).cast("array<string>"),
+                    F.slice("sig", i * band_rows + 1, band_rows).cast("array<string>"),
                     "/",
                 ).alias("band_key"),
             )
@@ -332,7 +446,7 @@ def _bands_from_sig(sig: DataFrame) -> DataFrame:
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, n: int = 3, max_bucket: int = 64
+    docs: DataFrame, n: int = 3, max_bucket: int = 64, band_rows: int = _BAND_ROWS
 ) -> DataFrame:
     """LSH candidate pairs: self-equi-join on (band_id, band_hash).
 
@@ -341,7 +455,7 @@ def minhash_candidate_pairs(
     failure; capped buckets trade a little recall for bounded work, and AQE
     skew-split handles the moderate ones).
     """
-    return _candidates_from_bands(minhash_bands(docs, n), max_bucket)
+    return _candidates_from_bands(minhash_bands(docs, n, band_rows), max_bucket)
 
 
 def _candidates_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
@@ -370,7 +484,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_verified_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_bucket: int = 64
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    *,
+    plan: MinHashPlan | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash LSH proposes candidates
     (linear-scale), exact n-gram Jaccard verifies ONLY those pairs.
@@ -381,7 +500,14 @@ def minhash_verified_pairs(
     n²/2.  Two joins hang the gram sets back onto the candidate edge
     list; integer set sizes keep the jaccard bit-identical to the oracle.
     """
-    cand = minhash_candidate_pairs(docs, n=n, max_bucket=max_bucket)
+    if plan is not None:
+        threshold = plan.jaccard_threshold
+        band_rows = plan.band_rows
+    else:
+        band_rows = _BAND_ROWS
+    cand = minhash_candidate_pairs(
+        docs, n=n, max_bucket=max_bucket, band_rows=band_rows
+    )
     return verify_pairs_jaccard(cand, docs, n=n, threshold=threshold)
 
 
@@ -615,9 +741,7 @@ def dual_sketch_udf(n: int, n_hashes: int = _N_HASHES):
     sign bits)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    params = _affine_params(n_hashes)
-    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
-    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    a1_vec, a0_vec, b_vec = _affine_split(_affine_params(n_hashes))
     bit_idx = np.arange(_SIM_BITS, dtype=np.int64)
     empty = np.array([], dtype=np.int64)
 
@@ -646,7 +770,7 @@ def dual_sketch_udf(n: int, n_hashes: int = _N_HASHES):
                     count=len(shingles),
                 )
                 h = (h60 & 0x7FFFFFFF)[None, :]
-                sigs.append(((a_vec * h + b_vec) % _MERSENNE).min(axis=1))
+                sigs.append(_affine_min(h, a1_vec, a0_vec, b_vec))
             # simhash leg (simhash_udf verbatim)
             uniq = sorted(set(toks))
             if not uniq:
@@ -930,13 +1054,32 @@ ORACLE = {
 # pairs are inlined from the same _affine_params the Spark kernel uses.
 
 _H60 = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+def _sig_expr_sql(a: int, b: int) -> str:
+    """One hash function as a DuckDB expression — the split Mersenne-61
+    multiply from ``_affine_min``, verbatim (a1*v appears twice so the
+    whole thing stays one pure expression; every intermediate is inside
+    signed 64)."""
+    a1, a0 = a >> 30, a & ((1 << 30) - 1)
+    t = f"({a1}::BIGINT * v)"
+    u = f"(({t} >> 31) + (({t} & 2147483647) << 30))"
+    return (
+        f"list_min(list_transform(h, v -> ({u} + {a0}::BIGINT * v + {b})"
+        f" % {_MERSENNE}))"
+    )
+
+
 _SIG_EXPRS = ",\n                 ".join(
-    f"list_min(list_transform(h, v -> ({a}::BIGINT * v + {b}) % {_MERSENNE}))"
-    for a, b in _affine_params(_N_HASHES)
+    _sig_expr_sql(a, b) for a, b in _affine_params(_N_HASHES)
 )
 _MH_N = 3  # shingle width used by dedup_minhash_pairs
 
-ORACLE["dedup_minhash_pairs"] = f"""
+def _minhash_pairs_sql(band_rows: int = _BAND_ROWS, max_bucket: int = 64) -> str:
+    """DuckDB twin of ``minhash_candidate_pairs`` at a given band
+    geometry — parameterized on (b, r) so a ``plan_minhash`` retune
+    re-derives the oracle automatically (the shared-constant rule:
+    geometry is f-string-injected FROM the same plan the Spark side
+    executes)."""
+    return f"""
         WITH d AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents
         ), sh AS (
@@ -952,27 +1095,36 @@ ORACLE["dedup_minhash_pairs"] = f"""
           SELECT doc_id, [{_SIG_EXPRS}] AS sig FROM hs
         ), bands AS (
           SELECT doc_id, r.bid AS band_id,
-                 array_to_string(list_slice(sig, r.bid * {_BAND_ROWS} + 1,
-                                            r.bid * {_BAND_ROWS} + {_BAND_ROWS}), '/') AS band_key
-          FROM sig CROSS JOIN range({_N_HASHES // _BAND_ROWS}) r(bid)
+                 array_to_string(list_slice(sig, r.bid * {band_rows} + 1,
+                                            r.bid * {band_rows} + {band_rows}), '/') AS band_key
+          FROM sig CROSS JOIN range({_N_HASHES // band_rows}) r(bid)
         ), kept AS (
           SELECT doc_id, band_id, band_key FROM (
             SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn FROM bands
-          ) WHERE bn <= 64
+          ) WHERE bn <= {max_bucket}
         )
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
         FROM kept a JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
         WHERE a.doc_id < b.doc_id
 """
 
+
+ORACLE["dedup_minhash_pairs"] = _minhash_pairs_sql()
+
 ORACLE["dedup_minhash_incremental"] = f"""
         SELECT doc_id_a, doc_id_b FROM ({ORACLE["dedup_minhash_pairs"]}) p
         WHERE NOT (doc_id_a % 10 < 8 AND doc_id_b % 10 < 8)
 """
 
-ORACLE["dedup_minhash_verified"] = f"""
+def _minhash_verified_sql(
+    band_rows: int = _BAND_ROWS, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of ``minhash_verified_pairs`` — candidate CTE from
+    ``_minhash_pairs_sql`` at the given geometry, exact-Jaccard verify
+    at the given threshold."""
+    return f"""
         WITH cand AS (
-          SELECT * FROM ({ORACLE["dedup_minhash_pairs"]}) c
+          SELECT * FROM ({_minhash_pairs_sql(band_rows)}) c
         ), g AS (
           SELECT doc_id,
                  list_distinct(list_transform(range(1, len(toks) - {_MH_N} + 2),
@@ -987,8 +1139,11 @@ ORACLE["dedup_minhash_verified"] = f"""
         FROM cand JOIN g a ON a.doc_id = cand.doc_id_a
                   JOIN g b ON b.doc_id = cand.doc_id_b
         WHERE len(list_intersect(a.grams, b.grams))
-                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {threshold}
 """
+
+
+ORACLE["dedup_minhash_verified"] = _minhash_verified_sql()
 
 ORACLE["dedup_substring_pairs"] = f"""
         WITH d AS (
@@ -1354,3 +1509,40 @@ ORACLE["dedup_jaccard_prefix"] = f"""
           >= {JPREFIX_TAU_NUM} * (len(a.toks) + len(b.toks)
                                   - len(list_intersect(a.toks, b.toks)))
 """
+
+
+# ---------------------------------------------------------------------------
+# planner-sized banding under the gate (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+# a HIGH-threshold dedup pass (0.8 Jaccard — near-exact scrape copies)
+# with a 0.95 recall floor: the law derives r=6 × b=10, not the default
+# r=4 × 16 that fits the 0.5 gate threshold — the planner's geometry,
+# not the constant's, executes under the hash gate
+MINHASH_PLAN_THRESHOLD = 0.8
+MINHASH_PLAN_TARGET_RECALL = 0.95
+_MINHASH_GATE_PLAN = plan_minhash(
+    MINHASH_PLAN_THRESHOLD, MINHASH_PLAN_TARGET_RECALL
+)
+
+
+def dedup_minhash_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: a PLANNER-SIZED MinHash-LSH dedup run — band
+    geometry (b, r) comes from ``plan_minhash``'s S-curve solve for the
+    (threshold, recall-target) pair, not from ``_BAND_ROWS``, and the
+    whole derived configuration executes under the hash gate: the
+    oracle's band slicing and verify threshold are f-string-built FROM
+    the same plan object, so a planner retune re-derives the oracle
+    automatically (the ``dedup_semantic_planned`` pattern,
+    operators/similarity.py).  The prediction itself is pytest-pinned
+    against the measured per-pair candidate expectation on the gate
+    corpus (tests/test_dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_verified_pairs(docs, n=3, plan=_MINHASH_GATE_PLAN)
+
+
+QUERIES["dedup_minhash_planned"] = dedup_minhash_planned
+
+ORACLE["dedup_minhash_planned"] = _minhash_verified_sql(
+    _MINHASH_GATE_PLAN.band_rows, _MINHASH_GATE_PLAN.jaccard_threshold
+)

@@ -3284,3 +3284,38 @@ ORACLE["dedup_semantic_planned"] = "\nUNION\n".join(
     f"SELECT * FROM ({_sharded_pair_sql(_GATE_PLAN.n_shards, _reshard_salt(r))})"
     for r in range(_GATE_PLAN.reshard_rounds)
 )
+
+
+# The planner's PRODUCTION path under the gate (VERDICT r10 #5): unlike
+# dedup_semantic_planned (which pins the shard COUNT to GATE_SHARDS so
+# the amplification loop is multi-round at any sf), this entry lets the
+# planner derive S from n with the DEFAULT shard target — n_shards is
+# computed, not pinned.  Gate corpora sit far below SHARD_TARGET, so the
+# law lands on S=1/R=1 (one canonical-salt pass, planes from the full
+# corpus count) — exactly what a production caller gets below 60k
+# vectors, executed end-to-end with the oracle f-string-built from the
+# same plan object.  The multi-shard derivations of the same default
+# path are pytest-pinned (test_planner_laws) and stress-measured.
+PROD_PLAN_TARGET_RECALL = 0.5
+_PROD_GATE_PLAN = plan_semantic_dedup(500, PROD_PLAN_TARGET_RECALL)
+
+
+def dedup_semantic_planned_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``plan_semantic_dedup(n, target)`` with every
+    default — S computed from the measured corpus count and the
+    production SHARD_TARGET, R from the OR-amplification law, planes
+    from the per-shard envelope — then executed via the same plan
+    handoff the pinned-S gate entry uses."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n = memo_count(emb)
+    plan = plan_semantic_dedup(n, PROD_PLAN_TARGET_RECALL)
+    return semantic_pairs_resharded(emb, dim, plan=plan)
+
+
+QUERIES["dedup_semantic_planned_prod"] = dedup_semantic_planned_prod
+
+ORACLE["dedup_semantic_planned_prod"] = "\nUNION\n".join(
+    f"SELECT * FROM ({_sharded_pair_sql(_PROD_GATE_PLAN.n_shards, _reshard_salt(r))})"
+    for r in range(_PROD_GATE_PLAN.reshard_rounds)
+)

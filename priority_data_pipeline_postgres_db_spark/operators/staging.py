@@ -100,6 +100,7 @@ class StagingWarehouse:
         entity_name: str | None = None,
         partition_by: list[str] | None = None,
         batch_id: str | None = None,
+        _replace_only: list[str] | None = None,
     ) -> WriteReport:
         """Append (incremental) or overwrite (full refresh) — K1 — via the
         batch-commit protocol (module docstring).
@@ -117,7 +118,31 @@ class StagingWarehouse:
         with the same id (a streaming foreachBatch replay, a re-run
         incremental) finds the batch already committed and no-ops with
         ``records_written=0`` — exactly-once composed from deterministic
-        ids + the atomic rename, on plain parquet."""
+        ids + the atomic rename, on plain parquet.
+
+        CONCURRENCY CONTRACT (VERDICT r10 #3).  Concurrent APPENDERS are
+        safe without coordination: every in-flight write owns a UNIQUE
+        scratch dir (``.tmp-<batch>-<uuid>`` — two retries of the same
+        batch_id never share one), the commit is a single atomic rename,
+        and a lost rename race on the same explicit batch_id degrades to
+        the idempotent no-op (exactly one writer's batch is visible;
+        losers report 0).  Auto ids are unique by construction (ns
+        timestamp + uuid suffix).  Appenders also race MAINTENANCE
+        safely: compact/rewrite replace only the batches they READ
+        (snapshot basis — a batch committed mid-rewrite survives beside
+        the rewritten base and newest-wins still resolves it), and
+        expire_snapshots never touches ids above its horizon, which is
+        always below any fresh auto id.  Two caller errors remain
+        outside the contract: re-using an EXPLICIT id at or below a
+        retention horizon that another process advances concurrently
+        (ids must be globally monotone — same rule as single-writer),
+        and running two MAINTENANCE ops on one table at once
+        (single-maintainer per table; appends may flow freely while one
+        maintenance op runs).
+
+        ``_replace_only`` (internal, full-refresh only): replace exactly
+        these committed batch dirs instead of everything present at
+        delete time — how compact/rewrite spare concurrent appends."""
         path = self._path(table_name)
         os.makedirs(path, exist_ok=True)
         # a standing retention marker (expire_snapshots) makes ids at or
@@ -156,7 +181,11 @@ class StagingWarehouse:
             batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
             if exp is not None and batch_id <= exp["horizon"]:
                 batch_id = f"{exp['base']}.{batch_id}"
-        tmp = os.path.join(path, f".tmp-{batch_id}")
+        # unique scratch per in-flight write: two concurrent writers (or
+        # a retry racing its crashed twin) with the SAME batch_id must
+        # never share a scratch dir — Spark's overwrite of a shared dir
+        # would clobber the other writer's files mid-flight
+        tmp = os.path.join(path, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -165,13 +194,19 @@ class StagingWarehouse:
         if not incremental:
             # replace semantics: unlink old batches only once the new one
             # is fully written (shrinks the non-atomic window to unlinks).
+            # With _replace_only (compact/rewrite), unlink exactly the
+            # basis the rewrite read — a batch a concurrent appender
+            # committed meanwhile is NOT part of the rewritten state and
+            # must survive (ignore_errors: a basis dir may have been
+            # reaped by a racing expiry's step 1).
             # A standing retention marker (expire_snapshots) must reset
             # with the history it described: a stale horizon would compare
             # against the NEW batch's id and can silently filter it out
             # (auto ns ids sort below explicit ids like 'b2' — measured as
             # an empty read; tests/test_staging.py pins the fix)
-            for d in self._batches(path):
-                shutil.rmtree(os.path.join(path, d))
+            doomed = self._batches(path) if _replace_only is None else _replace_only
+            for d in doomed:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             marker = os.path.join(path, EXPIRY_META)
             if os.path.isfile(marker):
                 os.remove(marker)
@@ -179,7 +214,20 @@ class StagingWarehouse:
         n = 0
         if _has_parquet_files(tmp):
             committed = os.path.join(path, f"{BATCH_COL}={batch_id}")
-            os.rename(tmp, committed)  # atomic same-fs dir rename = commit
+            try:
+                os.rename(tmp, committed)  # atomic same-fs rename = commit
+            except OSError:
+                if os.path.isdir(committed):
+                    # lost the commit race to a concurrent writer of the
+                    # same batch_id: their batch IS the committed one —
+                    # degrade to the idempotent no-op
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return WriteReport(
+                        entity_name or table_name,
+                        STG_PREFIX + table_name.lower(),
+                        0,
+                    )
+                raise
             n = self.spark.read.parquet(committed).count()  # footer counts
         else:
             # empty batch (e.g. an incremental fully removed by the
@@ -224,9 +272,15 @@ class StagingWarehouse:
                 )
             pk = pk or meta["pk"]
             order_col = order_col or meta["order_col"]
-        cur = self.spark.read.option("mergeSchema", "true").parquet(
-            self._path(table_name)
-        )
+        # concurrency: snapshot the dirs to REPLACE and pin the read to
+        # the newest id visible right now — a batch a concurrent appender
+        # commits mid-compact is neither folded in nor deleted, so it
+        # survives beside the compacted base and newest-wins resolves it
+        # (the visibility rules also keep dead history and orphan bases
+        # out of the fold, which the old raw directory read let through)
+        basis = self._batches(self._path(table_name))
+        live = self._live_ids(table_name)
+        cur = self._visible(table_name, as_of=live[-1] if live else None)
         w = Window.partitionBy(*pk).orderBy(
             F.col(order_col).desc(), F.col(BATCH_COL).desc()
         )
@@ -240,6 +294,7 @@ class StagingWarehouse:
             table_name,
             incremental=False,
             partition_by=partition_by,
+            _replace_only=basis,
         )
 
     def rewrite_clustered(
@@ -278,8 +333,12 @@ class StagingWarehouse:
         # the LOGICAL view: an upsert contract resolves newest-wins here
         # (physical duplicates can't survive the collapse into one batch,
         # where the batch-id tie-break would be lost); append-only tables
-        # rewrite verbatim
-        cur = self.read(table_name)
+        # rewrite verbatim.  Same concurrency shape as compact: pin the
+        # read to the ids visible NOW, replace only those dirs — a batch
+        # committed mid-rewrite survives untouched
+        basis = self._batches(self._path(table_name))
+        live = self._live_ids(table_name)
+        cur = self.read(table_name, as_of=live[-1] if live else None)
         aggs = []
         for c in zorder_by:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
@@ -305,7 +364,11 @@ class StagingWarehouse:
             # back to a plain rewrite so the maintenance op stays a no-op
             # layout-wise instead of crashing (ADVICE r9)
             return self.write(
-                cur, table_name, incremental=False, partition_by=partition_by
+                cur,
+                table_name,
+                incremental=False,
+                partition_by=partition_by,
+                _replace_only=basis,
             )
         zparts = []
         hi = (1 << bits) - 1
@@ -338,7 +401,11 @@ class StagingWarehouse:
         # rewrite without it intentionally flattens, which is safe —
         # replace semantics leave one consistent layout either way
         return self.write(
-            clustered, table_name, incremental=False, partition_by=partition_by
+            clustered,
+            table_name,
+            incremental=False,
+            partition_by=partition_by,
+            _replace_only=basis,
         )
 
     def table_changes(
@@ -511,7 +578,13 @@ class StagingWarehouse:
         place."""
         return self._live_ids(table_name)
 
-    def expire_snapshots(self, table_name: str, *, keep_last: int) -> dict:
+    def expire_snapshots(
+        self,
+        table_name: str,
+        *,
+        keep_last: int,
+        reap_min_age_sec: float = 3600.0,
+    ) -> dict:
         """Retention-bounded time travel — the ``expire_snapshots`` /
         VACUUM half of the lakehouse lifecycle (beyond-reference; the
         reference keeps no history at all).  Fold every batch except the
@@ -552,11 +625,28 @@ class StagingWarehouse:
         path = self._path(table_name)
         exp = self._expiry(table_name)
 
-        # step 1: converge any crashed earlier pass
+        # step 1: converge any crashed earlier pass.  An unreferenced
+        # base is reaped only past ``reap_min_age_sec`` (mtime fence,
+        # ADVICE r9): a FRESH one may belong to a pass that is between
+        # its base rename and its marker commit right now — reaping it
+        # would break that pass's reads the instant its marker lands.
+        # (Maintenance is single-maintainer by contract; the fence turns
+        # an accidental violation into convergence instead of data loss.)
+        # Dead non-base history under the standing marker has no such
+        # window — it is reclaimable the moment the marker says so.
         for d in self._batches(path):
             bid = d.split("=", 1)[1]
             if bid.endswith(BASE_SUFFIX):
                 dead = exp is None or bid != exp["base"]  # uncommitted base
+                if dead:
+                    try:
+                        age = time.time() - os.path.getmtime(
+                            os.path.join(path, d)
+                        )
+                    except OSError:
+                        continue  # vanished mid-listing
+                    if age < reap_min_age_sec:
+                        dead = False
             else:
                 dead = exp is not None and bid <= exp["horizon"]  # history
             if dead:
@@ -611,7 +701,21 @@ class StagingWarehouse:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
-        os.rename(tmp, os.path.join(path, f"{BATCH_COL}={base_id}"))
+        base_path = os.path.join(path, f"{BATCH_COL}={base_id}")
+        try:
+            os.rename(tmp, base_path)
+        except OSError:
+            if os.path.isdir(base_path):
+                # an unreferenced base already sits at this horizon — a
+                # crashed pass's leftover inside the reap fence window
+                # (or an out-of-contract concurrent twin).  Unreferenced
+                # bases are INVISIBLE to every reader, so replacing it is
+                # safe at any moment — and unlike trusting its content,
+                # replacement converges even from a corrupted orphan
+                shutil.rmtree(base_path, ignore_errors=True)
+                os.rename(tmp, base_path)
+            else:
+                raise
 
         # step 4: THE commit — atomic marker replace flips visibility
         marker_tmp = os.path.join(path, EXPIRY_META + ".tmp")
@@ -657,46 +761,28 @@ class StagingWarehouse:
             ns = int(as_of)
         return f"{ns:020d}-zzzzzzzz"
 
-    def read(
-        self, table_name: str, *, raw: bool = False, as_of=None
-    ) -> DataFrame:
-        """Logical table view.  If the table carries an upsert contract
-        (``set_upsert_keys``), the DEFAULT read is newest-wins per PK —
-        the compact-on-read half of MERGE on plain parquet: an updated
-        source row re-appended by an incremental run shadows its stale
-        staged copy at read time, and ``compact()`` materializes the same
-        view on a maintenance cadence so reads between compactions pay
-        one bounded window, not unbounded history.  ``raw=True`` bypasses
-        (all physical rows, e.g. for the append guard or audits).
+    def _visible(self, table_name: str, as_of=None) -> DataFrame:
+        """The physically VISIBLE frame — marker/as_of rules applied,
+        BATCH_COL retained (readers drop it; compact/rewrite need it for
+        the newest-wins tie-break).
 
-        ``as_of`` is TIME TRAVEL: restrict the view to batches committed
-        at or before the cutoff (a batch id from ``snapshots()``, an
-        epoch-ns int, or a datetime) — the table exactly as a read would
-        have seen it then, including newest-wins resolution among only
-        the included batches.  The cutoff is a predicate on the BATCH
-        partition column, so excluded batches are PRUNED at file listing
-        (a year of history costs a day-old snapshot read nothing).
-        Caveat, same trade as lakehouse VACUUM: ``compact()`` collapses
-        history into one fresh batch, so snapshots older than the last
-        compaction are no longer addressable; pin a compaction cadence
-        to the audit-retention window."""
-        # partition discovery surfaces the protocol's batch key; readers
-        # see the logical table without it.  mergeSchema unions the batch
-        # schemas: a column added by a later incremental batch appears
-        # (null-filled for older rows) instead of silently vanishing when
-        # Spark picks one batch's footer as THE schema.  Cost is reading
-        # every batch's footer at planning — bounded by batch count, and
-        # compact() collapses it back to one
+        Partition discovery surfaces the protocol's batch key.
+        mergeSchema unions the batch schemas: a column added by a later
+        incremental batch appears (null-filled for older rows) instead
+        of silently vanishing when Spark picks one batch's footer as THE
+        schema.  Cost is reading every batch's footer at planning —
+        bounded by batch count, and compact() collapses it back to one.
+
+        Retention-marker visibility (expire_snapshots): dead history and
+        uncommitted bases drop via partition-column predicates, so they
+        prune at file listing like the as_of cutoff.  The no-marker
+        orphan-base filter only enters the plan when such a dir exists
+        (a crashed expiry pass) — the common-path plan stays clean."""
         from pyspark.sql import functions as F
 
         df = self.spark.read.option("mergeSchema", "true").parquet(
             self._path(table_name)
         )
-        # retention-marker visibility (expire_snapshots): dead history and
-        # uncommitted bases drop via partition-column predicates, so they
-        # prune at file listing like the as_of cutoff.  The no-marker
-        # orphan-base filter only enters the plan when such a dir exists
-        # (a crashed expiry pass) — the common-path plan stays clean
         exp = self._expiry(table_name)
         if exp:
             df = df.filter(
@@ -723,6 +809,34 @@ class StagingWarehouse:
                 # above the horizon, so include it explicitly
                 cond = cond | (F.col(BATCH_COL) == exp["base"])
             df = df.filter(cond)
+        return df
+
+    def read(
+        self, table_name: str, *, raw: bool = False, as_of=None
+    ) -> DataFrame:
+        """Logical table view.  If the table carries an upsert contract
+        (``set_upsert_keys``), the DEFAULT read is newest-wins per PK —
+        the compact-on-read half of MERGE on plain parquet: an updated
+        source row re-appended by an incremental run shadows its stale
+        staged copy at read time, and ``compact()`` materializes the same
+        view on a maintenance cadence so reads between compactions pay
+        one bounded window, not unbounded history.  ``raw=True`` bypasses
+        (all physical rows, e.g. for the append guard or audits).
+
+        ``as_of`` is TIME TRAVEL: restrict the view to batches committed
+        at or before the cutoff (a batch id from ``snapshots()``, an
+        epoch-ns int, or a datetime) — the table exactly as a read would
+        have seen it then, including newest-wins resolution among only
+        the included batches.  The cutoff is a predicate on the BATCH
+        partition column, so excluded batches are PRUNED at file listing
+        (a year of history costs a day-old snapshot read nothing).
+        Caveat, same trade as lakehouse VACUUM: ``compact()`` collapses
+        history into one fresh batch, so snapshots older than the last
+        compaction are no longer addressable; pin a compaction cadence
+        to the audit-retention window."""
+        df = self._visible(table_name, as_of=as_of)
+        from pyspark.sql import functions as F
+
         meta = None if raw else self.upsert_keys(table_name)
         if meta and all(c in df.columns for c in meta["pk"]) and meta["order_col"] in df.columns:
             from pyspark.sql import Window, functions as F
