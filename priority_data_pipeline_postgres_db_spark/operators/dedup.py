@@ -499,6 +499,10 @@ def minhash_verified_pairs(
     kernel runs on |candidates| pairs (∝ true near-dup count), never on
     n²/2.  Two joins hang the gram sets back onto the candidate edge
     list; integer set sizes keep the jaccard bit-identical to the oracle.
+
+    ``plan`` (from ``plan_minhash``) supplies the band geometry AND the
+    verify threshold in one object — the planner-to-operator handoff;
+    explicit ``threshold`` is ignored when a plan is given.
     """
     if plan is not None:
         threshold = plan.jaccard_threshold

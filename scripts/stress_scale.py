@@ -197,6 +197,16 @@ STRESS = [
     "corpus_mix_schedule",
     "corpus_mix_apply",
     "k1_cdc_poll_cycle",
+    # r11: the artifact-backed mixture pipeline end-to-end (schedule ->
+    # selection -> packing window), the planner-sized LSH geometry (its
+    # r=6 bands trade candidate volume against the 0.8-threshold
+    # verify), the production-default semantic planner path, and the
+    # managed CDC stream (driver-prefetched poll tail by design —
+    # j_skew_salted_star reads lineitem: TPC-H-side, bench-only)
+    "corpus_mix_pipeline",
+    "dedup_minhash_planned",
+    "dedup_semantic_planned_prod",
+    "stream_staging_cdc_ingest",
 ]
 
 
