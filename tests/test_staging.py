@@ -690,6 +690,16 @@ def test_rewrite_clustered_degenerate_stats(spark, tmp_path):
     with pytest.raises(TypeError, match="non-numeric"):
         wh.rewrite_clustered("N", zorder_by=["s"])
 
+    # DecimalType dims are numeric (min() returns decimal.Decimal) and
+    # clustered fine before the r10 guard — pinned working (ADVICE r10)
+    dec_rows = spark.createDataFrame(
+        [(i, i * 7 % 5) for i in range(20)], "a long, p long"
+    ).selectExpr("a", "CAST(p AS DECIMAL(12,2)) AS p")
+    wh.write(dec_rows, "D", incremental=False)
+    before_d = {(r["a"], float(r["p"])) for r in wh.read("d").collect()}
+    wh.rewrite_clustered("D", zorder_by=["a", "p"])
+    assert {(r["a"], float(r["p"])) for r in wh.read("d").collect()} == before_d
+
 
 def test_append_feed_composes_with_keyed_cdc_apply(spark, tmp_path):
     """End-to-end CDC on plain parquet (VERDICT r9 #6): an append-only
