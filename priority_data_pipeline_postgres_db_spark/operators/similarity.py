@@ -1428,6 +1428,25 @@ def _ivf_probe_and_score(
     )
 
     # exact cosine over candidates with the broadcast query matrix
+    return _exact_topk_over_candidates(cand, queries, k=k)
+
+
+def _exact_topk_over_candidates(
+    cand: DataFrame, queries: DataFrame, *, k: int
+) -> DataFrame:
+    """Exact-cosine top-k over a CANDIDATE frame ``(query_id, vec_id, q)``
+    — the shared re-rank tail of every two-stage ANN path (IVF probe
+    retrieval, PQ ADC shortlist): score candidates against the broadcast
+    query matrix inside Arrow batches, then one rank window.  One code
+    object, so the re-rankers can't drift (the `_ivf_probe_and_score`
+    contract, r5, generalized in r11 for PQ).
+
+    Zero-norm candidates are dropped before the divide (same rationale as
+    `cosine_topk`: 0/0 → NaN, and NaN sorts ABOVE every finite cosine in
+    a descending Spark window, so one degenerate row would outrank every
+    real neighbor)."""
+    spark = cand.sparkSession
+    q_ids, q_mat, q_norms = _collect_quantized(queries)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
     def score(it):
@@ -1439,6 +1458,12 @@ def _ivf_probe_and_score(
                 continue
             c_mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
             c_norms = (c_mat * c_mat).sum(axis=1)
+            valid = c_norms > 0
+            if not valid.all():
+                pdf = pdf[valid]
+                c_mat, c_norms = c_mat[valid], c_norms[valid]
+                if len(pdf) == 0:
+                    continue
             qi = pdf["query_id"].map(pos).to_numpy()
             dots = np.einsum("ij,ij->i", c_mat, mat_q[qi])
             cos = dots / (np.sqrt(c_norms.astype(np.float64)) * sqrt_q[qi])
@@ -3319,3 +3344,339 @@ ORACLE["dedup_semantic_planned_prod"] = "\nUNION\n".join(
     f"SELECT * FROM ({_sharded_pair_sql(_PROD_GATE_PLAN.n_shards, _reshard_salt(r))})"
     for r in range(_PROD_GATE_PLAN.reshard_rounds)
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — ADC scan over compressed codes (r11)
+# ---------------------------------------------------------------------------
+# The missing leg of the ANN triad (SRP-LSH buckets candidates, IVF prunes
+# lists, PQ compresses the SCAN): a 100 TB embedding corpus at float32×64
+# dims is 25.6 TB of vectors, but its PQ codes at 8×4-bit subspaces are
+# 400 GB — the difference between "the index fits in the cluster's page
+# cache" and "every query is a cold parquet scan".  Classic two-stage
+# shape (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public literature): an asymmetric-distance (ADC)
+# scan over the code table shortlists rerank_n candidates per query from
+# m table lookups per row (no float vector touched), then the exact
+# re-rank fetches ONLY the shortlist's full vectors.  Both stages stream:
+# the LUT (n_queries × m × k_codes float64 — kilobytes) broadcasts, the
+# ADC scan prunes batch-locally exactly like `cosine_topk`, and the fetch
+# is a broadcast semi-join against the source table.
+#
+# Like IVF (and unlike the md5-derived SRP planes), the trained float
+# codebooks aren't engine-portable, so the registry entry is rows-only
+# with IN-BAND recall@5 against the exact brute-force top-k; floors are
+# pytest-pinned at two fixture scales, and `rerank_n == corpus` is
+# pinned IDENTICAL to `cosine_topk` (the ADC stage can only ever drop
+# candidates — with an exhaustive shortlist the exact re-rank IS the
+# brute-force answer, a structural identity no recall floor can fake).
+
+PQ_M = 8  # subspaces: 64-dim fixture → 8 dims each
+PQ_K = 16  # codes per subspace → 4 bits; 8 codes/vec = 4 B vs 256 B float32
+PQ_SAMPLE = 10_000  # codebook fit sample cap (same bound as KMEANS_SAMPLE)
+PQ_ITERS = 10
+PQ_RERANK = 16  # exact re-rank depth = PQ_RERANK × k
+
+
+@dataclass(frozen=True)
+class PQPlan:
+    """Code geometry for a byte budget: ``m`` subspaces × ``k_codes``
+    centroids each = ``bits_per_vector`` of index per vector."""
+
+    dim: int
+    m: int
+    k_codes: int
+    bits_per_vector: int
+    bytes_per_vector: float
+    compression_vs_float32: float
+
+
+def plan_pq(dim: int, bytes_budget: float = 4.0) -> PQPlan:
+    """Pick (m, k_codes) for a per-vector byte budget: maximize total
+    code bits under the budget (bits are accuracy), tie-break toward
+    FEWER subspaces with LARGER codebooks — at equal bits a bigger
+    codebook quantizes a wider subvector jointly and captures the
+    cross-dimension structure the finer split throws away (the measured
+    ordering in the public PQ literature; the price is training-sample
+    demand, which `fit_pq_codebooks` caps at the sample size anyway).
+    ``m`` must divide ``dim`` exactly (subvectors are equal slices); the
+    planner only proposes divisors, so the fit never sees a ragged
+    split."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if bytes_budget * 8 < 2:
+        raise ValueError("bytes_budget too small for even one 4-code subspace")
+    best = None
+    for m in range(1, dim + 1):
+        if dim % m:
+            continue
+        for k in (256, 64, 16, 4):
+            bits = m * int(np.log2(k))
+            if bits > bytes_budget * 8:
+                continue
+            key = (bits, k)  # total bits first, then codebook size
+            if best is None or key > best[0]:
+                best = (key, m, k, bits)
+    if best is None:
+        raise ValueError(
+            f"no (m, k) geometry fits dim={dim} in {bytes_budget} bytes"
+        )
+    _, m, k, bits = best
+    return PQPlan(
+        dim=dim,
+        m=m,
+        k_codes=k,
+        bits_per_vector=bits,
+        bytes_per_vector=bits / 8.0,
+        compression_vs_float32=(4.0 * dim) / (bits / 8.0),
+    )
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    sample_n: int = PQ_SAMPLE,
+    iters: int = PQ_ITERS,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a bounded deterministic sample —
+    the PQ codebooks, fit exactly the way `fit_ivf_centroids` fits the
+    coarse quantizer (xxhash64 sample order, init = first k sampled
+    points, empty clusters keep their previous centroid, no RNG state).
+    Vectors are unit-normalized BEFORE slicing so the ADC dot decomposes
+    the cosine: cos(q, x) = Σ_s q_s · x_s ≈ Σ_s q_s · c[s, code_s(x)].
+    Returns an (m, k_codes, dim/m) float64 array."""
+    sample = (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(sample["q"].map(lambda v: np.asarray(v, dtype=np.int64))).astype(
+        np.float64
+    )
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim} (use plan_pq)")
+    dsub = dim // m
+    k_codes = min(k_codes, len(X))
+    books = np.empty((m, k_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:k_codes].copy()
+        c2 = (cents * cents).sum(axis=1)
+        for _ in range(iters):
+            # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² is constant per
+            # row so the argmin needs only the last two terms
+            d2 = c2[None, :] - 2.0 * (sub @ cents.T)
+            assign = d2.argmin(axis=1)  # first-min ties → deterministic
+            for c in range(k_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+            c2 = (cents * cents).sum(axis=1)
+        books[s] = cents
+    return books
+
+
+def pq_encode_udf(books: np.ndarray):
+    """pandas UDF: quantized vector → its m-byte PQ code (nearest
+    codebook centroid per subspace, L2 on the unit-normalized vector).
+    The codebook array rides the closure (m × k × dsub float64 — a few
+    KB), so the corpus is encoded in ONE distributed pass, one numpy
+    matmul per subspace per Arrow batch."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m, _, dsub = books.shape
+    b2 = (books * books).sum(axis=2)  # (m, k)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(qs: pd.Series) -> pd.Series:
+        mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = b2[s][None, :] - 2.0 * (sub @ books[s].T)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+_ADC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ]
+)
+
+
+def _pq_adc_shortlist(
+    codes_df: DataFrame, queries: DataFrame, books: np.ndarray, *, rerank_n: int
+) -> DataFrame:
+    """Stage 1 of the PQ query: asymmetric-distance scan over the CODE
+    table only.  Per query the LUT[s, c] = q_subspace_s · codebook[s, c]
+    is precomputed on the driver ((n_q, m, k) float64 — kilobytes) and
+    broadcast; each Arrow batch then scores every code row against every
+    query with m fancy-indexed lookups — no float vector is read, which
+    is the entire point at 100 TB.  Batch-local top-``rerank_n`` pruning
+    uses the same tie-safe threshold rule as `cosine_topk` (keep every
+    row at or above the boundary score) so the global shortlist window
+    sees ≤ rerank_n·n_batches rows per query, never the corpus."""
+    spark = codes_df.sparkSession
+    q_ids, q_mat, q_norms = _collect_quantized(queries)
+    qf = q_mat.astype(np.float64)
+    qf /= np.maximum(np.sqrt(q_norms.astype(np.float64)), 1e-30)[:, None]
+    m, _, dsub = books.shape
+    lut = np.einsum("qsd,scd->qsc", qf.reshape(len(qf), m, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+
+    def scan(it):
+        ids_q, lut_b = bc.value
+        nq = len(ids_q)
+        for pdf in it:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            sc = np.zeros((len(c_ids), nq), dtype=np.float64)
+            for s in range(lut_b.shape[1]):
+                sc += lut_b[:, s, codes[:, s]].T
+            sc[c_ids[:, None] == ids_q[None, :]] = -np.inf  # exclude self
+            n_rows = sc.shape[0]
+            kk = min(rerank_n, n_rows)
+            thresh = np.partition(sc, n_rows - kk, axis=0)[n_rows - kk, :]
+            mask = (sc >= thresh[None, :]) & np.isfinite(sc)
+            ci, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"query_id": ids_q[qi], "vec_id": c_ids[ci], "adc": sc[ci, qi]}
+            )
+
+    scored = codes_df.select("vec_id", "codes").mapInPandas(scan, _ADC_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank_n)
+        .select("query_id", "vec_id")
+    )
+
+
+def _pq_rerank(cand: DataFrame, emb: DataFrame, queries: DataFrame, *, k: int) -> DataFrame:
+    """Stage 2: fetch ONLY the shortlist's full vectors (broadcast join —
+    the shortlist is rerank_n×n_queries rows by construction) and hand
+    them to the shared exact re-ranker."""
+    cand_q = emb.select("vec_id", quantize_expr().alias("q")).join(
+        F.broadcast(cand), "vec_id"
+    )
+    return _exact_topk_over_candidates(cand_q, queries, k=k)
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """PQ approximate top-k, in-memory lifecycle: fit codebooks on a
+    capped sample, encode the corpus in one pass, ADC-shortlist
+    ``rerank × k`` candidates per query from the codes alone, exact
+    re-rank the shortlist.  ``rerank`` is the recall dial and its cost
+    is explicit: the exact stage touches rerank·k·n_queries vectors
+    regardless of corpus size."""
+    books = fit_pq_codebooks(emb, m, k_codes)
+    encode = pq_encode_udf(books)
+    codes_df = emb.select(
+        "vec_id", encode(quantize_expr()).alias("codes")
+    )
+    cand = _pq_adc_shortlist(codes_df, queries, books, rerank_n=rerank * k)
+    return _pq_rerank(cand, emb, queries, k=k)
+
+
+def build_pq_index(
+    emb: DataFrame,
+    wh,
+    table: str = "pq_index",
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+) -> np.ndarray:
+    """Materialize the PQ index through the staging warehouse: the code
+    table (vec_id, codes — the 4-byte-per-vector artifact the ADC scan
+    reads) plus the codebook table beside it, the same fit-once/
+    write-once lifecycle as `build_ivf_index` and the BPE artifact.
+    Returns the fitted codebooks; `load_pq_codebooks` recovers them
+    without refitting."""
+    spark = emb.sparkSession
+    books = fit_pq_codebooks(emb, m, k_codes)
+    encode = pq_encode_udf(books)
+    codes = emb.select("vec_id", encode(quantize_expr()).alias("codes"))
+    wh.write(codes, table, incremental=False)
+    mm, kk, _ = books.shape
+    book_df = spark.createDataFrame(
+        [
+            (int(s), int(c), [float(x) for x in books[s, c]])
+            for s in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    wh.write(book_df, f"{table}_codebooks", incremental=False)
+    return books
+
+
+def load_pq_codebooks(wh, table: str = "pq_index") -> np.ndarray:
+    """Codebook array back from the warehouse, ordered by (subspace,
+    code) — an m×k×dsub driver collect (tiny by construction)."""
+    rows = wh.read(f"{table}_codebooks").orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return books
+
+
+def pq_topk_persisted(
+    wh,
+    emb: DataFrame,
+    queries: DataFrame,
+    table: str = "pq_index",
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Query the PERSISTED PQ index through the same stage functions as
+    the in-memory `pq_topk` (`_pq_adc_shortlist` + `_pq_rerank` — shared
+    code objects, so the two can't drift): the ADC scan reads the stored
+    code table, and only the shortlist fetch touches ``emb``."""
+    books = load_pq_codebooks(wh, table)
+    cand = _pq_adc_shortlist(wh.read(table), queries, books, rerank_n=rerank * k)
+    return _pq_rerank(cand, emb, queries, k=k)
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained float codebooks aren't
+    engine-portable, the same inherent reason as IVF): PQ top-k with the
+    in-band ``recall_at_5`` column against the exact brute-force top-5,
+    the `sim_ivf_topk` harness shape.  Floors pinned in
+    tests/test_pq.py at two fixture scales, plus the exhaustive-
+    shortlist identity (rerank ≥ corpus ⇒ bit-equal to `cosine_topk`)."""
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    pq = pq_topk(emb, queries, k=TOP_K)
+    exact = cosine_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    recall = (
+        pq.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(float(TOP_K))).alias("recall_at_5"))
+    )
+    return pq.join(recall, "query_id", "left").fillna({"recall_at_5": 0.0})
+
+
+QUERIES["sim_pq_topk"] = sim_pq_topk
+# approximate → rows-only; recall vs brute force asserted in tests

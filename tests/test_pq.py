@@ -1,0 +1,143 @@
+"""Product quantization (r11): planner geometry, codebook determinism,
+the ADC shortlist→exact re-rank path, the exhaustive-shortlist identity
+with brute force, recall floors at two fixture scales, and the persisted
+index's structural identity with the in-memory path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+    N_QUERIES,
+    PQ_K,
+    PQ_M,
+    build_pq_index,
+    cosine_topk,
+    fit_pq_codebooks,
+    load,
+    load_pq_codebooks,
+    plan_pq,
+    pq_encode_udf,
+    pq_topk,
+    pq_topk_persisted,
+    sim_pq_topk,
+)
+from priority_data_pipeline_postgres_db_spark.util import scratch_dir
+
+
+def _emb(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.drop("label") if "label" in emb.columns else emb
+
+
+def test_plan_pq_classic_geometries():
+    """At equal bits the planner prefers larger codebooks (the measured
+    PQ ordering), landing on the classic m×8-bit layouts."""
+    p4 = plan_pq(64, 4.0)
+    assert (p4.m, p4.k_codes, p4.bits_per_vector) == (4, 256, 32)
+    assert p4.compression_vs_float32 == 64.0
+    p8 = plan_pq(64, 8.0)
+    assert (p8.m, p8.k_codes) == (8, 256)
+    # m always divides dim — a non-power-of-two dim still gets a plan
+    p = plan_pq(48, 3.0)
+    assert 48 % p.m == 0 and p.bytes_per_vector <= 3.0
+
+
+def test_plan_pq_rejects_impossible_budget():
+    with pytest.raises(ValueError):
+        plan_pq(64, 0.1)
+
+
+def test_codebooks_deterministic_and_shaped(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b1 = fit_pq_codebooks(emb, m=PQ_M, k_codes=PQ_K)
+    b2 = fit_pq_codebooks(emb, m=PQ_M, k_codes=PQ_K)
+    assert b1.shape == (PQ_M, min(PQ_K, emb.count()), 64 // PQ_M)
+    assert np.array_equal(b1, b2), "hash-ordered sample fit must be RNG-free"
+
+
+def test_encode_codes_in_range_and_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = fit_pq_codebooks(emb)
+    enc = pq_encode_udf(books)
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import quantize_expr
+
+    codes = (
+        emb.select("vec_id", enc(quantize_expr()).alias("codes"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    k_eff = books.shape[1]
+    for row in codes["codes"]:
+        arr = np.asarray(row)
+        assert arr.shape == (PQ_M,)
+        assert ((arr >= 0) & (arr < k_eff)).all()
+    codes2 = (
+        emb.select("vec_id", enc(quantize_expr()).alias("codes"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert [list(c) for c in codes["codes"]] == [list(c) for c in codes2["codes"]]
+
+
+def test_exhaustive_shortlist_equals_brute_force(spark, sf_dir):
+    """With rerank ≥ corpus the ADC stage cannot drop a candidate, so
+    the exact re-rank IS `cosine_topk` — a structural identity that
+    pins the whole two-stage plumbing (join keys, self-exclusion, rank
+    tie-break) independent of any recall floor."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    n = emb.count()
+    pq = (
+        pq_topk(emb, queries, k=5, rerank=(n // 5) + 1)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    ex = cosine_topk(emb, queries, k=5).orderBy("query_id", "rank").toPandas()
+    assert pq[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        ex[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
+    assert (np.abs(pq["cosine"].to_numpy() - ex["cosine"].to_numpy()) < 1e-12).all()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_pq_registry_entry_recall_floor(spark, sf_dir, sf):
+    """sim_pq_topk's in-band recall@5 (deterministic per fixture:
+    measured 0.84 avg / 0.8 min at sf0.001, 0.88 / 0.6 at sf0.01) —
+    conservative floors so a codebook or shortlist regression fails
+    loudly without pinning box-specific float noise."""
+    import os
+
+    d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), sf)
+    df = sim_pq_topk(spark, d)
+    per_q = (
+        df.groupBy("query_id").agg(F.first("recall_at_5").alias("r")).toPandas()
+    )
+    assert len(per_q) == N_QUERIES
+    assert per_q["r"].mean() >= 0.75, f"PQ avg recall collapsed: {per_q['r'].mean()}"
+    assert per_q["r"].min() >= 0.4, f"PQ min recall collapsed: {per_q['r'].min()}"
+
+
+def test_persisted_index_matches_in_memory(spark, sf_dir):
+    """build → load → query returns exactly what the in-memory lifecycle
+    returns (same deterministic fit, shared stage functions)."""
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_pq_test_"))
+    books_built = build_pq_index(emb, wh)
+    assert np.array_equal(books_built, load_pq_codebooks(wh))
+    got = (
+        pq_topk_persisted(wh, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    want = pq_topk(emb, queries, k=5).orderBy("query_id", "rank").toPandas()
+    assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        want[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
