@@ -3558,9 +3558,9 @@ def _pq_adc_shortlist(
     scored = codes_df.select("vec_id", "codes").mapInPandas(scan, _ADC_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= rerank_n)
-        .select("query_id", "vec_id")
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rerank_n)
+        .select("query_id", "vec_id", "adc_rank")
     )
 
 
@@ -3680,3 +3680,70 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_pq_topk"] = sim_pq_topk
 # approximate → rows-only; recall vs brute force asserted in tests
+
+
+def pq_recall_curve(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    reranks: tuple[int, ...] = (5, 10, 20, 40, 80, 160),
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+) -> DataFrame:
+    """Measured recall@k per re-rank depth — the PQ tuning instrument
+    (the `sim_srp_recall_curve` shape: the dial is ``rerank`` and this
+    row set is what you tune it against).
+
+    One ADC pass suffices for the WHOLE curve: a true top-k neighbor
+    that makes the ADC shortlist always survives the exact re-rank (at
+    most k−1 vectors in the entire corpus score above it, so it cannot
+    be pushed out of the final top-k), hence end-to-end recall at depth
+    R is exactly the fraction of brute-force top-k pairs whose ADC rank
+    is ≤ R.  So: shortlist once at max(reranks), left-join the exact
+    top-k onto the ADC ranks, and read every depth off the same joined
+    frame — no repeated pipeline runs."""
+    books = fit_pq_codebooks(emb, m, k_codes)
+    encode = pq_encode_udf(books)
+    codes_df = emb.select("vec_id", encode(quantize_expr()).alias("codes"))
+    shortlist = _pq_adc_shortlist(
+        codes_df, queries, books, rerank_n=max(reranks)
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    exact = cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    hit = exact.join(shortlist, ["query_id", "neighbor_id"], "left")
+    per_q = hit.groupBy("query_id").agg(
+        *[
+            (
+                F.sum(
+                    F.when(F.col("adc_rank") <= r, 1).otherwise(0)
+                )
+                / F.lit(float(k))
+            ).alias(f"r{r}")
+            for r in reranks
+        ]
+    )
+    curves = [
+        per_q.select(
+            F.lit(int(r)).alias("rerank"),
+            F.avg(f"r{r}").alias("avg_recall"),
+            F.min(f"r{r}").alias("min_recall"),
+            F.count("*").alias("n_queries"),
+        )
+        for r in reranks
+    ]
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def sim_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained codebooks, like IVF): the
+    rerank→recall@5 curve on the benchmark query set.  Monotonicity and
+    a floor at the production PQ_RERANK depth are pytest-pinned."""
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    return pq_recall_curve(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
+QUERIES["sim_pq_recall_curve"] = sim_pq_recall_curve
+# approximate-instrument → rows-only; curve properties asserted in tests

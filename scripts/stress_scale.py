@@ -207,6 +207,10 @@ STRESS = [
     "dedup_minhash_planned",
     "dedup_semantic_planned_prod",
     "stream_staging_cdc_ingest",
+    # r11: PQ ANN — the ADC scan is the piece whose cost curve matters
+    # (code-table-linear with a broadcast LUT; the exact re-rank is
+    # shortlist-sized by construction, corpus-independent)
+    "sim_pq_topk",
 ]
 
 

@@ -71,6 +71,10 @@ ALLOWED = {
     # r10: composes the waterfill schedule (same bounded source-table
     # window) before the broadcast sampling filter
     "corpus_mix_apply": {"BNLJ", "SinglePartition"},
+    # r11: one global avg/min aggregate per curve depth — 1-row outputs
+    # over the N_QUERIES-row per-query recall frame, the recall-report
+    # pattern
+    "sim_pq_recall_curve": {"SinglePartition"},
 }
 
 

@@ -141,3 +141,33 @@ def test_persisted_index_matches_in_memory(spark, sf_dir):
     assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == (
         want[["query_id", "neighbor_id", "rank"]].values.tolist()
     )
+
+
+def test_pq_recall_curve_monotone_and_consistent(spark, gate_dir):
+    """The rerank→recall curve is non-decreasing, and its value at the
+    production depth (PQ_RERANK×k = 80) equals the registry entry's
+    in-band recall average — the single-ADC-pass shortcut really is the
+    end-to-end number (measured 0.88 at sf0.01)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        PQ_RERANK,
+        TOP_K,
+        sim_pq_recall_curve,
+    )
+
+    curve = (
+        sim_pq_recall_curve(spark, gate_dir).orderBy("rerank").toPandas()
+    )
+    assert (curve["n_queries"] == N_QUERIES).all()
+    avgs = curve["avg_recall"].to_numpy()
+    assert (np.diff(avgs) >= -1e-12).all(), f"curve not monotone: {avgs}"
+    prod = curve.loc[curve["rerank"] == PQ_RERANK * TOP_K, "avg_recall"]
+    assert len(prod) == 1
+    in_band = (
+        sim_pq_topk(spark, gate_dir)
+        .groupBy("query_id")
+        .agg(F.first("recall_at_5").alias("r"))
+        .toPandas()["r"]
+        .mean()
+    )
+    assert abs(float(prod.iloc[0]) - float(in_band)) < 1e-9
+    assert float(prod.iloc[0]) >= 0.75
