@@ -202,6 +202,17 @@ HEADLINE = [
     "corpus_mix_apply",
     "q_skew_report",
     "k1_cdc_poll_cycle",
+    # r11: auto-sized skew mitigation on the star join, planner-sized
+    # MinHash geometry, the production-default semantic planner path,
+    # artifact-backed mixture pipeline, streaming CDC source, and the
+    # PQ ANN pair (top-k + its recall curve instrument)
+    "j_skew_salted_star",
+    "dedup_minhash_planned",
+    "dedup_semantic_planned_prod",
+    "corpus_mix_pipeline",
+    "stream_staging_cdc_ingest",
+    "sim_pq_topk",
+    "sim_pq_recall_curve",
 ]
 
 
