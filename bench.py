@@ -213,6 +213,7 @@ HEADLINE = [
     "stream_staging_cdc_ingest",
     "sim_pq_topk",
     "sim_pq_recall_curve",
+    "sim_ivfpq_persisted",
 ]
 
 

@@ -3747,3 +3747,301 @@ def sim_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_pq_recall_curve"] = sim_pq_recall_curve
 # approximate-instrument → rows-only; curve properties asserted in tests
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ — coarse list pruning × residual PQ codes (r11)
+# ---------------------------------------------------------------------------
+# The composition the two indexes exist for (the classic IVFADC layout of
+# the PQ paper): the IVF quantizer prunes WHICH hive partitions are read
+# (cost ∝ corpus/k_clusters × nprobe, file-listing pruning on the
+# persisted index) and PQ compresses WHAT is read inside them (m bytes of
+# code per posting instead of the vector).  Codes quantize the RESIDUAL
+# x − c(list): residuals concentrate near zero so a shared codebook spends
+# its codes on the part of the vector the coarse quantizer didn't already
+# explain, and the inner-product decomposes exactly —
+#     q·x ≈ q·c(list) + q·resid_code
+# — so the ADC scan needs only the (n_q × k_clusters) q·c table plus the
+# same (n_q, m, k) residual LUT every list shares.  Both ride one
+# broadcast.  The exact re-rank is the shared `_pq_rerank` tail.
+
+IVFPQ_RERANK = 16  # exact re-rank depth = IVFPQ_RERANK × k
+
+
+def fit_residual_codebooks(
+    emb: DataFrame,
+    cents: np.ndarray,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    sample_n: int = PQ_SAMPLE,
+    iters: int = PQ_ITERS,
+) -> np.ndarray:
+    """PQ codebooks fit on RESIDUALS (unit-normalized sample vector minus
+    its nearest coarse centroid) — the same capped deterministic sample
+    and RNG-free Lloyd as `fit_pq_codebooks`, shifted into residual
+    space.  One shared codebook set across lists (the standard IVFPQ
+    memory trade: k_clusters × private codebooks would overfit the
+    per-list sample anyway)."""
+    sample = (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(sample["q"].map(lambda v: np.asarray(v, dtype=np.int64))).astype(
+        np.float64
+    )
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    R = X - cents[(X @ cents.T).argmax(axis=1)]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim} (use plan_pq)")
+    dsub = dim // m
+    k_codes = min(k_codes, len(R))
+    books = np.empty((m, k_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = R[:, s * dsub : (s + 1) * dsub]
+        cbs = sub[:k_codes].copy()
+        c2 = (cbs * cbs).sum(axis=1)
+        for _ in range(iters):
+            d2 = c2[None, :] - 2.0 * (sub @ cbs.T)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cbs[c] = members.mean(axis=0)
+            c2 = (cbs * cbs).sum(axis=1)
+        books[s] = cbs
+    return books
+
+
+def ivfpq_encode_udf(cents: np.ndarray, books: np.ndarray, n_assign: int = IVF_N_ASSIGN):
+    """pandas UDF: quantized vector → its spill-assigned postings, an
+    array of (label, codes) structs — one struct per assigned list, each
+    carrying the PQ code of the residual w.r.t. THAT list's centroid
+    (the same vector filed in two lists has two different residuals).
+    One distributed pass encodes the whole index."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n_assign = min(n_assign, len(cents))
+    m, _, dsub = books.shape
+    b2 = (books * books).sum(axis=2)
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("label", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def _encode(qs: pd.Series) -> pd.Series:
+        mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        top = np.argsort(-(mat @ cents.T), axis=1, kind="stable")[:, :n_assign]
+        rows = []
+        for i in range(len(mat)):
+            postings = []
+            for lbl in top[i]:
+                resid = mat[i] - cents[lbl]
+                codes = []
+                for s in range(m):
+                    sub = resid[s * dsub : (s + 1) * dsub]
+                    d2 = b2[s] - 2.0 * (books[s] @ sub)
+                    codes.append(int(d2.argmin()))
+                postings.append({"label": int(lbl), "codes": codes})
+            rows.append(postings)
+        return pd.Series(rows)
+
+    return _encode
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    wh,
+    table: str = "ivfpq_index",
+    k_clusters: int = N_CLUSTERS,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVFPQ index: postings (vec_id, codes) PARTITIONED
+    BY list label — probing nprobe lists is parquet partition pruning at
+    file listing, and what those partitions hold is m-byte codes, not
+    vectors.  Centroids and residual codebooks land beside it (tiny).
+    Returns (centroids, codebooks); the loaders recover both without
+    refitting."""
+    spark = emb.sparkSession
+    cents = fit_ivf_centroids(emb, k_clusters)
+    books = fit_residual_codebooks(emb, cents, m, k_codes)
+    encode = ivfpq_encode_udf(cents, books)
+    postings = (
+        emb.select("vec_id", encode(quantize_expr()).alias("postings"))
+        .select("vec_id", F.explode("postings").alias("p"))
+        .select("vec_id", F.col("p.label").alias("label"), F.col("p.codes").alias("codes"))
+    )
+    wh.write(postings, table, incremental=False, partition_by=["label"])
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "label int, centroid array<double>",
+    )
+    wh.write(cent_df, f"{table}_centroids", incremental=False)
+    mm, kk, _ = books.shape
+    book_df = spark.createDataFrame(
+        [
+            (int(s), int(c), [float(x) for x in books[s, c]])
+            for s in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    wh.write(book_df, f"{table}_codebooks", incremental=False)
+    return cents, books
+
+
+def _ivfpq_adc_shortlist(
+    postings: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    *,
+    nprobe: int,
+    rerank_n: int,
+) -> DataFrame:
+    """IVFPQ stage 1: probe selection + masked ADC scan over the probed
+    postings.  The label isin filter lands BEFORE anything else — on the
+    persisted index that IS the partition pruning; rows from a list no
+    query probed are never read.  Inside a batch, q·x is reconstructed as
+    q·c(label) (the broadcast n_q×k_clusters table) plus the residual LUT
+    sum; (query, row) pairs whose label the query did NOT probe are
+    masked out, and spill duplicates keep only their best-scoring posting
+    before the shortlist window (a duplicated candidate would distort
+    row_number depth).  Batch-local tie-safe top-R pruning as ever."""
+    spark = postings.sparkSession
+    q_ids, q_mat, q_norms = _collect_quantized(queries)
+    qf = q_mat.astype(np.float64)
+    qf /= np.maximum(np.sqrt(q_norms.astype(np.float64)), 1e-30)[:, None]
+    m, _, dsub = books.shape
+    lut = np.einsum("qsd,scd->qsc", qf.reshape(len(qf), m, dsub), books)
+    qdotc = qf @ cents.T  # (n_q, k_clusters)
+    order = np.argsort(-qdotc, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros_like(qdotc, dtype=bool)
+    for i in range(len(q_ids)):
+        probe_mask[i, order[i]] = True
+    needed = sorted({int(l) for row in order for l in row})
+    bc = spark.sparkContext.broadcast((q_ids, lut, qdotc, probe_mask))
+
+    def scan(it):
+        ids_q, lut_b, qdotc_b, mask_b = bc.value
+        nq = len(ids_q)
+        for pdf in it:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            sc = qdotc_b[:, labels].T.copy()  # (n, n_q): the q·c term
+            for s in range(lut_b.shape[1]):
+                sc += lut_b[:, s, codes[:, s]].T
+            sc[~mask_b[:, labels].T] = -np.inf  # unprobed (query, list) pairs
+            sc[c_ids[:, None] == ids_q[None, :]] = -np.inf  # exclude self
+            n_rows = sc.shape[0]
+            kk = min(rerank_n, n_rows)
+            thresh = np.partition(sc, n_rows - kk, axis=0)[n_rows - kk, :]
+            mask = (sc >= thresh[None, :]) & np.isfinite(sc)
+            ci, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"query_id": ids_q[qi], "vec_id": c_ids[ci], "adc": sc[ci, qi]}
+            )
+
+    scored = (
+        postings.filter(F.col("label").isin(needed))
+        .select("vec_id", "label", "codes")
+        .mapInPandas(scan, _ADC_SCHEMA)
+    )
+    # spill dedupe: keep each (query, vector)'s best posting score
+    best = scored.groupBy("query_id", "vec_id").agg(F.max("adc").alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        best.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= rerank_n)
+        .select("query_id", "vec_id", "adc_rank")
+    )
+
+
+def load_ivfpq(wh, table: str = "ivfpq_index") -> tuple[np.ndarray, np.ndarray]:
+    return load_ivf_centroids(wh, table), load_pq_codebooks(wh, table)
+
+
+def ivfpq_topk_persisted(
+    wh,
+    emb: DataFrame,
+    queries: DataFrame,
+    table: str = "ivfpq_index",
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+    rerank: int = IVFPQ_RERANK,
+) -> DataFrame:
+    """Query the persisted IVFPQ index: probed partitions → masked ADC →
+    the shared exact re-ranker (`_pq_rerank`, same code object as plain
+    PQ; only the shortlist fetch touches ``emb``)."""
+    cents, books = load_ivfpq(wh, table)
+    cand = _ivfpq_adc_shortlist(
+        wh.read(table), queries, cents, books, nprobe=nprobe, rerank_n=rerank * k
+    )
+    return _pq_rerank(cand, emb, queries, k=k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    k_clusters: int = N_CLUSTERS,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    nprobe: int = N_PROBE,
+    rerank: int = IVFPQ_RERANK,
+) -> DataFrame:
+    """In-memory IVFPQ lifecycle (fit + encode + query in one plan) —
+    the same stage functions as the persisted path."""
+    cents = fit_ivf_centroids(emb, k_clusters)
+    books = fit_residual_codebooks(emb, cents, m, k_codes)
+    encode = ivfpq_encode_udf(cents, books)
+    postings = (
+        emb.select("vec_id", encode(quantize_expr()).alias("postings"))
+        .select("vec_id", F.explode("postings").alias("p"))
+        .select("vec_id", F.col("p.label").alias("label"), F.col("p.codes").alias("codes"))
+    )
+    cand = _ivfpq_adc_shortlist(
+        postings, queries, cents, books, nprobe=nprobe, rerank_n=rerank * k
+    )
+    return _pq_rerank(cand, emb, queries, k=k)
+
+
+def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained float quantizers, the IVF/PQ
+    reason): build the partitioned IVFPQ index in a throwaway warehouse,
+    answer the benchmark queries through it, and carry ``recall_at_5``
+    vs brute force in-band (floors in tests/test_pq.py, plus the
+    exhaustive identity: nprobe = k_clusters AND rerank ≥ corpus ⇒
+    bit-equal to `cosine_topk`)."""
+    from .staging import StagingWarehouse
+
+    root = scratch_dir("spark_graft_ivfpq_index_")
+    wh = StagingWarehouse(spark, root)
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    build_ivfpq_index(emb, wh)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = ivfpq_topk_persisted(wh, emb, queries, k=TOP_K)
+    exact = cosine_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    recall = (
+        res.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(float(TOP_K))).alias("recall_at_5"))
+    )
+    return res.join(recall, "query_id", "left").fillna({"recall_at_5": 0.0})
+
+
+QUERIES["sim_ivfpq_persisted"] = sim_ivfpq_persisted
+# approximate → rows-only; recall vs brute force asserted in tests

@@ -211,6 +211,9 @@ STRESS = [
     # (code-table-linear with a broadcast LUT; the exact re-rank is
     # shortlist-sized by construction, corpus-independent)
     "sim_pq_topk",
+    # r11: the IVFADC composition — probed-partition IO × code
+    # compression; cost ∝ corpus/k_clusters × nprobe × spill
+    "sim_ivfpq_persisted",
 ]
 
 

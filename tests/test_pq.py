@@ -171,3 +171,80 @@ def test_pq_recall_curve_monotone_and_consistent(spark, gate_dir):
     )
     assert abs(float(prod.iloc[0]) - float(in_band)) < 1e-9
     assert float(prod.iloc[0]) >= 0.75
+
+
+def test_ivfpq_exhaustive_identity(spark, sf_dir):
+    """nprobe = k_clusters AND rerank ≥ corpus ⇒ every posting is probed
+    and no candidate can be dropped, so IVFPQ's exact re-rank IS
+    `cosine_topk` — pins probe masking, the q·c + residual-LUT
+    decomposition, spill dedupe, and the rank tie-break structurally."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        N_CLUSTERS,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    n = emb.count()
+    got = (
+        ivfpq_topk(emb, queries, k=5, nprobe=N_CLUSTERS, rerank=(n // 5) + 1)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    ex = cosine_topk(emb, queries, k=5).orderBy("query_id", "rank").toPandas()
+    assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        ex[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_ivfpq_registry_entry_recall_floor(spark, sf_dir, sf):
+    """sim_ivfpq_persisted's in-band recall@5 (measured 0.76/0.74 avg,
+    0.4 min — two composed approximations on a near-random corpus, so
+    lower than plain PQ by design); conservative floors."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        sim_ivfpq_persisted,
+    )
+
+    d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), sf)
+    per_q = (
+        sim_ivfpq_persisted(spark, d)
+        .groupBy("query_id")
+        .agg(F.first("recall_at_5").alias("r"))
+        .toPandas()
+    )
+    assert len(per_q) == N_QUERIES
+    assert per_q["r"].mean() >= 0.6, f"IVFPQ avg recall collapsed: {per_q['r'].mean()}"
+    assert per_q["r"].min() >= 0.2, f"IVFPQ min recall collapsed: {per_q['r'].min()}"
+
+
+def test_ivfpq_persisted_matches_in_memory(spark, sf_dir):
+    """Same deterministic fits + shared stage functions ⇒ the persisted
+    index answers exactly like the in-memory lifecycle."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+        load_ivfpq,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_ivfpq_test_"))
+    cents, books = build_ivfpq_index(emb, wh)
+    lc, lb = load_ivfpq(wh)
+    assert np.array_equal(cents, lc) and np.array_equal(books, lb)
+    got = (
+        ivfpq_topk_persisted(wh, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    want = ivfpq_topk(emb, queries, k=5).orderBy("query_id", "rank").toPandas()
+    assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        want[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
