@@ -3840,18 +3840,24 @@ def ivfpq_encode_udf(cents: np.ndarray, books: np.ndarray, n_assign: int = IVF_N
         mat = np.stack(qs.map(lambda v: np.asarray(v, dtype=np.float64)))
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         top = np.argsort(-(mat @ cents.T), axis=1, kind="stable")[:, :n_assign]
-        rows = []
-        for i in range(len(mat)):
-            postings = []
-            for lbl in top[i]:
-                resid = mat[i] - cents[lbl]
-                codes = []
-                for s in range(m):
-                    sub = resid[s * dsub : (s + 1) * dsub]
-                    d2 = b2[s] - 2.0 * (books[s] @ sub)
-                    codes.append(int(d2.argmin()))
-                postings.append({"label": int(lbl), "codes": codes})
-            rows.append(postings)
+        n = len(mat)
+        # vectorized per assignment RANK: one residual matrix and m
+        # batch matmuls per rank, never a per-row Python loop (argmin
+        # keeps first-min ties — same order the scalar path resolved)
+        codes_by_rank = np.empty((n_assign, n, m), dtype=np.int64)
+        for j in range(n_assign):
+            resid = mat - cents[top[:, j]]
+            for s in range(m):
+                sub = resid[:, s * dsub : (s + 1) * dsub]
+                d2 = b2[s][None, :] - 2.0 * (sub @ books[s].T)
+                codes_by_rank[j, :, s] = d2.argmin(axis=1)
+        rows = [
+            [
+                {"label": int(top[i, j]), "codes": [int(c) for c in codes_by_rank[j, i]]}
+                for j in range(n_assign)
+            ]
+            for i in range(n)
+        ]
         return pd.Series(rows)
 
     return _encode
