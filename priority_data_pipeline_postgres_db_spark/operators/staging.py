@@ -11,9 +11,10 @@ appends without Delta"):
 - every write lands in a hidden scratch dir ``.tmp-<batch>`` inside the
   table directory — names starting with ``.`` are invisible to Spark's
   file listing, so readers can NEVER observe a half-written batch;
-- the scratch dir is atomically ``os.rename``d to ``ingest_batch=<batch>``
-  (one same-filesystem directory rename) only after the write finished —
-  a crashed write leaves an ignored orphan, not phantom rows;
+- the scratch dir is ``os.rename``d to ``ingest_batch=<batch>`` (one
+  same-filesystem directory rename) only after the write finished, then
+  the batch id is committed to the MANIFEST (below) — a crashed write
+  leaves an ignored orphan, not phantom rows;
 - the table is therefore hive-partitioned by ``ingest_batch`` (readers
   drop the column), and user ``partition_by`` columns nest inside each
   batch so time-bounded scans still prune directories;
@@ -22,11 +23,42 @@ appends without Delta"):
   re-executed (re-counting it would re-run the whole source read — a
   second full OData fetch per entity in production).
 
+MANIFEST — object-store-safe batch membership (VERDICT r11 #1).  POSIX
+rename + directory listing is sound on ext4 but unsound on S3/GCS, where
+rename is copy+delete and a listing is not a transaction.  Committed-
+batch membership therefore lives in ``.manifest/`` inside the table dir
+(dot-prefixed: invisible to Spark's listing): one tiny entry file
+``<batch_id>.json`` per committed batch, created atomically (hidden tmp
++ ``os.replace`` on POSIX; the equivalent single PUT on an object store
+— an entry OBJECT either exists whole or not at all, so a torn manifest
+append is impossible by construction: the torn bytes sit under a hidden
+tmp name readers never parse).  The Iceberg/Delta move in miniature,
+with the entry's NAME as the membership fact — readers never parse
+entry content.
+
+- COMMIT POINT: the manifest entry.  The data rename alone is not a
+  commit — a dir without an entry is invisible (the crash window
+  between rename and entry-create heals on the idempotent retry, which
+  finds the dir and re-commits the entry; with no retry, ``vacuum``
+  reaps it past the mtime fence).
+- DELETE POINT: entry removal, BEFORE the data unlink — so a reader can
+  never observe a half-deleted batch (the old rmtree-only refresh could
+  expose partial batches mid-unlink; now visibility flips per batch in
+  one atomic unlink of the entry, and the data dirs are reclaimed as
+  invisible garbage afterwards).
+- READ RESOLUTION: manifest ∩ listed dirs (``_batches``) — robust to
+  both crash windows (an entry-less dir and a ghost entry are each
+  invisible).  Tables that predate the manifest (no ``.manifest/``)
+  fall back to pure directory listing; the first write to such a table
+  SEEDS the manifest from the listing (every listed dir was POSIX-
+  rename committed), built in a hidden scratch dir and published with
+  one rename so a crash mid-seed cannot hide old batches.
+
 Full refreshes clear committed batches *after* the replacement batch is
-fully written, so the non-atomic window is directory unlinks only: a
-crash mid-refresh can leave the table short (re-runnable), never
-duplicated — the same at-worst-empty contract as the reference's
-``if_exists='replace'`` drop-and-load.
+fully written, so a crash mid-refresh can leave the table short
+(re-runnable), never duplicated or partially visible — the same
+at-worst-empty contract as the reference's ``if_exists='replace'``
+drop-and-load, strengthened by the per-batch atomic visibility flip.
 """
 
 from __future__ import annotations
@@ -44,6 +76,7 @@ STG_PREFIX = "stg_"
 BATCH_COL = "ingest_batch"
 UPSERT_META = ".upsert.json"  # dot-prefixed: invisible to Spark's listing
 EXPIRY_META = ".expiry.json"  # snapshot-retention marker (see expire_snapshots)
+MANIFEST_DIR = ".manifest"  # committed-batch membership (module docstring)
 BASE_SUFFIX = "~base"  # '~' sorts after every alnum, so base > its horizon
 
 
@@ -86,10 +119,86 @@ class StagingWarehouse:
     def _path(self, table_name: str) -> str:
         return os.path.join(self.root, f"acc_{self.account_id}", STG_PREFIX + table_name.lower())
 
-    def _batches(self, path: str) -> list[str]:
+    @staticmethod
+    def _listed(path: str) -> list[str]:
+        """Raw directory listing of ``ingest_batch=`` dirs — the physical
+        substrate; membership truth is ``_batches`` (manifest ∩ this)."""
         if not os.path.isdir(path):
             return []
         return sorted(d for d in os.listdir(path) if d.startswith(BATCH_COL + "="))
+
+    @staticmethod
+    def _manifest_ids(path: str) -> set[str] | None:
+        """Committed batch ids per the manifest, or ``None`` when the
+        table predates the manifest protocol (legacy listing fallback).
+        Membership is the entry file's NAME: hidden tmp files (a torn
+        entry write) never parse as entries, so a crash mid-append
+        cannot corrupt the committed set."""
+        mdir = os.path.join(path, MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return None
+        return {
+            f[: -len(".json")]
+            for f in os.listdir(mdir)
+            if f.endswith(".json") and not f.startswith(".")
+        }
+
+    def _manifest_add(self, path: str, batch_id: str) -> None:
+        """Commit ``batch_id`` to the manifest — THE commit point.  One
+        atomic object creation (tmp + ``os.replace``; a PUT on an object
+        store).  Idempotent: re-adding an id replaces the entry with
+        identical membership meaning.
+
+        First use on a table without a manifest SEEDS it from the
+        directory listing (legacy tables migrate losslessly — every
+        listed dir was POSIX-rename committed), built under a hidden
+        scratch dir and published with one rename: a crash mid-seed
+        leaves readers on the listing fallback, never on a partial
+        manifest that hides old batches."""
+        mdir = os.path.join(path, MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            tmp = os.path.join(path, f".manifest-seed-{uuid.uuid4().hex[:8]}")
+            os.makedirs(tmp)
+            for d in self._listed(path):
+                bid = d.split("=", 1)[1]
+                with open(os.path.join(tmp, bid + ".json"), "w") as fh:
+                    json.dump({"batch": bid, "seeded": True}, fh)
+            try:
+                os.rename(tmp, mdir)
+            except OSError:
+                if os.path.isdir(mdir):
+                    # lost the seed race to a concurrent writer: their
+                    # manifest is live; fall through and add the entry
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    raise
+        entry_tmp = os.path.join(mdir, f".{uuid.uuid4().hex[:8]}.tmp")
+        with open(entry_tmp, "w") as fh:
+            json.dump({"batch": batch_id, "committed_at": time.time()}, fh)
+        os.replace(entry_tmp, os.path.join(mdir, batch_id + ".json"))
+
+    @staticmethod
+    def _manifest_remove(path: str, batch_id: str) -> None:
+        """Uncommit ``batch_id`` — one atomic unlink of the entry, done
+        BEFORE the data dir is reclaimed so a half-deleted batch is
+        never visible.  A no-op on legacy tables and already-removed
+        entries (idempotent, race-tolerant)."""
+        mdir = os.path.join(path, MANIFEST_DIR)
+        try:
+            os.remove(os.path.join(mdir, batch_id + ".json"))
+        except FileNotFoundError:
+            pass
+
+    def _batches(self, path: str) -> list[str]:
+        """Committed batch dirs, id-sorted: manifest ∩ listing when the
+        manifest exists (an entry-less dir is a crash-window orphan; a
+        ghost entry points at reclaimed data — both invisible), plain
+        listing on legacy tables."""
+        listed = self._listed(path)
+        man = self._manifest_ids(path)
+        if man is None:
+            return listed
+        return [d for d in listed if d.split("=", 1)[1] in man]
 
     def write(
         self,
@@ -159,6 +268,13 @@ class StagingWarehouse:
         if batch_id is not None:
             safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in batch_id)
             if os.path.isdir(os.path.join(path, f"{BATCH_COL}={safe}")):
+                # already committed — or renamed by a twin that crashed
+                # before its manifest entry landed: the dir is complete
+                # data (rename follows the full write), so the retry
+                # HEALS the commit by (re-)creating the entry.  Both
+                # paths are the idempotent no-op.
+                if self._manifest_ids(path) is not None:
+                    self._manifest_add(path, safe)
                 return WriteReport(
                     entity_name or table_name, STG_PREFIX + table_name.lower(), 0
                 )
@@ -206,6 +322,10 @@ class StagingWarehouse:
             # an empty read; tests/test_staging.py pins the fix)
             doomed = self._batches(path) if _replace_only is None else _replace_only
             for d in doomed:
+                # entry removal FIRST (atomic per-batch visibility flip),
+                # then the data unlink — a reader can never observe a
+                # half-deleted batch
+                self._manifest_remove(path, d.split("=", 1)[1])
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             marker = os.path.join(path, EXPIRY_META)
             if os.path.isfile(marker):
@@ -215,19 +335,22 @@ class StagingWarehouse:
         if _has_parquet_files(tmp):
             committed = os.path.join(path, f"{BATCH_COL}={batch_id}")
             try:
-                os.rename(tmp, committed)  # atomic same-fs rename = commit
+                os.rename(tmp, committed)  # data in place; entry commits
             except OSError:
                 if os.path.isdir(committed):
                     # lost the commit race to a concurrent writer of the
                     # same batch_id: their batch IS the committed one —
-                    # degrade to the idempotent no-op
+                    # ensure its manifest entry (heals the twin's crash
+                    # window) and degrade to the idempotent no-op
                     shutil.rmtree(tmp, ignore_errors=True)
+                    self._manifest_add(path, batch_id)
                     return WriteReport(
                         entity_name or table_name,
                         STG_PREFIX + table_name.lower(),
                         0,
                     )
                 raise
+            self._manifest_add(path, batch_id)  # THE commit point
             n = self.spark.read.parquet(committed).count()  # footer counts
         else:
             # empty batch (e.g. an incremental fully removed by the
@@ -509,9 +632,7 @@ class StagingWarehouse:
                 f"the retention horizon {exp['horizon']!r} set by "
                 "expire_snapshots — the per-batch history below it is folded"
             )
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            self._path(table_name)
-        )
+        df = self._read_committed(table_name)
         # the retention base never qualifies: its content is the state
         # AT the horizon, and lo >= horizon is enforced above (the same
         # suffix filter also hides an uncommitted crash-window base)
@@ -634,7 +755,10 @@ class StagingWarehouse:
         # an accidental violation into convergence instead of data loss.)
         # Dead non-base history under the standing marker has no such
         # window — it is reclaimable the moment the marker says so.
-        for d in self._batches(path):
+        # Loop over the PHYSICAL listing, not manifest ∩ listing: the
+        # reap targets include entry-less leftovers (a base whose pass
+        # crashed between rename and manifest entry).
+        for d in self._listed(path):
             bid = d.split("=", 1)[1]
             if bid.endswith(BASE_SUFFIX):
                 dead = exp is None or bid != exp["base"]  # uncommitted base
@@ -650,6 +774,7 @@ class StagingWarehouse:
             else:
                 dead = exp is not None and bid <= exp["horizon"]  # history
             if dead:
+                self._manifest_remove(path, bid)
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
         live = self._live_ids(table_name)
@@ -716,6 +841,13 @@ class StagingWarehouse:
                 os.rename(tmp, base_path)
             else:
                 raise
+        # the base's manifest entry must land BEFORE the marker commits
+        # the expiry: a marker referencing an unmanifested base would
+        # read as a gap (base invisible, history dead).  Before the
+        # marker the entry is harmless — unreferenced bases are
+        # invisible to every reader regardless of membership.
+        if self._manifest_ids(path) is not None:
+            self._manifest_add(path, base_id)
 
         # step 4: THE commit — atomic marker replace flips visibility
         marker_tmp = os.path.join(path, EXPIRY_META + ".tmp")
@@ -723,10 +855,36 @@ class StagingWarehouse:
             json.dump({"horizon": horizon, "base": base_id}, f)
         os.replace(marker_tmp, os.path.join(path, EXPIRY_META))
 
-        # step 5: reclaim dead history
+        # step 5: reclaim dead history (entry first — see write())
         for b in doomed:
+            self._manifest_remove(path, b)
             shutil.rmtree(os.path.join(path, f"{BATCH_COL}={b}"), ignore_errors=True)
         return {"expired": doomed, "horizon": horizon, "base": base_id}
+
+    def _read_committed(self, table_name: str) -> DataFrame:
+        """Physical read of exactly the COMMITTED batches.  With a
+        manifest, the read is over explicit resolved paths (``basePath``
+        keeps the partition column): an uncommitted or half-deleted dir
+        never even reaches Spark's file listing or mergeSchema footer
+        pass — the object-store-safe read path.  Legacy tables (no
+        manifest) read the table root, where the POSIX rename protocol
+        already guarantees every listed dir is whole.
+
+        mergeSchema unions the batch schemas either way: a column added
+        by a later incremental batch appears (null-filled for older
+        rows) instead of silently vanishing when Spark picks one batch's
+        footer as THE schema."""
+        path = self._path(table_name)
+        reader = self.spark.read.option("mergeSchema", "true")
+        committed = self._batches(path)
+        if self._manifest_ids(path) is None or not committed:
+            # legacy fallback — and the empty-committed edge keeps the
+            # root read's "unable to infer schema" failure mode instead
+            # of a zero-path parquet() TypeError
+            return reader.parquet(path)
+        return reader.option("basePath", path).parquet(
+            *(os.path.join(path, d) for d in committed)
+        )
 
     @staticmethod
     def _as_of_cutoff(as_of) -> str:
@@ -780,9 +938,7 @@ class StagingWarehouse:
         (a crashed expiry pass) — the common-path plan stays clean."""
         from pyspark.sql import functions as F
 
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            self._path(table_name)
-        )
+        df = self._read_committed(table_name)
         exp = self._expiry(table_name)
         if exp:
             df = df.filter(
@@ -872,19 +1028,63 @@ class StagingWarehouse:
             shutil.rmtree(acc)
         return dropped
 
+    def repair_manifest(self, table_name: str, *, adopt: bool = False) -> dict:
+        """Reconcile a table's manifest with its physical dirs.
+
+        Always: seed a missing manifest from the listing (legacy
+        migration without waiting for the next write) and drop GHOST
+        entries (entry whose data dir is gone — external deletion; the
+        protocol itself never produces one because deletes remove the
+        entry first).  Ghosts are harmless to reads (manifest ∩ listing)
+        but pollute ``snapshots()``-adjacent tooling and the next seed.
+
+        ``adopt=True`` additionally commits ENTRY-LESS dirs into the
+        manifest.  Deliberately opt-in: an entry-less dir is ambiguous —
+        either a write that crashed between rename and entry (complete
+        data worth recovering when the writer will never retry) or a
+        delete that crashed between entry removal and the unlink
+        (adopting RESURRECTS deleted data).  The operator chooses;
+        the default leans on the commit-point rule (an unmanifested
+        batch was never committed) and leaves them for ``vacuum``."""
+        path = self._path(table_name)
+        man = self._manifest_ids(path)
+        listed = {d.split("=", 1)[1] for d in self._listed(path)}
+        if man is None:
+            if listed:
+                # seed == adopt-everything for a legacy table: every
+                # listed dir was POSIX-rename committed
+                self._manifest_add(path, sorted(listed)[-1])
+                man = self._manifest_ids(path) or set()
+            else:
+                return {"seeded": False, "ghosts_removed": [], "adopted": []}
+        ghosts = sorted(man - listed)
+        for bid in ghosts:
+            self._manifest_remove(path, bid)
+        adopted = []
+        if adopt:
+            for bid in sorted(listed - man):
+                self._manifest_add(path, bid)
+                adopted.append(bid)
+        return {"seeded": True, "ghosts_removed": ghosts, "adopted": adopted}
+
     def vacuum(
         self, table_name: str | None = None, *, min_age_sec: float = 3600.0
     ) -> list[str]:
-        """Remove orphan ``.tmp-*`` scratch dirs left by writes that died
-        before their commit rename.  Readers and reports already ignore
-        them (only ``ingest_batch=`` dirs are data), so vacuum is pure
-        space reclamation and can run on any maintenance cadence.
+        """Remove orphan dirs left by crashed writes: ``.tmp-*`` scratch
+        dirs (died before the commit rename) and — on manifest tables —
+        ENTRY-LESS ``ingest_batch=`` dirs (died in either crash window:
+        post-rename/pre-entry, or post-entry-removal/pre-unlink; both
+        are invisible to readers by the manifest ∩ listing rule, so
+        reclaiming them is pure space reclamation — the commit-point
+        rule says an unmanifested batch was never committed; use
+        ``repair_manifest(adopt=True)`` FIRST to recover one instead).
 
         ``min_age_sec`` guards the race with an IN-FLIGHT write: a scratch
-        dir younger than the threshold may still be filling, so it is
-        skipped.  One hour is far past any sane write duration for a
-        single batch; tests pass 0 to reap immediately.  Returns the
-        removed paths."""
+        dir younger than the threshold may still be filling (and a fresh
+        entry-less dir may be a just-renamed batch whose entry is about
+        to land), so it is skipped.  One hour is far past any sane write
+        duration for a single batch; tests pass 0 to reap immediately.
+        Returns the removed paths."""
         import time
 
         if table_name is not None:
@@ -905,8 +1105,14 @@ class StagingWarehouse:
             path = self._path(t.removeprefix(STG_PREFIX))
             if not os.path.isdir(path):
                 continue
+            man = self._manifest_ids(path)
             for d in os.listdir(path):
-                if not d.startswith(".tmp-"):
+                if d.startswith(BATCH_COL + "="):
+                    # entry-less committed-named dir on a manifest table:
+                    # invisible crash-window garbage (see docstring)
+                    if man is None or d.split("=", 1)[1] in man:
+                        continue
+                elif not d.startswith(".tmp-"):
                     continue
                 full = os.path.join(path, d)
                 # a scratch dir can legitimately vanish between listdir and
