@@ -116,6 +116,74 @@ def skew_probe(df: DataFrame, key_cols: list[str]) -> SkewPlan:
     )
 
 
+SKEW_ARTIFACT = "skew_plan"
+
+
+def _skew_key(table: str, key_cols: list[str] | tuple[str, ...]) -> str:
+    return f"{table}:{','.join(key_cols)}"
+
+
+def persist_skew_plan(store, table: str, plan: SkewPlan) -> dict:
+    """Store a measured SkewPlan keyed by (table, join keys) through the
+    ControlStore's artifact log (VERDICT r10 #6) so the star family pays
+    the probe shuffle ONCE per table, not once per join."""
+    from dataclasses import asdict
+
+    return store.put_artifact(
+        SKEW_ARTIFACT, _skew_key(table, plan.key_cols), asdict(plan)
+    )
+
+
+def load_skew_plan(store, table: str, key_cols: list[str]) -> SkewPlan | None:
+    doc = store.latest_artifact(SKEW_ARTIFACT, _skew_key(table, key_cols))
+    if doc is None:
+        return None
+    return SkewPlan(
+        key_cols=tuple(doc["key_cols"]),
+        n_keys=doc["n_keys"],
+        n_rows=doc["n_rows"],
+        max_rows=doc["max_rows"],
+        p99_rows=doc["p99_rows"],
+        salts=doc["salts"],
+        mitigate=doc["mitigate"],
+    )
+
+
+def skew_plan_for(
+    fact: DataFrame,
+    key_cols: list[str],
+    *,
+    store,
+    table: str,
+    staleness_ratio: float = 2.0,
+    current_rows: int | None = None,
+) -> SkewPlan:
+    """Probe-once SkewPlan resolution (VERDICT r11 #6): read the stored
+    plan for (table, key_cols) from the ControlStore; probe (one
+    fact-side shuffle) and persist only when no plan is stored or the
+    table's CURRENT row count drifted past the staleness fence — the
+    skew shape of a fact table changes with its volume, so the fence is
+    a ratio test on rows, not wall-clock age.
+
+    The fence costs one ``count()`` — a scan with an empty projection
+    (parquet footers do most of the work), no shuffle — against the
+    probe's full shuffle + histogram scan.  Callers that already know
+    the row count (a write report, a pipeline stat) pass
+    ``current_rows`` and pay nothing.
+
+    Returns the plan to hand ``salted_join``/``salted_count``; every
+    probe is re-persisted so the NEXT caller reads the fresh artifact."""
+    stored = load_skew_plan(store, table, key_cols)
+    if stored is not None:
+        n_now = fact.count() if current_rows is None else current_rows
+        lo, hi = sorted((max(n_now, 1), max(stored.n_rows, 1)))
+        if hi <= staleness_ratio * lo:
+            return stored
+    plan = skew_probe(fact, key_cols)
+    persist_skew_plan(store, table, plan)
+    return plan
+
+
 def with_salt(df: DataFrame, salts: int, col_name: str = "_salt") -> DataFrame:
     """Deterministic uniform salt — hash of the whole row's offset via
     monotonically_increasing_id is NOT content-stable; use a hash of all

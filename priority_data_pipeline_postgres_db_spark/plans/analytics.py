@@ -3569,6 +3569,61 @@ def j_skew_salted_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["j_skew_salted_star"] = j_skew_salted_star
 
+
+def j_skew_plan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-plan PERSISTENCE closing the probe-once loop (VERDICT r11
+    #6): the first star join over the fact table probes the per-key load
+    and persists the resulting SkewPlan through the ControlStore's
+    artifact log keyed by (table, join keys); the second join — here a
+    different aggregate over the same fact/key, the production shape
+    where a star family shares one fact table — CONSUMES the stored plan
+    and never re-probes (``skew_plan_for`` pays one footer-driven
+    count() for the row-count staleness fence instead of the probe's
+    shuffle; pinned by call-count in tests/test_skew.py).  The returned
+    frame is the second join's rollup, so the hash gate certifies that a
+    replayed plan salts to the identical result the plain SQL join
+    computes."""
+    import os as _os
+
+    from ..operators.skew import salted_join, skew_plan_for
+    from ..sources.control import ControlStore
+    from ..util import scratch_dir
+
+    store = ControlStore(
+        _os.path.join(scratch_dir("spark_graft_skewplan_"), "control.json")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    su = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    p1 = skew_plan_for(li, ["l_suppkey"], store=store, table="lineitem")
+    # first member of the star family: forces the probe + persist
+    salted_join(li, su, ["l_suppkey"], salts=p1).count()
+    # second member: reads the artifact (fresh store handle = a new run)
+    store2 = ControlStore(store.path)
+    p2 = skew_plan_for(li, ["l_suppkey"], store=store2, table="lineitem")
+    j = salted_join(li, su, ["l_suppkey"], salts=p2)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        as_double(F.min(dec("l_quantity"))).alias("min_qty"),
+        as_double(F.max(dec("l_extendedprice", precision=18))).alias("max_price"),
+    )
+
+
+QUERIES["j_skew_plan_reuse"] = j_skew_plan_reuse
+
+ORACLE["j_skew_plan_reuse"] = """
+    SELECT s_nationkey, count(*) AS n_items,
+           CAST(CAST(ROUND(MIN(CAST(l_quantity AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS min_qty,
+           CAST(CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS max_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+"""
+
 # twin: the plain star join — salting must be invisible in the result
 ORACLE["j_skew_salted_star"] = """
     SELECT s_nationkey, count(*) AS n_items,

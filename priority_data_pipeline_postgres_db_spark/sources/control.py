@@ -94,3 +94,31 @@ class ControlStore:
                 self._flush()
                 return value
         raise KeyError(f"entity {entity_id} not in config {datasource_id}")
+
+    # -- generic plan/measurement artifacts (VERDICT r11 #6) -------------
+    def put_artifact(self, kind: str, key: str, doc: dict) -> dict:
+        """Persist a derived plan/measurement (e.g. a SkewPlan) through
+        the same append-only latest-wins log as the configs — the
+        control plane is already the durable, tiny, driver-side store
+        every run reads, so probe-once artifacts belong here rather
+        than in a new sidecar.  ``kind``/``key`` partition the namespace
+        (configs filter on ``_datasourceId`` and never see these)."""
+        rec = dict(doc)
+        rec["_artifact"] = kind
+        rec["_key"] = key
+        rec["submitTimestampUTC"] = datetime.now(timezone.utc).isoformat()
+        self._log.append(rec)
+        self._flush()
+        return rec
+
+    def latest_artifact(self, kind: str, key: str) -> dict | None:
+        """Newest artifact for (kind, key) — sort DESC, first, exactly
+        the ``latest_config`` read discipline."""
+        docs = [
+            d
+            for d in self._log
+            if d.get("_artifact") == kind and d.get("_key") == key
+        ]
+        if not docs:
+            return None
+        return max(docs, key=lambda d: d["submitTimestampUTC"])

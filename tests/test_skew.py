@@ -184,3 +184,88 @@ def test_global_ntile_matches_sql_ntile(spark):
             for r in global_ntile(df, [F.asc("uid")], k, "b", partitions=4).collect()
         }
         assert got == expect, (n, k)
+
+
+# -- persisted skew plans: probe-once across the star family (r11 #6) ----
+
+
+def test_skew_plan_persist_roundtrip(spark, tmp_path):
+    from priority_data_pipeline_postgres_db_spark.operators.skew import (
+        load_skew_plan,
+        persist_skew_plan,
+        skew_probe,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    store = ControlStore(str(tmp_path / "control.json"))
+    plan = skew_probe(skewed_fact(spark), ["k"])
+    persist_skew_plan(store, "fact", plan)
+    # a fresh store handle (a new run) reads the identical plan
+    got = load_skew_plan(ControlStore(store.path), "fact", ["k"])
+    assert got == plan
+    assert load_skew_plan(store, "fact", ["k", "other"]) is None
+    assert load_skew_plan(store, "other_table", ["k"]) is None
+
+
+def test_skew_plan_for_probes_once(spark, tmp_path, monkeypatch):
+    """The probe-once pin: call one probes + persists; call two (fresh
+    store handle, same table) reads the artifact and never probes —
+    the second join in a star family pays a footer count, not the
+    probe shuffle."""
+    import priority_data_pipeline_postgres_db_spark.operators.skew as skew
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    calls = []
+    orig = skew.skew_probe
+
+    def counting_probe(df, key_cols):
+        calls.append(tuple(key_cols))
+        return orig(df, key_cols)
+
+    monkeypatch.setattr(skew, "skew_probe", counting_probe)
+    fact = skewed_fact(spark)
+    store = ControlStore(str(tmp_path / "control.json"))
+    p1 = skew.skew_plan_for(fact, ["k"], store=store, table="fact")
+    assert calls == [("k",)] and p1.mitigate and p1.salts >= 2
+    p2 = skew.skew_plan_for(
+        fact, ["k"], store=ControlStore(store.path), table="fact"
+    )
+    assert calls == [("k",)]  # no second probe
+    assert p2 == p1
+    # the reused plan drives the same salted result as a fresh probe
+    build = spark.range(9).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    expect = sorted(tuple(r) for r in fact.join(build, ["k"]).collect())
+    got = sorted(
+        tuple(r) for r in skew.salted_join(fact, build, ["k"], salts=p2).collect()
+    )
+    assert got == expect
+
+
+def test_skew_plan_staleness_fence_reprobes(spark, tmp_path, monkeypatch):
+    """A stored plan whose probed row count drifted past the ratio fence
+    is stale: the table's skew shape moved with its volume, so the plan
+    re-probes and re-persists."""
+    import priority_data_pipeline_postgres_db_spark.operators.skew as skew
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    calls = []
+    orig = skew.skew_probe
+
+    def counting_probe(df, key_cols):
+        calls.append(1)
+        return orig(df, key_cols)
+
+    monkeypatch.setattr(skew, "skew_probe", counting_probe)
+    store = ControlStore(str(tmp_path / "control.json"))
+    fact = skewed_fact(spark)
+    skew.skew_plan_for(fact, ["k"], store=store, table="fact")
+    assert calls == [1]
+    # within the fence: 1000 stored vs 1000 now — reuse
+    skew.skew_plan_for(fact, ["k"], store=store, table="fact", current_rows=1000)
+    assert calls == [1]
+    # past the fence (default ratio 2.0): the table tripled — re-probe
+    skew.skew_plan_for(fact, ["k"], store=store, table="fact", current_rows=3000)
+    assert calls == [1, 1]
+    # the re-probe re-persisted: next read is fresh again (no probe)
+    skew.skew_plan_for(fact, ["k"], store=store, table="fact", current_rows=1000)
+    assert calls == [1, 1]
