@@ -1891,6 +1891,11 @@ def knn_recall_report(emb: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
 
 
 def sim_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm/cold split (VERDICT r11 #2): this report has NO fit to
+    memoize — the SRP planes are deterministic md5-derived constants —
+    so warm and cold runs cost the same; the spend is the exact
+    brute-force leg over the fixed query set, which IS the measurement
+    (ground truth cannot be cached away without ceasing to measure)."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return knn_recall_report(emb, dim)
@@ -2145,6 +2150,64 @@ def load_ivf_centroids(wh, table: str = "ivf_index") -> np.ndarray:
     k_clusters×dim driver collect (tiny by construction)."""
     rows = wh.read(f"{table}_centroids").orderBy("label").collect()
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+# Fit-once memo for the IVF coarse quantizer (VERDICT r11 #2 — the
+# bpe_tokenizer_warehouse pattern): (corpus fingerprint, k, sample, iters)
+# -> StagingWarehouse root holding the persisted centroid artifact.  The
+# recall-report instruments refit identical centroids on every call —
+# deterministic fit, so a refit is pure waste; the production lifecycle
+# is fit once, persist, every measurement/query job reads the artifact.
+_CENTROID_ARTIFACTS: dict[tuple, str] = {}
+
+
+def _emb_fingerprint(emb: DataFrame) -> tuple:
+    """Corpus identity for the fit memo: the scan's input files plus the
+    first file's mtime — an in-process rewrite of the same path changes
+    the fingerprint, so the memo refits instead of serving a stale
+    artifact (the _corpus_fingerprint discipline from corpus.py)."""
+    import os as _os
+
+    files = tuple(sorted(emb.inputFiles()))
+    mt = 0.0
+    if files:
+        try:
+            mt = _os.path.getmtime(files[0].removeprefix("file:"))
+        except OSError:
+            pass
+    return (files, mt)
+
+
+def ivf_centroids_memo(
+    emb: DataFrame,
+    k_clusters: int,
+    sample_n: int = KMEANS_SAMPLE,
+    iters: int = KMEANS_ITERS,
+) -> np.ndarray:
+    """Fit-once-per-(corpus, k) IVF centroids, persisted through the
+    atomic staging protocol: the first call runs ``fit_ivf_centroids``
+    and writes the (label, centroid) artifact; subsequent calls load it
+    (one tiny warehouse read, no sample collect, no Lloyd loop).  The
+    fit is deterministic (hash-ordered sample, no RNG), so memo-vs-refit
+    is bit-identical — pinned in tests/test_similarity.py."""
+    from ..util import scratch_dir
+    from .staging import StagingWarehouse
+
+    key = (_emb_fingerprint(emb), k_clusters, sample_n, iters)
+    root = _CENTROID_ARTIFACTS.get(key)
+    spark = emb.sparkSession
+    if root is None:
+        cents = fit_ivf_centroids(emb, k_clusters, sample_n, iters)
+        root = scratch_dir("spark_graft_ivfcent_")
+        wh = StagingWarehouse(spark, root)
+        cent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+            "label int, centroid array<double>",
+        )
+        wh.write(cent_df, "ivf_centroids", incremental=False)
+        _CENTROID_ARTIFACTS[key] = root
+        return cents
+    return load_ivf_centroids(StagingWarehouse(spark, root), table="ivf")
 
 
 def ivf_topk_persisted(
@@ -2426,7 +2489,7 @@ def semantic_pairs_cells(
     n_corpus = memo_count(emb)
     if k_clusters is None:
         k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
-    cents = fit_ivf_centroids(emb, k_clusters)
+    cents = ivf_centroids_memo(emb, k_clusters)  # fit-once (r11 #2)
     return _semantic_pairs_cells_with(emb, cents, threshold, n_corpus)
 
 
@@ -2499,7 +2562,7 @@ def cell_recall_report(
         sample, threshold=threshold, max_rows=None
     )  # carries the exact cosine for the stratification
     k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
-    cents = fit_ivf_centroids(emb, k_clusters)
+    cents = ivf_centroids_memo(emb, k_clusters)  # fit-once (r11 #2)
     cell = (
         _semantic_pairs_cells_with(sample, cents, threshold, memo_count(sample))
         .select("vec_id_a", "vec_id_b")
@@ -2534,7 +2597,14 @@ def cell_recall_report(
 def sim_cell_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only: float k-means centroids have no
     engine-portable replay — the same inherent reason as sim_ivf_topk;
-    the recall column IS the in-band evidence, floor-pinned in pytest)."""
+    the recall column IS the in-band evidence, floor-pinned in pytest).
+
+    Warm/cold split (VERDICT r11 #2): the COLD first call fits the IVF
+    centroids and persists them through ``ivf_centroids_memo``; every
+    subsequent call on the same corpus (the bench's timed run after its
+    warm-up, a production re-measurement) reads the artifact — the
+    steady-state cost is the exact-sample ground truth + one assigned
+    sample scan, no sample collect, no Lloyd loop."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return cell_recall_report(emb, dim)
@@ -3039,7 +3109,7 @@ def sharded_recall_report(
         .withColumn("_r", F.lit(1))
     )
     k_clusters = max(2, (n_corpus + CELL_OCCUPANCY - 1) // CELL_OCCUPANCY)
-    cents = fit_ivf_centroids(emb, k_clusters)
+    cents = ivf_centroids_memo(emb, k_clusters)  # fit-once (r11 #2)
     cells = (
         _semantic_pairs_cells_with(
             sample, cents, tight_threshold, memo_count(sample)
@@ -3113,7 +3183,13 @@ def sim_sharded_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only: the cells leg's float centroids — same
     inherent reason as sim_cell_recall_report; the recall columns ARE
     the in-band evidence, floor-pinned in pytest).  GATE_SHARDS forced
-    so cross-shard structure exists at gate scale."""
+    so cross-shard structure exists at gate scale.
+
+    Warm/cold split (VERDICT r11 #2): the cells leg's centroid fit is
+    memoized through ``ivf_centroids_memo`` — cold call fits + persists,
+    warm calls (the bench's timed run, re-measurements) read the
+    artifact; the SRP shard/reshard legs have no fit (deterministic
+    md5-derived planes), so their cost is identical warm and cold."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return sharded_recall_report(emb, dim, n_shards=GATE_SHARDS)

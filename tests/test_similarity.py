@@ -872,3 +872,34 @@ def test_planner_handoff_cascade_and_report(spark, sf_dir):
         pairs.columns
     )
     assert pairs.count() > 0
+
+
+def test_ivf_centroids_memo_fit_once_and_identical(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #2: the recall instruments' centroid fit is memoized
+    through the warehouse — the first call fits + persists, subsequent
+    calls on the same corpus load the artifact WITHOUT refitting, and
+    memo-vs-refit is bit-identical (the fit is deterministic)."""
+    import numpy as np
+
+    import priority_data_pipeline_postgres_db_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    fresh = sim.fit_ivf_centroids(emb, 8)
+
+    sim._CENTROID_ARTIFACTS.clear()
+    calls = []
+    orig = sim.fit_ivf_centroids
+
+    def counting(e, k, *a, **kw):
+        calls.append(k)
+        return orig(e, k, *a, **kw)
+
+    monkeypatch.setattr(sim, "fit_ivf_centroids", counting)
+    c1 = sim.ivf_centroids_memo(emb, 8)
+    c2 = sim.ivf_centroids_memo(emb, 8)
+    assert calls == [8], "second call must read the artifact, not refit"
+    assert np.array_equal(c1, fresh) and np.array_equal(c2, fresh)
+    # a different k is a different artifact
+    sim.ivf_centroids_memo(emb, 4)
+    assert calls == [8, 4]
