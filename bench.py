@@ -214,6 +214,10 @@ HEADLINE = [
     "sim_pq_topk",
     "sim_pq_recall_curve",
     "sim_ivfpq_persisted",
+    # r12: manifest-backed staging unchanged entries re-covered above;
+    # probe-once skew-plan reuse and the incremental IVFPQ lifecycle
+    "j_skew_plan_reuse",
+    "sim_ivfpq_append",
 ]
 
 

@@ -214,6 +214,12 @@ STRESS = [
     # r11: the IVFADC composition — probed-partition IO × code
     # compression; cost ∝ corpus/k_clusters × nprobe × spill
     "sim_ivfpq_persisted",
+    # r12: the incremental lifecycle — build on half, append the rest,
+    # query through the grown index; the append's encode pass must stay
+    # batch-linear and the probe pruning must survive multi-batch
+    # postings (j_skew_plan_reuse reads lineitem: TPC-H-side,
+    # bench-only)
+    "sim_ivfpq_append",
 ]
 
 
