@@ -267,3 +267,24 @@ def test_manifest_survives_snapshot_reads(spark, orders, tmp_path):
     assert wh.read("t", as_of="b2").count() == 4  # b2 uncommitted
     assert wh.read("t", as_of="b3").count() == 6
     assert wh.snapshots("t") == ["b1", "b3"]
+
+
+def test_uncommitted_dirs_never_reach_file_listing(spark, orders, tmp_path):
+    """The object-store-safe read plans over EXPLICIT committed paths:
+    an entry-less dir's files are absent from the scan's file index
+    (not merely filtered out), and as_of partition pruning composes —
+    the snapshot read lists only files at or below the cutoff."""
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="m13")
+    wh.write(orders.limit(4), "T", incremental=False, batch_id="b1")
+    wh.write(orders.limit(6), "T", incremental=True, batch_id="b2")
+    wh.write(orders.limit(2), "T", incremental=True, batch_id="b3")
+    path = _tdir(wh, "T")
+    wh._manifest_remove(path, "b2")
+
+    files = wh.read("t").inputFiles()
+    assert files and not any(f"{BATCH_COL}=b2" in f for f in files)
+    assert {b for f in files for b in ("b1", "b3") if f"{BATCH_COL}={b}" in f} == {"b1", "b3"}
+
+    # as_of prunes at listing on top of membership
+    snap = wh.read("t", as_of="b1").inputFiles()
+    assert snap and all(f"{BATCH_COL}=b1" in f for f in snap)
