@@ -285,6 +285,11 @@ def test_uncommitted_dirs_never_reach_file_listing(spark, orders, tmp_path):
     assert files and not any(f"{BATCH_COL}=b2" in f for f in files)
     assert {b for f in files for b in ("b1", "b3") if f"{BATCH_COL}={b}" in f} == {"b1", "b3"}
 
-    # as_of prunes at listing on top of membership
-    snap = wh.read("t", as_of="b1").inputFiles()
-    assert snap and all(f"{BATCH_COL}=b1" in f for f in snap)
+    # as_of prunes as a PARTITION filter on top of membership
+    # (inputFiles() reflects the pre-pushdown file index, so the pin
+    # reads the physical plan's PartitionFilters instead)
+    snap = wh.read("t", as_of="b1")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert BATCH_COL in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert snap.count() == 4
+    assert not any(f"{BATCH_COL}=b2" in f for f in snap.inputFiles())
