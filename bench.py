@@ -218,6 +218,7 @@ HEADLINE = [
     # probe-once skew-plan reuse and the incremental IVFPQ lifecycle
     "j_skew_plan_reuse",
     "sim_ivfpq_append",
+    "sim_pq_append",
 ]
 
 

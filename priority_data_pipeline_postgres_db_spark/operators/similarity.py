@@ -3720,7 +3720,80 @@ def build_pq_index(
         "subspace int, code int, centroid array<double>",
     )
     wh.write(book_df, f"{table}_codebooks", incremental=False)
+    # training-distribution quantization error: the drift baseline
+    # pq_append compares new batches against (the ivfpq_append twin)
+    train_mse = _pq_quant_mse(emb, books)
+    wh.write(
+        spark.createDataFrame(
+            [("train_quant_mse", float(train_mse))], "metric string, value double"
+        ),
+        f"{table}_stats",
+        incremental=False,
+    )
     return books
+
+
+def _pq_quant_mse(emb: DataFrame, books: np.ndarray, sample_n: int = PQ_SAMPLE) -> float:
+    """Mean squared PQ reconstruction error over a bounded deterministic
+    sample — the plain-PQ twin of ``_residual_quant_mse`` (no coarse
+    quantizer: the error is ||x − x̂||² of the unit-normalized vector
+    against its per-subspace nearest codes)."""
+    sample = (
+        emb.select("vec_id", quantize_expr().alias("q"))
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .toPandas()
+    )
+    if len(sample) == 0:
+        return 0.0
+    X = np.stack(sample["q"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    m, _, dsub = books.shape
+    b2 = (books * books).sum(axis=2)
+    err = 0.0
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d2 = b2[s][None, :] - 2.0 * (sub @ books[s].T)
+        codes = d2.argmin(axis=1)
+        err += ((sub - books[s][codes]) ** 2).sum()
+    return float(err / len(X))
+
+
+def pq_append(
+    emb_new: DataFrame,
+    wh,
+    table: str = "pq_index",
+    *,
+    batch_id: str | None = None,
+    drift_refit_ratio: float = 2.0,
+) -> dict:
+    """Incremental PQ maintenance — the plain-index twin of
+    ``ivfpq_append`` (same contract, same pins pattern): encode NEW
+    vectors against the FROZEN codebooks in one distributed pass and
+    append their codes through the atomic batch commit (idempotent
+    ``batch_id`` retries).  Under frozen codebooks
+    ``append(A∪B) ≡ build(A) + append(B)`` code-for-code, so queries
+    through ``pq_topk_persisted`` can't tell how the index was grown.
+    Returns the same drift instrumentation dict (new batch's
+    reconstruction MSE vs the stored training baseline →
+    ``drift_ratio`` / ``refit_recommended``)."""
+    books = load_pq_codebooks(wh, table)
+    encode = pq_encode_udf(books)
+    codes = emb_new.select("vec_id", encode(quantize_expr()).alias("codes"))
+    report = wh.write(codes, table, incremental=True, batch_id=batch_id)
+    new_mse = _pq_quant_mse(emb_new, books)
+    stats = {
+        r["metric"]: r["value"] for r in wh.read(f"{table}_stats").collect()
+    }
+    train_mse = stats.get("train_quant_mse", 0.0)
+    ratio = new_mse / train_mse if train_mse > 0 else float("inf")
+    return {
+        "codes_written": report.records_written,
+        "new_quant_mse": new_mse,
+        "train_quant_mse": train_mse,
+        "drift_ratio": ratio,
+        "refit_recommended": ratio > drift_refit_ratio,
+    }
 
 
 def load_pq_codebooks(wh, table: str = "pq_index") -> np.ndarray:
@@ -3775,6 +3848,44 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_pq_topk"] = sim_pq_topk
 # approximate → rows-only; recall vs brute force asserted in tests
+
+
+def sim_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained float codebooks): the plain-PQ
+    incremental lifecycle, the `sim_ivfpq_append` twin without the
+    coarse quantizer.  Build on the first half, `pq_append` the second
+    against frozen codebooks, answer the benchmark queries through the
+    grown code table; per-query recall@5 vs full-corpus brute force and
+    the append's drift ratio ride in-band.  The append≡build code
+    identity and the drift instrument's firing point are pinned in
+    tests/test_pq.py."""
+    from .staging import StagingWarehouse
+
+    root = scratch_dir("spark_graft_pq_append_")
+    wh = StagingWarehouse(spark, root)
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    n = emb.count()
+    build_pq_index(emb.filter(F.col("vec_id") < n // 2), wh)
+    rep = pq_append(emb.filter(F.col("vec_id") >= n // 2), wh, batch_id="growth-1")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = pq_topk_persisted(wh, emb, queries, k=TOP_K)
+    exact = cosine_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    recall = (
+        res.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(float(TOP_K))).alias("recall_at_5"))
+    )
+    return (
+        res.join(recall, "query_id", "left")
+        .fillna({"recall_at_5": 0.0})
+        .withColumn("drift_ratio", F.lit(float(rep["drift_ratio"])))
+        .withColumn("refit_recommended", F.lit(bool(rep["refit_recommended"])))
+    )
+
+
+QUERIES["sim_pq_append"] = sim_pq_append
+# approximate + trained codebooks → rows-only; identity + drift pins in tests
 
 
 def pq_recall_curve(

@@ -220,6 +220,7 @@ STRESS = [
     # postings (j_skew_plan_reuse reads lineitem: TPC-H-side,
     # bench-only)
     "sim_ivfpq_append",
+    "sim_pq_append",
 ]
 
 

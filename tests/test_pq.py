@@ -394,3 +394,101 @@ def test_ivfpq_append_drift_trips_on_real_shift(spark):
     out = ivfpq_append(drifted, wh, batch_id="shifted", drift_refit_ratio=2.0)
     assert out["drift_ratio"] > 5.0, out
     assert out["refit_recommended"], out
+
+
+def test_pq_append_equals_oneshot_and_exhaustive(spark, sf_dir):
+    """Plain-PQ incremental twin of the IVFPQ pins: build(A)+append(B)
+    holds exactly the codes a one-shot encode of A∪B against A's books
+    produces; exhaustive-rerank queries through the grown index are
+    bit-identical to brute force; replay is idempotent."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_pq_index,
+        pq_append,
+        pq_topk_persisted,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    a = emb.filter(F.col("vec_id") < n // 2)
+    b = emb.filter(F.col("vec_id") >= n // 2)
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_pq_app_"))
+    books = build_pq_index(a, wh)
+    rep = pq_append(b, wh, batch_id="g1")
+    assert rep["codes_written"] == n - n // 2
+
+    from priority_data_pipeline_postgres_db_spark.operators.dedup import quantize_expr
+
+    encode = pq_encode_udf(books)
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in emb.select(
+            "vec_id", encode(quantize_expr()).alias("codes")
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in wh.read("pq_index").collect()
+    }
+    assert got == want
+
+    assert pq_append(b, wh, batch_id="g1")["codes_written"] == 0  # replay
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = (
+        pq_topk_persisted(wh, emb, queries, k=5, rerank=(n // 5) + 1)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    ex = cosine_topk(emb, queries, k=5).orderBy("query_id", "rank").toPandas()
+    assert res[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        ex[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
+
+
+def test_pq_append_drift_instrument(spark):
+    """In-distribution growth ≈1; a batch concentrated far from the
+    clustered training manifold fires the instrument (same synthetic
+    corpus as the IVFPQ drift pin)."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_pq_index,
+        pq_append,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    dim, per = 16, 100
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c] = 1.0
+        for i in range(per):
+            rows.append(
+                (c * per + i, [float(x) for x in base + rng.normal(0, 0.02, dim)])
+            )
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_pq_drift_"))
+    build_pq_index(train, wh, m=4, k_codes=8)
+
+    same = spark.createDataFrame(
+        [(5000 + i, [float(x) for x in np.eye(dim)[i % 4] + rng.normal(0, 0.02, dim)])
+         for i in range(per)],
+        "vec_id long, embedding array<float>",
+    )
+    ok = pq_append(same, wh, batch_id="indist")
+    assert 0.2 <= ok["drift_ratio"] <= 2.0, ok
+    assert not ok["refit_recommended"]
+
+    far = np.ones(dim) / np.sqrt(dim)
+    drifted = spark.createDataFrame(
+        [(9000 + i, [float(x) for x in far + rng.normal(0, 0.02, dim)])
+         for i in range(per)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_append(drifted, wh, batch_id="shifted")
+    assert out["drift_ratio"] > 2.0, out
+    assert out["refit_recommended"], out
