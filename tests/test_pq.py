@@ -492,3 +492,41 @@ def test_pq_append_drift_instrument(spark):
     out = pq_append(drifted, wh, batch_id="shifted")
     assert out["drift_ratio"] > 2.0, out
     assert out["refit_recommended"], out
+
+
+def test_ivfpq_append_survives_snapshot_expiry(spark, sf_dir):
+    """Composition pin: warehouse maintenance × grown index.  After
+    expire_snapshots folds the build batch and the append batch into one
+    retention base, the postings CONTENT is unchanged (append-only union
+    fold), so queries through the index are bit-identical — growing and
+    then compacting history can never change what callers see."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_append,
+        ivfpq_topk_persisted,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_ivfpq_exp_"))
+    build_ivfpq_index(emb.filter(F.col("vec_id") < n // 2), wh)
+    ivfpq_append(emb.filter(F.col("vec_id") >= n // 2), wh, batch_id="g1")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    before = (
+        ivfpq_topk_persisted(wh, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    out = wh.expire_snapshots("ivfpq_index", keep_last=1, reap_min_age_sec=0.0)
+    assert out["expired"], "the build batch must fold into the base"
+    after = (
+        ivfpq_topk_persisted(wh, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert before[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        after[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
