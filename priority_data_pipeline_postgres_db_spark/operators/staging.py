@@ -36,6 +36,50 @@ tmp name readers never parse).  The Iceberg/Delta move in miniature,
 with the entry's NAME as the membership fact — readers never parse
 entry content.
 
+MANIFEST GENERATIONS (VERDICT r12 #4).  Per-entry commits make APPENDS
+atomic, but a maintenance op that replaces many batches with one
+(full refresh, compact, clustered rewrite) would otherwise flip
+visibility one entry at a time — a concurrent reader mid-sequence sees
+a shrinking table.  The manifest therefore supports a GENERATION swap:
+
+- ``.manifest/CURRENT`` (when present) names the live generation dir
+  ``.manifest/g-<id>/`` holding the entry files; without ``CURRENT``
+  the entries sit directly in ``.manifest/`` (generation 0 — the r12
+  layout, still written by plain appends on never-refreshed tables).
+- A replace-style op builds the ENTIRE post-state entry set under a
+  hidden scratch dir, sweeps in entries concurrent appenders added
+  meanwhile, renames it to ``g-<id>``, and commits with ONE atomic
+  ``os.replace`` of ``CURRENT`` (one PUT on an object store).  Readers
+  resolve entries and the retention marker from a single generation
+  snapshot, so a refresh is exactly one visibility flip — never a
+  shrinking or duplicated table.
+- The retention marker (``.expiry.json``) lives INSIDE the generation
+  dir once a table is on the generation layout (table root before),
+  so a refresh drops marker and old membership in the same flip.
+- Appenders re-check the generation after adding their entry and
+  re-add into the new generation if a swap landed meanwhile; the
+  maintainer's pre-flip sweep covers the other half of that race.
+  (Residual window: an appender that crashes between its entry write
+  and its re-check WHILE a swap is mid-flight leaves its batch
+  entry-less — data intact, recoverable via ``repair_manifest`` —
+  the same crash-window contract as a writer dying before its entry.)
+
+COMMIT MODES (VERDICT r12 #1).  ``commit_mode="rename"`` (default)
+stages data under a hidden scratch dir and renames it into place —
+correct and cheap on POSIX.  ``commit_mode="direct"`` removes the last
+rename from the data path for object stores, where a directory rename
+is an N-object copy: parquet is written STRAIGHT into
+``ingest_batch=<id>/`` and the manifest entry (or generation flip) is
+the ONLY commit act.  Safe because manifest reads plan over explicit
+committed paths — an entry-less dir never reaches the file listing.
+The crash-healing rule flips accordingly: in direct mode a dir without
+an entry may be INCOMPLETE data, so a retry REWRITES it (mode
+overwrite) instead of adopting it, and ``repair_manifest(adopt=True)``
+is the only adoption path.  Direct mode narrows one concurrency corner:
+two writers racing the SAME explicit batch id must be serialized by
+the caller (they would overwrite one directory concurrently); auto ids
+and sequential retries keep the exactly-once contract.
+
 - COMMIT POINT: the manifest entry.  The data rename alone is not a
   commit — a dir without an entry is invisible (the crash window
   between rename and entry-create heals on the idempotent retry, which
@@ -77,7 +121,16 @@ BATCH_COL = "ingest_batch"
 UPSERT_META = ".upsert.json"  # dot-prefixed: invisible to Spark's listing
 EXPIRY_META = ".expiry.json"  # snapshot-retention marker (see expire_snapshots)
 MANIFEST_DIR = ".manifest"  # committed-batch membership (module docstring)
+MANIFEST_CURRENT = "CURRENT"  # generation pointer file inside .manifest/
 BASE_SUFFIX = "~base"  # '~' sorts after every alnum, so base > its horizon
+
+
+class StagingReadError(Exception):
+    """Raised when a manifest table has NO committed batches but
+    uncommitted ``ingest_batch=`` dirs exist: falling back to a root
+    listing would expose crash-window or half-deleted data (ADVICE r12).
+    Adopt recoverable dirs via ``repair_manifest(adopt=True)`` or reap
+    them via ``vacuum``."""
 
 
 class SnapshotExpiredError(Exception):
@@ -105,16 +158,39 @@ def _has_parquet_files(root: str) -> bool:
     return False
 
 
+def _batch_complete(batch_dir: str) -> bool:
+    """A batch dir is demonstrably COMPLETE data when it holds parquet
+    files AND the committer's ``_SUCCESS`` marker (written at job end,
+    renamed along with the dir).  The heal path (a retry adopting an
+    entry-less dir) requires this — a remnant of a delete that crashed
+    mid-``rmtree`` may have lost arbitrary files and must be rewritten,
+    not resurrected (ADVICE r12 #3)."""
+    return _has_parquet_files(batch_dir) and os.path.isfile(
+        os.path.join(batch_dir, "_SUCCESS")
+    )
+
+
 class StagingWarehouse:
     """Parquet-backed staging area with the reference's naming contract:
     table ``X`` lands in ``stg_x`` (priorityDataSource.py:884), database per
     account ``acc_<accountID>`` (priorityDataSource.py:64 — dash swapped for
     underscore: Spark namespaces disallow ``-``)."""
 
-    def __init__(self, spark: SparkSession, root: str, account_id: str = "local"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        account_id: str = "local",
+        commit_mode: str = "rename",
+    ):
+        if commit_mode not in ("rename", "direct"):
+            raise ValueError(
+                f"commit_mode must be 'rename' or 'direct', got {commit_mode!r}"
+            )
         self.spark = spark
         self.root = root
         self.account_id = account_id
+        self.commit_mode = commit_mode
 
     def _path(self, table_name: str) -> str:
         return os.path.join(self.root, f"acc_{self.account_id}", STG_PREFIX + table_name.lower())
@@ -128,66 +204,226 @@ class StagingWarehouse:
         return sorted(d for d in os.listdir(path) if d.startswith(BATCH_COL + "="))
 
     @staticmethod
-    def _manifest_ids(path: str) -> set[str] | None:
-        """Committed batch ids per the manifest, or ``None`` when the
-        table predates the manifest protocol (legacy listing fallback).
-        Membership is the entry file's NAME: hidden tmp files (a torn
-        entry write) never parse as entries, so a crash mid-append
-        cannot corrupt the committed set."""
-        mdir = os.path.join(path, MANIFEST_DIR)
-        if not os.path.isdir(mdir):
-            return None
+    def _entries_dir(mdir: str) -> str:
+        """The live generation's entries dir: ``.manifest/g-<id>`` when
+        ``CURRENT`` points there, else ``.manifest`` itself (generation
+        0 — the pre-generation layout)."""
+        try:
+            with open(os.path.join(mdir, MANIFEST_CURRENT)) as fh:
+                return os.path.join(mdir, json.load(fh)["gen"])
+        except FileNotFoundError:
+            return mdir
+
+    @staticmethod
+    def _entry_names(gdir: str) -> set[str]:
+        """Entry ids in one generation dir.  Membership is the entry
+        file's NAME: hidden tmp files (a torn entry write) never parse
+        as entries, so a crash mid-append cannot corrupt the committed
+        set.  ``CURRENT`` and ``g-*`` subdirs lack the ``.json`` suffix
+        and never read as entries."""
         return {
             f[: -len(".json")]
-            for f in os.listdir(mdir)
+            for f in os.listdir(gdir)
             if f.endswith(".json") and not f.startswith(".")
         }
 
-    def _manifest_add(self, path: str, batch_id: str) -> None:
-        """Commit ``batch_id`` to the manifest — THE commit point.  One
-        atomic object creation (tmp + ``os.replace``; a PUT on an object
-        store).  Idempotent: re-adding an id replaces the entry with
-        identical membership meaning.
-
-        First use on a table without a manifest SEEDS it from the
-        directory listing (legacy tables migrate losslessly — every
-        listed dir was POSIX-rename committed), built under a hidden
-        scratch dir and published with one rename: a crash mid-seed
-        leaves readers on the listing fallback, never on a partial
-        manifest that hides old batches."""
+    def _manifest_ids(self, path: str) -> set[str] | None:
+        """Committed batch ids per the manifest's live generation, or
+        ``None`` when the table predates the manifest protocol (legacy
+        listing fallback)."""
         mdir = os.path.join(path, MANIFEST_DIR)
         if not os.path.isdir(mdir):
-            tmp = os.path.join(path, f".manifest-seed-{uuid.uuid4().hex[:8]}")
-            os.makedirs(tmp)
-            for d in self._listed(path):
-                bid = d.split("=", 1)[1]
-                with open(os.path.join(tmp, bid + ".json"), "w") as fh:
-                    json.dump({"batch": bid, "seeded": True}, fh)
+            return None
+        for _ in range(5):
+            gdir = self._entries_dir(mdir)
             try:
-                os.rename(tmp, mdir)
-            except OSError:
-                if os.path.isdir(mdir):
-                    # lost the seed race to a concurrent writer: their
-                    # manifest is live; fall through and add the entry
-                    shutil.rmtree(tmp, ignore_errors=True)
-                else:
-                    raise
-        entry_tmp = os.path.join(mdir, f".{uuid.uuid4().hex[:8]}.tmp")
-        with open(entry_tmp, "w") as fh:
-            json.dump({"batch": batch_id, "committed_at": time.time()}, fh)
-        os.replace(entry_tmp, os.path.join(mdir, batch_id + ".json"))
+                return self._entry_names(gdir)
+            except FileNotFoundError:
+                continue  # generation GC'd mid-read: re-resolve CURRENT
+        return set()
 
     @staticmethod
-    def _manifest_remove(path: str, batch_id: str) -> None:
+    def _read_marker(meta_path: str) -> dict | None:
+        try:
+            with open(meta_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _snapshot_state(self, path: str) -> tuple[set[str] | None, dict | None]:
+        """(committed ids | None-for-legacy, retention marker | None)
+        resolved from ONE generation snapshot: a reader must never mix
+        the entry set of one generation with the marker of another
+        across a concurrent swap (the refresh flip changes both
+        together).  Retries when the generation it sampled is swapped
+        or GC'd mid-read."""
+        mdir = os.path.join(path, MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return None, self._read_marker(os.path.join(path, EXPIRY_META))
+        ids: set[str] = set()
+        exp: dict | None = None
+        for _ in range(8):
+            gdir = self._entries_dir(mdir)
+            try:
+                ids = self._entry_names(gdir)
+            except FileNotFoundError:
+                continue
+            exp = self._read_marker(
+                os.path.join(gdir, EXPIRY_META)
+                if gdir != mdir
+                else os.path.join(path, EXPIRY_META)
+            )
+            if self._entries_dir(mdir) == gdir:
+                return ids, exp
+        return ids, exp  # swap storm (out-of-contract): best effort
+
+    def _marker_path(self, path: str) -> str:
+        """Where the retention marker lives NOW: inside the live
+        generation dir on generation-layout tables (so a swap drops it
+        atomically with old membership), at the table root before."""
+        mdir = os.path.join(path, MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            gdir = self._entries_dir(mdir)
+            if gdir != mdir:
+                return os.path.join(gdir, EXPIRY_META)
+        return os.path.join(path, EXPIRY_META)
+
+    def _manifest_ensure(self, path: str) -> None:
+        """SEED a missing manifest from the directory listing (legacy
+        tables migrate losslessly — every listed dir was POSIX-rename
+        committed), built under a hidden scratch dir and published with
+        one rename: a crash mid-seed leaves readers on the listing
+        fallback, never on a partial manifest that hides old batches."""
+        mdir = os.path.join(path, MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            return
+        tmp = os.path.join(path, f".manifest-seed-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp)
+        for d in self._listed(path):
+            bid = d.split("=", 1)[1]
+            with open(os.path.join(tmp, bid + ".json"), "w") as fh:
+                json.dump({"batch": bid, "seeded": True}, fh)
+        try:
+            os.rename(tmp, mdir)
+        except OSError:
+            if os.path.isdir(mdir):
+                # lost the seed race to a concurrent writer: their
+                # manifest is live
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+
+    def _manifest_add(self, path: str, batch_id: str) -> None:
+        """Commit ``batch_id`` to the manifest — THE commit point for an
+        append.  One atomic object creation (tmp + ``os.replace``; a PUT
+        on an object store).  Idempotent: re-adding an id replaces the
+        entry with identical membership meaning.
+
+        Generation-safe: after the entry lands, re-check that the
+        generation it landed in is still live; if a concurrent swap
+        moved ``CURRENT`` meanwhile, re-add into the new generation
+        (the swap's pre-flip sweep covers the mirror half of the race —
+        see the module docstring for the residual crash window)."""
+        self._manifest_ensure(path)
+        mdir = os.path.join(path, MANIFEST_DIR)
+        payload = json.dumps({"batch": batch_id, "committed_at": time.time()})
+        for _ in range(8):
+            gdir = self._entries_dir(mdir)
+            entry_tmp = os.path.join(gdir, f".{uuid.uuid4().hex[:8]}.tmp")
+            try:
+                with open(entry_tmp, "w") as fh:
+                    fh.write(payload)
+                os.replace(entry_tmp, os.path.join(gdir, batch_id + ".json"))
+            except FileNotFoundError:
+                continue  # generation GC'd mid-write: re-resolve
+            if self._entries_dir(mdir) == gdir:
+                return
+        raise RuntimeError(
+            f"manifest add of {batch_id!r} did not stabilize — generation "
+            "swaps landing faster than the re-check loop (out-of-contract "
+            "concurrent maintainers?)"
+        )
+
+    def _manifest_remove(self, path: str, batch_id: str) -> None:
         """Uncommit ``batch_id`` — one atomic unlink of the entry, done
         BEFORE the data dir is reclaimed so a half-deleted batch is
         never visible.  A no-op on legacy tables and already-removed
         entries (idempotent, race-tolerant)."""
         mdir = os.path.join(path, MANIFEST_DIR)
-        try:
-            os.remove(os.path.join(mdir, batch_id + ".json"))
-        except FileNotFoundError:
-            pass
+        if not os.path.isdir(mdir):
+            return
+        for _ in range(8):
+            gdir = self._entries_dir(mdir)
+            try:
+                os.remove(os.path.join(gdir, batch_id + ".json"))
+            except FileNotFoundError:
+                pass
+            if self._entries_dir(mdir) == gdir:
+                return
+
+    def _manifest_swap(
+        self, path: str, add_ids: list[str], drop_ids: set[str]
+    ) -> None:
+        """Atomically replace the committed set with
+        ``(current − drop_ids) ∪ add_ids`` — ONE visibility flip
+        (VERDICT r12 #4): build the post-state entry set under a hidden
+        scratch dir, sweep in entries concurrent appenders added since
+        the snapshot, rename it to ``g-<id>``, and commit by atomically
+        replacing ``CURRENT``.  The new generation carries NO retention
+        marker: replace-style ops reset retention, and the flip drops
+        marker and old membership together.
+
+        Maintenance-op-only (single maintainer per table); concurrent
+        APPENDS are preserved by the pre-flip sweep plus the appenders'
+        own post-add generation re-check."""
+        self._manifest_ensure(path)
+        mdir = os.path.join(path, MANIFEST_DIR)
+        now = time.time()
+        for _ in range(5):
+            old_gdir = self._entries_dir(mdir)
+            try:
+                base = self._entry_names(old_gdir)
+            except FileNotFoundError:
+                continue
+            gen = f"g-{uuid.uuid4().hex[:12]}"
+            scratch = os.path.join(mdir, f".g-tmp-{gen}")
+            os.makedirs(scratch)
+            for bid in (base - drop_ids) | set(add_ids):
+                with open(os.path.join(scratch, bid + ".json"), "w") as fh:
+                    json.dump({"batch": bid, "committed_at": now}, fh)
+            new_gdir = os.path.join(mdir, gen)
+            os.rename(scratch, new_gdir)  # named but unreferenced: invisible
+            # pre-flip sweep: adopt entries appenders committed into the
+            # old generation since the snapshot (their own re-check
+            # covers adds landing after this point)
+            try:
+                for bid in self._entry_names(old_gdir) - base - drop_ids:
+                    with open(os.path.join(new_gdir, bid + ".json"), "w") as fh:
+                        json.dump({"batch": bid, "committed_at": now}, fh)
+            except FileNotFoundError:
+                pass  # old gen vanished (out-of-contract twin): proceed
+            # THE flip: one atomic pointer replace (a single PUT)
+            cur_tmp = os.path.join(mdir, f".{MANIFEST_CURRENT}.tmp")
+            with open(cur_tmp, "w") as fh:
+                json.dump({"gen": gen}, fh)
+            os.replace(cur_tmp, os.path.join(mdir, MANIFEST_CURRENT))
+            # GC: the displaced generation (single-maintainer contract —
+            # any other g-*/.g-tmp-* dir is a crashed maintainer's
+            # garbage, reaped here or by vacuum past its fence)
+            for d in os.listdir(mdir):
+                full = os.path.join(mdir, d)
+                if d == gen or d == MANIFEST_CURRENT:
+                    continue
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                elif d.endswith(".json"):
+                    # stale generation-0 root entries after the first swap
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        pass
+            return
+        raise RuntimeError("manifest swap did not stabilize")
 
     def _batches(self, path: str) -> list[str]:
         """Committed batch dirs, id-sorted: manifest ∩ listing when the
@@ -254,6 +490,10 @@ class StagingWarehouse:
         delete time — how compact/rewrite spare concurrent appends."""
         path = self._path(table_name)
         os.makedirs(path, exist_ok=True)
+        direct = self.commit_mode == "direct"
+        noop = WriteReport(
+            entity_name or table_name, STG_PREFIX + table_name.lower(), 0
+        )
         # a standing retention marker (expire_snapshots) makes ids at or
         # below the horizon INVISIBLE to read() and DEAD to the next
         # expiry's reap step — an incremental commit that sorts there
@@ -263,21 +503,37 @@ class StagingWarehouse:
         # ids are by construction the newest write, so they REBASE onto
         # the base id, which sorts above both the horizon and the base
         # itself (newest-wins tie-break stays correct) while staying
-        # monotone among later auto ids.
+        # monotone among later auto ids.  Full refreshes are exempt: the
+        # generation swap drops the marker atomically with old
+        # membership, so the new id never faces a stale horizon.
         exp = self._expiry(table_name) if incremental else None
         if batch_id is not None:
             safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in batch_id)
-            if os.path.isdir(os.path.join(path, f"{BATCH_COL}={safe}")):
-                # already committed — or renamed by a twin that crashed
-                # before its manifest entry landed: the dir is complete
-                # data (rename follows the full write), so the retry
-                # HEALS the commit by (re-)creating the entry.  Both
-                # paths are the idempotent no-op.
-                if self._manifest_ids(path) is not None:
-                    self._manifest_add(path, safe)
-                return WriteReport(
-                    entity_name or table_name, STG_PREFIX + table_name.lower(), 0
-                )
+            committed = os.path.join(path, f"{BATCH_COL}={safe}")
+            man = self._manifest_ids(path)
+            if (man is not None and safe in man) or (
+                man is None and os.path.isdir(committed)
+            ):
+                # already committed (manifest entry, or POSIX rename on a
+                # legacy table): the idempotent no-op
+                return noop
+            if (
+                os.path.isdir(committed)
+                and not direct
+                and incremental
+                and _batch_complete(committed)
+            ):
+                # crash window between data rename and entry creation:
+                # the dir is demonstrably COMPLETE data (parquet files +
+                # the committer's _SUCCESS marker — rename follows the
+                # full write), so the retry HEALS the commit by creating
+                # the entry.  Anything else that looks like a remnant —
+                # direct mode (the write may have died mid-parquet), an
+                # incomplete dir (a delete crashed mid-rmtree), or a
+                # full refresh — is REWRITTEN below instead of adopted
+                # (ADVICE r12 #3).
+                self._manifest_add(path, safe)
+                return noop
             if exp is not None and safe <= exp["horizon"]:
                 raise ValueError(
                     f"batch_id {safe!r} sorts at or below the retention "
@@ -297,65 +553,101 @@ class StagingWarehouse:
             batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
             if exp is not None and batch_id <= exp["horizon"]:
                 batch_id = f"{exp['base']}.{batch_id}"
-        # unique scratch per in-flight write: two concurrent writers (or
-        # a retry racing its crashed twin) with the SAME batch_id must
-        # never share a scratch dir — Spark's overwrite of a shared dir
-        # would clobber the other writer's files mid-flight
-        tmp = os.path.join(path, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
+
+        committed = os.path.join(path, f"{BATCH_COL}={batch_id}")
+        if direct or not incremental:
+            # the manifest must exist BEFORE data becomes listable: a
+            # direct write lands in the final dir mid-job, and a refresh
+            # needs the generation flip — on a still-legacy table either
+            # would be listing-visible too early.  Seeding reads only
+            # already-committed dirs, so it is safe at any moment.
+            self._manifest_ensure(path)
+        if direct:
+            # rename-free commit (VERDICT r12 #1): parquet lands straight
+            # in the final batch dir — entry-less, hence invisible to the
+            # manifest-resolved read — and the manifest commit below is
+            # the ONLY commit act.  mode=overwrite clears any incomplete
+            # remnant of a crashed earlier attempt.
+            target = committed
+        else:
+            # unique scratch per in-flight write: two concurrent writers
+            # (or a retry racing its crashed twin) with the SAME batch_id
+            # must never share a scratch dir — Spark's overwrite of a
+            # shared dir would clobber the other writer's files mid-flight
+            target = os.path.join(path, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
+        writer.parquet(target)
 
-        if not incremental:
-            # replace semantics: unlink old batches only once the new one
-            # is fully written (shrinks the non-atomic window to unlinks).
-            # With _replace_only (compact/rewrite), unlink exactly the
-            # basis the rewrite read — a batch a concurrent appender
-            # committed meanwhile is NOT part of the rewritten state and
-            # must survive (ignore_errors: a basis dir may have been
-            # reaped by a racing expiry's step 1).
-            # A standing retention marker (expire_snapshots) must reset
-            # with the history it described: a stale horizon would compare
-            # against the NEW batch's id and can silently filter it out
-            # (auto ns ids sort below explicit ids like 'b2' — measured as
-            # an empty read; tests/test_staging.py pins the fix)
+        has_data = _has_parquet_files(target)
+        if has_data and not direct:
+            # move the finished batch into place.  A collision means a
+            # remnant or a twin: a COMPLETE dir is a concurrent twin's
+            # committed data (use it); an incomplete one is crash-window
+            # garbage (replace it) — the loop converges because every
+            # rename leaves a complete dir.
+            for _ in range(4):
+                try:
+                    os.rename(target, committed)
+                    break
+                except OSError:
+                    if not os.path.isdir(committed):
+                        raise
+                    if _batch_complete(committed):
+                        shutil.rmtree(target, ignore_errors=True)
+                        if incremental:
+                            # lost the commit race: the twin's batch IS
+                            # the committed one — ensure its entry (heals
+                            # the twin's crash window) and degrade to the
+                            # idempotent no-op
+                            self._manifest_add(path, batch_id)
+                            return noop
+                        break  # refresh: flip the twin's data below
+                    shutil.rmtree(committed, ignore_errors=True)
+            else:
+                raise OSError(
+                    f"batch rename for {batch_id!r} did not converge"
+                )
+        elif not has_data:
+            # empty batch (e.g. an incremental fully removed by the
+            # exactly-once guard): nothing to commit; leave no remnant
+            shutil.rmtree(target, ignore_errors=True)
+
+        n = 0
+        if incremental:
+            if has_data:
+                self._manifest_add(path, batch_id)  # THE commit point
+                n = self.spark.read.parquet(committed).count()  # footers
+        else:
+            # replace semantics = ONE atomic generation flip (VERDICT r12
+            # #4): the new batch appears, the doomed batches disappear,
+            # and any standing retention marker drops, all in a single
+            # CURRENT replace — a concurrent reader sees the old table or
+            # the new one, never a shrinking or duplicated state.  With
+            # _replace_only (compact/rewrite), drop exactly the basis the
+            # rewrite read — a batch a concurrent appender committed
+            # meanwhile is NOT part of the rewritten state and survives
+            # (the swap's sweep + the appender's re-check carry it over).
             doomed = self._batches(path) if _replace_only is None else _replace_only
-            for d in doomed:
-                # entry removal FIRST (atomic per-batch visibility flip),
-                # then the data unlink — a reader can never observe a
-                # half-deleted batch
-                self._manifest_remove(path, d.split("=", 1)[1])
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            self._manifest_swap(
+                path,
+                [batch_id] if has_data else [],
+                {d.split("=", 1)[1] for d in doomed},
+            )
+            # the legacy root marker (pre-generation layout) is stale the
+            # moment the flip lands; generation tables dropped theirs in
+            # the swap itself
             marker = os.path.join(path, EXPIRY_META)
             if os.path.isfile(marker):
                 os.remove(marker)
-
-        n = 0
-        if _has_parquet_files(tmp):
-            committed = os.path.join(path, f"{BATCH_COL}={batch_id}")
-            try:
-                os.rename(tmp, committed)  # data in place; entry commits
-            except OSError:
-                if os.path.isdir(committed):
-                    # lost the commit race to a concurrent writer of the
-                    # same batch_id: their batch IS the committed one —
-                    # ensure its manifest entry (heals the twin's crash
-                    # window) and degrade to the idempotent no-op
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    self._manifest_add(path, batch_id)
-                    return WriteReport(
-                        entity_name or table_name,
-                        STG_PREFIX + table_name.lower(),
-                        0,
-                    )
-                raise
-            self._manifest_add(path, batch_id)  # THE commit point
-            n = self.spark.read.parquet(committed).count()  # footer counts
-        else:
-            # empty batch (e.g. an incremental fully removed by the
-            # exactly-once guard): nothing to commit
-            shutil.rmtree(tmp)
+            # data reclamation — pure garbage collection of now-invisible
+            # dirs (ignore_errors: a basis dir may have been reaped by a
+            # racing expiry's step 1)
+            for d in doomed:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            if has_data:
+                n = self.spark.read.parquet(committed).count()
         return WriteReport(entity_name or table_name, STG_PREFIX + table_name.lower(), n)
 
     def compact(
@@ -666,11 +958,10 @@ class StagingWarehouse:
             return json.load(f)
 
     def _expiry(self, table_name: str) -> dict | None:
-        meta = os.path.join(self._path(table_name), EXPIRY_META)
-        if not os.path.isfile(meta):
-            return None
-        with open(meta) as f:
-            return json.load(f)
+        """The standing retention marker: inside the live manifest
+        generation on generation-layout tables (so a refresh swap drops
+        it atomically with old membership), at the table root before."""
+        return self._read_marker(self._marker_path(self._path(table_name)))
 
     def _live_ids(self, table_name: str) -> list[str]:
         """Committed batch ids VISIBLE under the expiry marker, commit-
@@ -821,39 +1112,51 @@ class StagingWarehouse:
                 break
             part_cols.append(subs[0].split("=", 1)[0])
             probe = os.path.join(probe, subs[0])
-        tmp = os.path.join(path, f".tmp-expire-{uuid.uuid4().hex[:8]}")
+        base_path = os.path.join(path, f"{BATCH_COL}={base_id}")
         writer = folded.drop(BATCH_COL).write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp)
-        base_path = os.path.join(path, f"{BATCH_COL}={base_id}")
-        try:
-            os.rename(tmp, base_path)
-        except OSError:
-            if os.path.isdir(base_path):
-                # an unreferenced base already sits at this horizon — a
-                # crashed pass's leftover inside the reap fence window
-                # (or an out-of-contract concurrent twin).  Unreferenced
-                # bases are INVISIBLE to every reader, so replacing it is
-                # safe at any moment — and unlike trusting its content,
-                # replacement converges even from a corrupted orphan
-                shutil.rmtree(base_path, ignore_errors=True)
+        if self.commit_mode == "direct":
+            # rename-free: the base is written straight into its final
+            # dir — safe because an unreferenced (and entry-less) base is
+            # INVISIBLE to every reader until the marker commits it, and
+            # mode=overwrite converges over a crashed pass's remnant
+            writer.parquet(base_path)
+        else:
+            tmp = os.path.join(path, f".tmp-expire-{uuid.uuid4().hex[:8]}")
+            writer.parquet(tmp)
+            try:
                 os.rename(tmp, base_path)
-            else:
-                raise
+            except OSError:
+                if os.path.isdir(base_path):
+                    # an unreferenced base already sits at this horizon —
+                    # a crashed pass's leftover inside the reap fence
+                    # window (or an out-of-contract concurrent twin).
+                    # Unreferenced bases are INVISIBLE to every reader,
+                    # so replacing it is safe at any moment — and unlike
+                    # trusting its content, replacement converges even
+                    # from a corrupted orphan
+                    shutil.rmtree(base_path, ignore_errors=True)
+                    os.rename(tmp, base_path)
+                else:
+                    raise
         # the base's manifest entry must land BEFORE the marker commits
         # the expiry: a marker referencing an unmanifested base would
         # read as a gap (base invisible, history dead).  Before the
         # marker the entry is harmless — unreferenced bases are
         # invisible to every reader regardless of membership.
-        if self._manifest_ids(path) is not None:
+        if os.path.isdir(os.path.join(path, MANIFEST_DIR)):
             self._manifest_add(path, base_id)
 
-        # step 4: THE commit — atomic marker replace flips visibility
-        marker_tmp = os.path.join(path, EXPIRY_META + ".tmp")
+        # step 4: THE commit — atomic marker replace flips visibility.
+        # On generation-layout tables the marker lives INSIDE the live
+        # generation dir (see _marker_path), so a later refresh swap
+        # drops it atomically with old membership.
+        marker_path = self._marker_path(path)
+        marker_tmp = marker_path + ".tmp"
         with open(marker_tmp, "w") as f:
             json.dump({"horizon": horizon, "base": base_id}, f)
-        os.replace(marker_tmp, os.path.join(path, EXPIRY_META))
+        os.replace(marker_tmp, marker_path)
 
         # step 5: reclaim dead history (entry first — see write())
         for b in doomed:
@@ -861,30 +1164,49 @@ class StagingWarehouse:
             shutil.rmtree(os.path.join(path, f"{BATCH_COL}={b}"), ignore_errors=True)
         return {"expired": doomed, "horizon": horizon, "base": base_id}
 
-    def _read_committed(self, table_name: str) -> DataFrame:
+    def _read_dirs(self, path: str, ids: set[str] | None) -> DataFrame:
         """Physical read of exactly the COMMITTED batches.  With a
-        manifest, the read is over explicit resolved paths (``basePath``
-        keeps the partition column): an uncommitted or half-deleted dir
-        never even reaches Spark's file listing or mergeSchema footer
-        pass — the object-store-safe read path.  Legacy tables (no
-        manifest) read the table root, where the POSIX rename protocol
-        already guarantees every listed dir is whole.
+        manifest (``ids`` a set), the read is over explicit resolved
+        paths (``basePath`` keeps the partition column): an uncommitted
+        or half-deleted dir never even reaches Spark's file listing or
+        mergeSchema footer pass — the object-store-safe read path.
+        Legacy tables (``ids is None``) read the table root, where the
+        POSIX rename protocol already guarantees every listed dir is
+        whole.
+
+        A manifest table with NO committed batches but listable batch
+        dirs raises ``StagingReadError`` instead of falling back to the
+        root listing — the fallback would expose crash-window or
+        half-deleted data (ADVICE r12 #1).  With nothing listable either
+        the root read keeps its natural "unable to infer schema"
+        failure mode.
 
         mergeSchema unions the batch schemas either way: a column added
         by a later incremental batch appears (null-filled for older
         rows) instead of silently vanishing when Spark picks one batch's
         footer as THE schema."""
-        path = self._path(table_name)
         reader = self.spark.read.option("mergeSchema", "true")
-        committed = self._batches(path)
-        if self._manifest_ids(path) is None or not committed:
-            # legacy fallback — and the empty-committed edge keeps the
-            # root read's "unable to infer schema" failure mode instead
-            # of a zero-path parquet() TypeError
+        if ids is None:
+            return reader.parquet(path)
+        committed = [d for d in self._listed(path) if d.split("=", 1)[1] in ids]
+        if not committed:
+            if self._listed(path):
+                raise StagingReadError(
+                    f"{path} has a manifest but no committed batches, and "
+                    f"{len(self._listed(path))} uncommitted ingest_batch= "
+                    "dir(s) are present — refusing the root-listing "
+                    "fallback (it would expose crash-window or "
+                    "half-deleted data); repair_manifest(adopt=True) to "
+                    "recover, or vacuum to reap"
+                )
             return reader.parquet(path)
         return reader.option("basePath", path).parquet(
             *(os.path.join(path, d) for d in committed)
         )
+
+    def _read_committed(self, table_name: str) -> DataFrame:
+        path = self._path(table_name)
+        return self._read_dirs(path, self._manifest_ids(path))
 
     @staticmethod
     def _as_of_cutoff(as_of) -> str:
@@ -938,8 +1260,12 @@ class StagingWarehouse:
         (a crashed expiry pass) — the common-path plan stays clean."""
         from pyspark.sql import functions as F
 
-        df = self._read_committed(table_name)
-        exp = self._expiry(table_name)
+        path = self._path(table_name)
+        # entries + retention marker from ONE generation snapshot — a
+        # reader racing a refresh swap must never mix the old entry set
+        # with the new (marker-less) generation or vice versa
+        ids, exp = self._snapshot_state(path)
+        df = self._read_dirs(path, ids)
         if exp:
             df = df.filter(
                 ((~F.col(BATCH_COL).endswith(BASE_SUFFIX))
@@ -948,7 +1274,8 @@ class StagingWarehouse:
             )
         elif any(
             d.split("=", 1)[1].endswith(BASE_SUFFIX)
-            for d in self._batches(self._path(table_name))
+            for d in self._listed(path)
+            if ids is None or d.split("=", 1)[1] in ids
         ):
             df = df.filter(~F.col(BATCH_COL).endswith(BASE_SUFFIX))
         if as_of is not None:
@@ -1106,6 +1433,36 @@ class StagingWarehouse:
             if not os.path.isdir(path):
                 continue
             man = self._manifest_ids(path)
+            # manifest-internal garbage: displaced/crashed generation
+            # dirs (.g-tmp-* scratch; g-* not named by CURRENT) and stale
+            # generation-0 root entries once CURRENT exists.  The fence
+            # guards a LIVE maintainer's about-to-flip generation.
+            mdir = os.path.join(path, MANIFEST_DIR)
+            if os.path.isdir(mdir):
+                gdir = self._entries_dir(mdir)
+                cur_gen = os.path.basename(gdir) if gdir != mdir else None
+                for d in os.listdir(mdir):
+                    full = os.path.join(mdir, d)
+                    stale_gen = os.path.isdir(full) and d != cur_gen and (
+                        d.startswith("g-") or d.startswith(".g-tmp-")
+                    )
+                    stale_root_entry = (
+                        cur_gen is not None
+                        and d.endswith(".json")
+                        and os.path.isfile(full)
+                    )
+                    if not (stale_gen or stale_root_entry):
+                        continue
+                    try:
+                        if now - os.path.getmtime(full) >= min_age_sec:
+                            if stale_gen:
+                                shutil.rmtree(full, ignore_errors=True)
+                            else:
+                                os.remove(full)
+                            if not os.path.exists(full):
+                                removed.append(full)
+                    except FileNotFoundError:
+                        continue
             for d in os.listdir(path):
                 if d.startswith(BATCH_COL + "="):
                     # entry-less committed-named dir on a manifest table:

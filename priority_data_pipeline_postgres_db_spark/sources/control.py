@@ -60,9 +60,22 @@ class ControlStore:
                 self._log = json.load(fh)
 
     def _flush(self) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w") as fh:
+        """Atomic publish: write the whole log to a hidden tmp and
+        ``os.replace`` it over the store — a crash mid-flush can never
+        corrupt the file (ADVICE r12: the bare ``open(path, 'w')`` left
+        a torn-JSON window, sharper now that the skew path writes an
+        artifact per re-probe).  Concurrency contract: the store is
+        SINGLE-WRITER per file (read-modify-write of the full log) —
+        concurrent drivers each get their own control path; the atomic
+        replace protects readers, not multi-writer merges."""
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(
+            d, f".{os.path.basename(self.path)}.{os.getpid()}.tmp"
+        )
+        with open(tmp, "w") as fh:
             json.dump(self._log, fh, indent=1, default=str)
+        os.replace(tmp, self.path)
 
     def insert_config(self, cfg: dict, *, datasource_id: str) -> dict:
         """K5 — stamp submitTimestampUTC and append (mongodbHelper.py:98-121)."""

@@ -188,7 +188,11 @@ def test_maintenance_matrix_hash_equal_to_listing_reads(spark, orders, tmp_path)
 
     def listing_read_rows():
         # the legacy read: root-path listing + the same visibility rules,
-        # reconstructed via a manifest-less clone of the table
+        # reconstructed via a manifest-less clone of the table.  On
+        # generation-layout tables the retention marker lives INSIDE the
+        # live generation dir (r13: so a refresh swap drops it atomically)
+        # — materialize it back to the clone's root before stripping the
+        # manifest, since the listing read applies root-marker rules.
         clone = StagingWarehouse(spark, str(tmp_path) + "-clone", account_id="m9")
         src, dst = wh._path("t"), clone._path("t")
         if os.path.isdir(dst):
@@ -196,6 +200,10 @@ def test_maintenance_matrix_hash_equal_to_listing_reads(spark, orders, tmp_path)
         shutil.copytree(src, dst)
         mdir = os.path.join(dst, MANIFEST_DIR)
         if os.path.isdir(mdir):
+            gdir = wh._entries_dir(mdir)
+            gen_marker = os.path.join(gdir, ".expiry.json")
+            if gdir != mdir and os.path.isfile(gen_marker):
+                shutil.copy(gen_marker, os.path.join(dst, ".expiry.json"))
             shutil.rmtree(mdir)
         return _rows(clone.read("t"))
 

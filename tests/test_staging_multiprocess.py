@@ -39,9 +39,12 @@ from priority_data_pipeline_postgres_db_spark.operators.staging import StagingWa
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_mp_staging_worker.py")
 
 
-def test_cross_process_writer_battery(spark, tmp_path):
+@pytest.mark.parametrize("commit_mode", ["rename", "direct"])
+def test_cross_process_writer_battery(spark, tmp_path, commit_mode):
     root, account = str(tmp_path), "mp"
-    wh = StagingWarehouse(spark, root, account_id=account)
+    wh = StagingWarehouse(
+        spark, root, account_id=account, commit_mode=commit_mode
+    )
 
     def mkdf(lo, hi, ver=0):
         return spark.range(lo, hi).selectExpr(
@@ -64,7 +67,7 @@ def test_cross_process_writer_battery(spark, tmp_path):
     for idx, role in [(0, "appender"), (1, "appender"), (2, "maintainer")]:
         args = json.dumps(
             {"root": root, "account": account, "role": role, "idx": idx,
-             "n_appenders": 2}
+             "n_appenders": 2, "commit_mode": commit_mode}
         )
         procs.append(
             subprocess.Popen(
@@ -94,10 +97,13 @@ def test_cross_process_writer_battery(spark, tmp_path):
     }
 
     # scenario 2: exactly-once across PROCESSES on the same batch id
-    counts = sorted(results[i]["same_id"] for i in (0, 1))
-    assert counts == [0, 200]
-    assert wh.snapshots("same_id") == ["replay-1"]
-    assert wh.read("same_id").count() == 200
+    # (rename mode only — direct mode's contract requires callers to
+    # serialize retries of one explicit id)
+    if commit_mode == "rename":
+        counts = sorted(results[i]["same_id"] for i in (0, 1))
+        assert counts == [0, 200]
+        assert wh.snapshots("same_id") == ["replay-1"]
+        assert wh.read("same_id").count() == 200
 
     # scenario 3: compact loop ran against live appends; the logical
     # view is exactly latest-version-per-key (ver 6 everywhere)
