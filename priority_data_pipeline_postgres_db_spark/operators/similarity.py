@@ -2161,21 +2161,36 @@ def load_ivf_centroids(wh, table: str = "ivf_index") -> np.ndarray:
 _CENTROID_ARTIFACTS: dict[tuple, str] = {}
 
 
-def _emb_fingerprint(emb: DataFrame) -> tuple:
-    """Corpus identity for the fit memo: the scan's input files plus the
-    first file's mtime — an in-process rewrite of the same path changes
-    the fingerprint, so the memo refits instead of serving a stale
-    artifact (the _corpus_fingerprint discipline from corpus.py)."""
+def _emb_fingerprint(emb: DataFrame) -> tuple | None:
+    """Corpus identity for the fit memos, or ``None`` when the frame has
+    no stable identity (``inputFiles() == []`` — an in-memory frame):
+    callers BYPASS the memo then instead of sharing key ``((), 0.0)``
+    across unrelated corpora (ADVICE r12 #2).
+
+    The key folds together the scan's input files, EVERY file's mtime
+    (a multi-file rewrite that spares files[0] must still invalidate),
+    and a cheap content identity — row count + an order-insensitive
+    ``bit_xor(xxhash64(vec_id))`` aggregate — so two different frames
+    DERIVED from the same files (e.g. the half-corpus filters the
+    append entries use) get distinct keys instead of serving each
+    other's fit.  The content aggregate is one column scan: noise next
+    to the Lloyd fit the memo exists to skip."""
     import os as _os
 
     files = tuple(sorted(emb.inputFiles()))
-    mt = 0.0
-    if files:
+    if not files:
+        return None
+    mts = []
+    for f in files:
         try:
-            mt = _os.path.getmtime(files[0].removeprefix("file:"))
+            mts.append(_os.path.getmtime(f.removeprefix("file:")))
         except OSError:
-            pass
-    return (files, mt)
+            mts.append(0.0)
+    ident = emb.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(vec_id))").alias("x"),
+    ).first()
+    return (files, tuple(mts), int(ident["n"]), int(ident["x"] or 0))
 
 
 def ivf_centroids_memo(
@@ -2193,7 +2208,12 @@ def ivf_centroids_memo(
     from ..util import scratch_dir
     from .staging import StagingWarehouse
 
-    key = (_emb_fingerprint(emb), k_clusters, sample_n, iters)
+    fp = _emb_fingerprint(emb)
+    if fp is None:
+        # in-memory frame: no stable corpus identity — fit directly
+        # rather than memo-share across unrelated corpora (ADVICE r12)
+        return fit_ivf_centroids(emb, k_clusters, sample_n, iters)
+    key = (fp, k_clusters, sample_n, iters)
     root = _CENTROID_ARTIFACTS.get(key)
     spark = emb.sparkSession
     if root is None:
@@ -2208,6 +2228,73 @@ def ivf_centroids_memo(
         _CENTROID_ARTIFACTS[key] = root
         return cents
     return load_ivf_centroids(StagingWarehouse(spark, root), table="ivf")
+
+
+# Fit-once memo for PQ / residual codebooks (VERDICT r12 #7 — the
+# ivf_centroids_memo pattern extended to the quantizer the append gate
+# entries re-fit per invocation): (corpus fingerprint, coarse-centroid
+# digest, geometry) -> warehouse root holding the persisted books.
+_PQBOOK_ARTIFACTS: dict[tuple, str] = {}
+
+
+def _books_to_df(spark: SparkSession, books: np.ndarray):
+    mm, kk, _ = books.shape
+    return spark.createDataFrame(
+        [
+            (int(s), int(c), [float(x) for x in books[s, c]])
+            for s in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+
+
+def pq_codebooks_memo(
+    emb: DataFrame,
+    m: int,
+    k_codes: int,
+    sample_n: int | None = None,  # None → PQ_SAMPLE (defined below)
+    iters: int | None = None,  # None → PQ_ITERS
+    cents: np.ndarray | None = None,
+) -> np.ndarray:
+    """Fit-once-per-(corpus, quantizer, geometry) PQ codebooks, persisted
+    through the staging protocol exactly like ``ivf_centroids_memo``:
+    ``cents=None`` memoizes ``fit_pq_codebooks``; with coarse centroids
+    it memoizes ``fit_residual_codebooks`` keyed additionally by the
+    centroid bytes (books fit against different coarse quantizers must
+    never share).  Both fits are deterministic, so memo-vs-refit is
+    bit-identical.  In-memory frames (no fingerprint) bypass."""
+    import hashlib
+
+    from ..util import scratch_dir
+    from .staging import StagingWarehouse
+
+    if sample_n is None:
+        sample_n = PQ_SAMPLE
+    if iters is None:
+        iters = PQ_ITERS
+    fp = _emb_fingerprint(emb)
+    if fp is None:
+        if cents is None:
+            return fit_pq_codebooks(emb, m, k_codes, sample_n, iters)
+        return fit_residual_codebooks(emb, cents, m, k_codes, sample_n, iters)
+    cdigest = (
+        None if cents is None else hashlib.md5(np.ascontiguousarray(cents).tobytes()).hexdigest()
+    )
+    key = (fp, cdigest, m, k_codes, sample_n, iters)
+    root = _PQBOOK_ARTIFACTS.get(key)
+    spark = emb.sparkSession
+    if root is None:
+        if cents is None:
+            books = fit_pq_codebooks(emb, m, k_codes, sample_n, iters)
+        else:
+            books = fit_residual_codebooks(emb, cents, m, k_codes, sample_n, iters)
+        root = scratch_dir("spark_graft_pqbooks_")
+        wh = StagingWarehouse(spark, root)
+        wh.write(_books_to_df(spark, books), "books_codebooks", incremental=False)
+        _PQBOOK_ARTIFACTS[key] = root
+        return books
+    return load_pq_codebooks(StagingWarehouse(spark, root), table="books")
 
 
 def ivf_topk_persisted(
@@ -3527,6 +3614,38 @@ def plan_pq(dim: int, bytes_budget: float = 4.0) -> PQPlan:
     )
 
 
+PQ_PLAN_MIN_TRAIN_PER_CODE = 40  # trainability bound: ≥40×k points/subspace
+
+
+def _resolve_pq_geometry(
+    emb: DataFrame, m: int | None, k_codes: int | None
+) -> tuple[int, int, int]:
+    """(m, k_codes, fit_sample_n) for an index build (VERDICT r12 #6).
+    Explicit arguments are honored verbatim.  With defaults (``None``),
+    adopt ``plan_pq``'s geometry — the equal-bits-fewer-subspaces
+    optimum — WHEN the corpus clears the trainability bound its own
+    docstring states (≥ ``PQ_PLAN_MIN_TRAIN_PER_CODE × k`` training
+    points per subspace, raising the fit sample to that bound); below
+    it, keep the dense fixture-scale defaults (PQ_M/PQ_K), whose every
+    cell stays populated at any fixture size.  One count against the
+    corpus decides — the planner's pick stops being advice the caller
+    must remember to apply."""
+    if m is not None and k_codes is not None:
+        return m, k_codes, PQ_SAMPLE
+    dim = len(emb.select(quantize_expr().alias("q")).first()["q"])
+    plan = plan_pq(dim)
+    need = PQ_PLAN_MIN_TRAIN_PER_CODE * plan.k_codes
+    if memo_count(emb) >= need:
+        return (
+            m if m is not None else plan.m,
+            k_codes if k_codes is not None else plan.k_codes,
+            max(PQ_SAMPLE, need),
+        )
+    return (m if m is not None else PQ_M), (
+        k_codes if k_codes is not None else PQ_K
+    ), PQ_SAMPLE
+
+
 def fit_pq_codebooks(
     emb: DataFrame,
     m: int = PQ_M,
@@ -3696,30 +3815,28 @@ def build_pq_index(
     emb: DataFrame,
     wh,
     table: str = "pq_index",
-    m: int = PQ_M,
-    k_codes: int = PQ_K,
+    m: int | None = None,
+    k_codes: int | None = None,
 ) -> np.ndarray:
     """Materialize the PQ index through the staging warehouse: the code
     table (vec_id, codes — the 4-byte-per-vector artifact the ADC scan
     reads) plus the codebook table beside it, the same fit-once/
     write-once lifecycle as `build_ivf_index` and the BPE artifact.
     Returns the fitted codebooks; `load_pq_codebooks` recovers them
-    without refitting."""
+    without refitting.
+
+    Geometry defaults auto-adopt ``plan_pq``'s pick when the corpus
+    clears the trainability bound and keep the dense fixture defaults
+    below it (``_resolve_pq_geometry``, VERDICT r12 #6); explicit
+    ``m``/``k_codes`` are honored verbatim.  The codebook fit is
+    memoized per (corpus, geometry) through ``pq_codebooks_memo``."""
     spark = emb.sparkSession
-    books = fit_pq_codebooks(emb, m, k_codes)
+    m, k_codes, fit_sample = _resolve_pq_geometry(emb, m, k_codes)
+    books = pq_codebooks_memo(emb, m, k_codes, sample_n=fit_sample)
     encode = pq_encode_udf(books)
     codes = emb.select("vec_id", encode(quantize_expr()).alias("codes"))
     wh.write(codes, table, incremental=False)
-    mm, kk, _ = books.shape
-    book_df = spark.createDataFrame(
-        [
-            (int(s), int(c), [float(x) for x in books[s, c]])
-            for s in range(mm)
-            for c in range(kk)
-        ],
-        "subspace int, code int, centroid array<double>",
-    )
-    wh.write(book_df, f"{table}_codebooks", incremental=False)
+    wh.write(_books_to_df(spark, books), f"{table}_codebooks", incremental=False)
     # training-distribution quantization error: the drift baseline
     # pq_append compares new batches against (the ivfpq_append twin)
     train_mse = _pq_quant_mse(emb, books)
@@ -3782,10 +3899,7 @@ def pq_append(
     codes = emb_new.select("vec_id", encode(quantize_expr()).alias("codes"))
     report = wh.write(codes, table, incremental=True, batch_id=batch_id)
     new_mse = _pq_quant_mse(emb_new, books)
-    stats = {
-        r["metric"]: r["value"] for r in wh.read(f"{table}_stats").collect()
-    }
-    train_mse = stats.get("train_quant_mse", 0.0)
+    train_mse, baseline = _load_train_mse(wh, table)
     ratio = new_mse / train_mse if train_mse > 0 else float("inf")
     return {
         "codes_written": report.records_written,
@@ -3793,7 +3907,24 @@ def pq_append(
         "train_quant_mse": train_mse,
         "drift_ratio": ratio,
         "refit_recommended": ratio > drift_refit_ratio,
+        "baseline_available": baseline,
     }
+
+
+def _load_train_mse(wh, table: str) -> tuple[float, bool]:
+    """(train_quant_mse, baseline_available) from the index's stats
+    table.  An index built before the stats table existed has none —
+    the append must still COMMIT and report (drift_ratio=inf, no
+    baseline) instead of failing after its encode already landed
+    (ADVICE r12 #4)."""
+    try:
+        stats = {
+            r["metric"]: r["value"] for r in wh.read(f"{table}_stats").collect()
+        }
+    except Exception:
+        return 0.0, False
+    mse = stats.get("train_quant_mse")
+    return (float(mse), True) if mse is not None else (0.0, False)
 
 
 def load_pq_codebooks(wh, table: str = "pq_index") -> np.ndarray:
@@ -4074,18 +4205,25 @@ def build_ivfpq_index(
     wh,
     table: str = "ivfpq_index",
     k_clusters: int = N_CLUSTERS,
-    m: int = PQ_M,
-    k_codes: int = PQ_K,
+    m: int | None = None,
+    k_codes: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the IVFPQ index: postings (vec_id, codes) PARTITIONED
     BY list label — probing nprobe lists is parquet partition pruning at
     file listing, and what those partitions hold is m-byte codes, not
     vectors.  Centroids and residual codebooks land beside it (tiny).
     Returns (centroids, codebooks); the loaders recover both without
-    refitting."""
+    refitting.
+
+    Both quantizer fits are memoized per corpus (``ivf_centroids_memo``
+    / ``pq_codebooks_memo`` — VERDICT r12 #7: the append gate entry was
+    re-fitting identical quantizers per invocation), and the PQ
+    geometry auto-adopts ``plan_pq`` past the trainability bound
+    (``_resolve_pq_geometry``, VERDICT r12 #6)."""
     spark = emb.sparkSession
-    cents = fit_ivf_centroids(emb, k_clusters)
-    books = fit_residual_codebooks(emb, cents, m, k_codes)
+    m, k_codes, fit_sample = _resolve_pq_geometry(emb, m, k_codes)
+    cents = ivf_centroids_memo(emb, k_clusters)
+    books = pq_codebooks_memo(emb, m, k_codes, sample_n=fit_sample, cents=cents)
     encode = ivfpq_encode_udf(cents, books)
     postings = (
         emb.select("vec_id", encode(quantize_expr()).alias("postings"))
@@ -4098,16 +4236,7 @@ def build_ivfpq_index(
         "label int, centroid array<double>",
     )
     wh.write(cent_df, f"{table}_centroids", incremental=False)
-    mm, kk, _ = books.shape
-    book_df = spark.createDataFrame(
-        [
-            (int(s), int(c), [float(x) for x in books[s, c]])
-            for s in range(mm)
-            for c in range(kk)
-        ],
-        "subspace int, code int, centroid array<double>",
-    )
-    wh.write(book_df, f"{table}_codebooks", incremental=False)
+    wh.write(_books_to_df(spark, books), f"{table}_codebooks", incremental=False)
     # training-distribution quantization error: the drift baseline
     # ivfpq_append compares new batches against (VERDICT r11 #5)
     train_mse = _residual_quant_mse(emb, cents, books)
@@ -4194,10 +4323,7 @@ def ivfpq_append(
         postings, table, incremental=True, partition_by=["label"], batch_id=batch_id
     )
     new_mse = _residual_quant_mse(emb_new, cents, books)
-    stats = {
-        r["metric"]: r["value"] for r in wh.read(f"{table}_stats").collect()
-    }
-    train_mse = stats.get("train_quant_mse", 0.0)
+    train_mse, baseline = _load_train_mse(wh, table)
     ratio = new_mse / train_mse if train_mse > 0 else float("inf")
     return {
         "postings_written": report.records_written,
@@ -4205,6 +4331,7 @@ def ivfpq_append(
         "train_quant_mse": train_mse,
         "drift_ratio": ratio,
         "refit_recommended": ratio > drift_refit_ratio,
+        "baseline_available": baseline,
     }
 
 
@@ -4346,20 +4473,26 @@ def ivfpq_topk(
 
 def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — trained float quantizers, the IVF/PQ
-    reason): build the partitioned IVFPQ index in a throwaway warehouse,
-    answer the benchmark queries through it, and carry ``recall_at_5``
-    vs brute force in-band (floors in tests/test_pq.py, plus the
+    reason): build the partitioned IVFPQ index in a throwaway warehouse
+    as a VERSIONED generation (control-store pointer — VERDICT r12 #2),
+    answer the benchmark queries through the pointer, and carry
+    ``recall_at_5`` vs brute force plus the answering
+    ``index_generation`` in-band (floors in tests/test_pq.py, plus the
     exhaustive identity: nprobe = k_clusters AND rerank ≥ corpus ⇒
     bit-equal to `cosine_topk`)."""
+    import os as _os
+
+    from ..sources.control import ControlStore
     from .staging import StagingWarehouse
 
     root = scratch_dir("spark_graft_ivfpq_index_")
     wh = StagingWarehouse(spark, root)
+    control = ControlStore(_os.path.join(root, "index_control.json"))
     emb = load(spark, sf_dir, "embeddings")
     emb = emb.drop("label") if "label" in emb.columns else emb
-    build_ivfpq_index(emb, wh)
+    build_ivfpq_versioned(emb, wh, control)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    res = ivfpq_topk_persisted(wh, emb, queries, k=TOP_K)
+    res = ivfpq_topk_current(wh, control, emb, queries, k=TOP_K)
     exact = cosine_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
     recall = (
         res.join(exact, ["query_id", "neighbor_id"], "left_semi")
@@ -4413,3 +4546,205 @@ def sim_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_ivfpq_append"] = sim_ivfpq_append
 # approximate + trained quantizers → rows-only; identity + drift pins in tests
+
+
+# ---------------------------------------------------------------------------
+# Versioned index generations: drift-triggered refit-and-swap (VERDICT r12 #2)
+# ---------------------------------------------------------------------------
+# ``ivfpq_append`` keeps an index CURRENT under growth, and its drift
+# instrument says WHEN the frozen quantizers have aged out — but acting on
+# ``refit_recommended`` needs machinery: at 100 TB a refit re-trains and
+# re-encodes for hours BESIDE live queries, so the new index must build
+# under a different name and become visible in one atomic act.  The index
+# artifact is therefore VERSIONED: generation g lives in physical tables
+# ``<table>__g000g`` (postings + centroids + codebooks + stats), and
+# "current" is published through the ControlStore artifact log — one
+# append to the atomically-replaced control file repoints every reader
+# (the staging-manifest CURRENT discipline, applied to whole indexes).
+# Readers resolve the pointer per query; a query planned against the old
+# generation keeps reading its (still-present) tables; superseded
+# generations are reaped AFTER the swap by ``expire_index_generations``.
+
+ANN_INDEX_KIND = "ann_index_generation"
+
+
+def _index_physical(table: str, generation: int) -> str:
+    return f"{table}__g{generation:04d}"
+
+
+def current_index_generation(control, table: str = "ivfpq_index") -> dict | None:
+    """The published 'current' pointer for a versioned index — newest
+    artifact wins, the ``latest_config`` read discipline."""
+    return control.latest_artifact(ANN_INDEX_KIND, table)
+
+
+def resolve_index_table(control, table: str = "ivfpq_index") -> tuple[str, int]:
+    """(physical table, generation) a reader should use NOW.  An index
+    never published through the log resolves to its plain name as
+    generation 0 (pre-versioning compatibility)."""
+    art = current_index_generation(control, table)
+    if art is None:
+        return table, 0
+    return art["physical"], int(art["generation"])
+
+
+def build_ivfpq_versioned(
+    emb: DataFrame,
+    wh,
+    control,
+    table: str = "ivfpq_index",
+    k_clusters: int = N_CLUSTERS,
+    m: int | None = None,
+    k_codes: int | None = None,
+) -> dict:
+    """Generation-1 build of a versioned IVFPQ index: the physical
+    tables land first, THEN the pointer publishes — a reader never
+    resolves to a half-built generation."""
+    phys = _index_physical(table, 1)
+    build_ivfpq_index(emb, wh, table=phys, k_clusters=k_clusters, m=m, k_codes=k_codes)
+    control.put_artifact(ANN_INDEX_KIND, table, {"generation": 1, "physical": phys})
+    return {"generation": 1, "physical": phys}
+
+
+def ivfpq_refit(
+    emb_full: DataFrame,
+    wh,
+    control,
+    table: str = "ivfpq_index",
+    *,
+    k_clusters: int = N_CLUSTERS,
+    m: int | None = None,
+    k_codes: int | None = None,
+    keep_generations: int = 1,
+) -> dict:
+    """Act on ``refit_recommended``: train NEW quantizers on the grown
+    corpus, re-encode it into generation g+1 beside the live index,
+    atomically repoint 'current' (one artifact append through the
+    control store's tmp+replace flush — readers see old or new wholly,
+    never a mix), then expire superseded generations.  Queries keep
+    answering against generation g for the entire refit; the swap costs
+    one pointer read.  Returns the new pointer plus the generations
+    reaped."""
+    _, cur_gen = resolve_index_table(control, table)
+    gen = cur_gen + 1
+    phys = _index_physical(table, gen)
+    build_ivfpq_index(
+        emb_full, wh, table=phys, k_clusters=k_clusters, m=m, k_codes=k_codes
+    )
+    control.put_artifact(
+        ANN_INDEX_KIND, table, {"generation": gen, "physical": phys}
+    )  # THE swap
+    reaped = expire_index_generations(
+        wh, control, table, keep_last=keep_generations
+    )
+    return {"generation": gen, "physical": phys, "expired": reaped}
+
+
+def expire_index_generations(
+    wh, control, table: str = "ivfpq_index", keep_last: int = 1
+) -> list[str]:
+    """Reap physical tables of generations older than the newest
+    ``keep_last`` — the snapshot-expiry discipline applied to whole
+    index artifacts (reclamation only: the swap already made them
+    unreachable through the pointer).  Physical names are deterministic,
+    so crashed-refit leftovers below the horizon are reaped too."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    _, cur_gen = resolve_index_table(control, table)
+    reaped = []
+    for g in range(1, cur_gen - keep_last + 1):
+        phys = _index_physical(table, g)
+        dropped = False
+        for component in ("", "_centroids", "_codebooks", "_stats"):
+            dropped = wh.drop_table(phys + component) or dropped
+        if dropped:
+            reaped.append(phys)
+    return reaped
+
+
+def ivfpq_append_current(
+    emb_new: DataFrame,
+    wh,
+    control,
+    table: str = "ivfpq_index",
+    *,
+    batch_id: str | None = None,
+    drift_refit_ratio: float = 2.0,
+) -> dict:
+    """``ivfpq_append`` routed through the generation pointer: new
+    vectors land in whichever generation is current, and the report
+    carries that generation so an orchestrator can act on
+    ``refit_recommended`` with ``ivfpq_refit``."""
+    phys, gen = resolve_index_table(control, table)
+    rep = ivfpq_append(
+        emb_new, wh, table=phys, batch_id=batch_id,
+        drift_refit_ratio=drift_refit_ratio,
+    )
+    rep["generation"] = gen
+    return rep
+
+
+def ivfpq_topk_current(
+    wh,
+    control,
+    emb: DataFrame,
+    queries: DataFrame,
+    table: str = "ivfpq_index",
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+    rerank: int = IVFPQ_RERANK,
+) -> DataFrame:
+    """Query through the generation pointer; the answering generation
+    rides in-band so a result can always be traced to the index version
+    that produced it."""
+    phys, gen = resolve_index_table(control, table)
+    res = ivfpq_topk_persisted(
+        wh, emb, queries, table=phys, k=k, nprobe=nprobe, rerank=rerank
+    )
+    return res.withColumn("index_generation", F.lit(int(gen)))
+
+
+def sim_ivfpq_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained float quantizers): the FULL
+    versioned-index lifecycle an operator runs on a drifting corpus.
+    Build generation 1 on the first half, grow it with an append (drift
+    instrument fires in-band), ``ivfpq_refit`` on the whole corpus —
+    new quantizers, re-encode, one atomic pointer swap, old generation
+    expired — then answer the benchmark queries through the repointed
+    current.  In-band: ``index_generation`` (2 — proof the swap landed),
+    the pre-refit ``drift_ratio``, and per-query ``recall_at_5`` vs
+    brute force.  Swap-boundary correctness and old-generation expiry
+    are pinned in tests/test_pq.py."""
+    import os as _os
+
+    from ..sources.control import ControlStore
+    from .staging import StagingWarehouse
+
+    root = scratch_dir("spark_graft_ivfpq_refit_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(_os.path.join(root, "index_control.json"))
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    n = emb.count()
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    rep = ivfpq_append_current(
+        emb.filter(F.col("vec_id") >= n // 2), wh, control, batch_id="growth-1"
+    )
+    ivfpq_refit(emb, wh, control)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = ivfpq_topk_current(wh, control, emb, queries, k=TOP_K)
+    exact = cosine_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    recall = (
+        res.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(float(TOP_K))).alias("recall_at_5"))
+    )
+    return (
+        res.join(recall, "query_id", "left")
+        .fillna({"recall_at_5": 0.0})
+        .withColumn("pre_refit_drift_ratio", F.lit(float(rep["drift_ratio"])))
+    )
+
+
+QUERIES["sim_ivfpq_refit"] = sim_ivfpq_refit
+# approximate + trained quantizers → rows-only; swap pins in tests/test_pq.py

@@ -1347,6 +1347,17 @@ class StagingWarehouse:
             if d.startswith(STG_PREFIX) and self._batches(os.path.join(acc, d))
         )
 
+    def drop_table(self, table_name: str) -> bool:
+        """Remove ONE staging table entirely — data, manifest, sidecars.
+        The whole-artifact reclamation step (e.g. expiring a superseded
+        ANN index generation); per-batch deletion stays with the
+        refresh/expiry protocol.  Returns whether anything existed."""
+        path = self._path(table_name)
+        if not os.path.isdir(path):
+            return False
+        shutil.rmtree(path)
+        return True
+
     def drop_all(self) -> list[str]:
         """K4 — full teardown (sqlDwh.py:85-123); returns dropped names."""
         dropped = self.tables()

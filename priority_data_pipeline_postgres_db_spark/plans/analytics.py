@@ -3129,15 +3129,89 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders are small) and explodes ordered pairs — one shuffle, never
     a lineitem self-join.
 
-    Output: one row — nodes, edges, oriented wedges, triangles."""
-    li = load(spark, sf_dir, "lineitem")
+    Output: one row — nodes, edges, oriented wedges, triangles.
+
+    The oriented edge list is a DERIVED GRAPH ARTIFACT, warehouse-
+    memoized per corpus snapshot (``_oriented_edges_memo`` — VERDICT r12
+    #3): at 100 TB every graph query re-deriving edges from lineitem
+    (distinct → collect_set → pair explode → distinct → two degree
+    joins) repays the dominant cost of the analysis; built once and
+    persisted, each query pays only the wedge enumeration over a
+    partition-pruned parquet read.  Determinism makes the memo
+    content-invisible — the hash gate sees identical numbers either
+    way."""
+    from ..util import bounded_cache
+
+    o = bounded_cache(_oriented_edges_memo(spark, sf_dir))
+    # closure by SORTED-ADJACENCY INTERSECTION instead of a wedge join
+    # (r13): the degree orientation is derived from a total order, so a
+    # triangle {x,y,z} (order x<y<z) has edges x→y, x→z, y→z and is
+    # counted exactly once as |A(x) ∩ A(y)| for edge (x,y) over
+    # out-adjacency sets A.  The element-comparison work is the same
+    # Σ outdeg² = O(m^1.5), but it runs INSIDE whole-stage codegen on
+    # per-row arrays (each bounded O(sqrt m) by the orientation) —
+    # the previous o1⋈o2 wedge enumeration materialized and shuffled
+    # every wedge as a row (49M rows at sf0.1 for 1.2M edges), which is
+    # exactly the blow-up that kills the plan at 100 TB.
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    ax = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nx"))
+    ay = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("ny"))
+    tri = (
+        o.withColumnRenamed("src", "u")
+        .withColumnRenamed("dst", "v")
+        .join(ax, "u")  # every u has out-edges by construction
+        .join(ay, "v", "left")  # a sink v has no adjacency row
+        .select(
+            F.size(
+                F.array_intersect(F.col("nx"), F.coalesce(F.col("ny"), F.array()))
+            ).alias("c")
+        )
+        .agg(F.sum("c").alias("t"))
+    )
+    # wedge count without enumerating wedges: Σ_v in(v)·out(v)
+    din = o.groupBy("dst").agg(F.count("*").alias("i"))
+    dout = o.groupBy("src").agg(F.count("*").alias("j"))
+    n_wedges = (
+        din.join(dout, din.dst == dout.src)
+        .select(F.sum(F.col("i") * F.col("j")).alias("w"))
+        .first()["w"]
+    )
+    # node/edge counts derive from the artifact: orientation is a
+    # bijection on edges, and every node of the co-purchase graph has
+    # degree ≥ 1 (it exists only through an edge), so nodes(o) = nodes
+    n_nodes = (
+        o.select(F.col("src").alias("n"))
+        .unionAll(o.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                o.count(),
+                int(n_wedges or 0),
+                int(tri.first()["t"] or 0),
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long",
+    )
+
+
+def _build_oriented_edges(li: DataFrame) -> DataFrame:
+    """Degree-oriented co-purchase edge list from lineitem (see
+    ``q_triangle_count``): each undirected edge points from its
+    (degree, id)-smaller endpoint to the larger — a DAG with max
+    out-degree O(sqrt(m))."""
+    from ..util import bounded_cache
+
     parts_per_order = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    edges = (
+    edges = bounded_cache(
         parts_per_order.select(
             F.explode(
                 F.expr(
@@ -3149,10 +3223,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.a", "e.b")
         .distinct()
     )
-    from ..util import bounded_cache
-
-    edges = bounded_cache(edges)
-    deg = bounded_cache(
+    deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
         .groupBy("n")
@@ -3163,7 +3234,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    o = bounded_cache(
+    return (
         edges.join(da, "a")
         .join(db, "b")
         .select(
@@ -3171,31 +3242,49 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
-    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    o2 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = o1.join(o2, "v").select("u", "v", "w")
-    closing = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["u", "w"])
-    # wedge count WITHOUT materializing the join twice: Σ_v in(v)·out(v)
-    # (the join is executed once, inside the triangle closure)
-    din = o.groupBy("dst").agg(F.count("*").alias("i"))
-    dout = o.groupBy("src").agg(F.count("*").alias("j"))
-    n_wedges = (
-        din.join(dout, din.dst == dout.src)
-        .select(F.sum(F.col("i") * F.col("j")).alias("w"))
-        .first()["w"]
+
+
+def _oriented_edges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-corpus oriented edge list, persisted through the
+    staging protocol under a CONTENT-KEYED account (lineitem's input
+    files + mtimes) in the shared scratch root — the
+    ``ivf_centroids_memo`` discipline for graph artifacts, and
+    cross-process by construction: concurrent builders race one
+    explicit batch id through the warehouse's exactly-once commit, so
+    whichever driver lands first publishes the artifact and every other
+    reads it.  A source rewrite changes the key and triggers a fresh
+    build; frames with no stable identity (no input files) skip the
+    memo."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.staging import StagingWarehouse
+
+    li = load(spark, sf_dir, "lineitem")
+    files = sorted(li.inputFiles())
+    if not files:
+        return _build_oriented_edges(li)
+    sig = hashlib.md5()
+    for f in files:
+        try:
+            mt = os.path.getmtime(f.removeprefix("file:"))
+        except OSError:
+            mt = 0.0
+        sig.update(f"{f}:{mt}".encode())
+    wh = StagingWarehouse(
+        spark,
+        os.path.join(tempfile.gettempdir(), "spark_graft_memo"),
+        account_id="tri_" + sig.hexdigest()[:16],
     )
-    return spark.createDataFrame(
-        [
-            (
-                deg.count(),
-                edges.count(),
-                int(n_wedges or 0),
-                tri.count(),
-            )
-        ],
-        "n_nodes long, n_edges long, n_wedges long, n_triangles long",
-    )
+    if not wh.exists("oriented_edges"):
+        wh.write(
+            _build_oriented_edges(li),
+            "oriented_edges",
+            incremental=True,
+            batch_id="full",
+        )
+    return wh.read("oriented_edges")
 
 
 QUERIES["q_triangle_count"] = q_triangle_count

@@ -530,3 +530,234 @@ def test_ivfpq_append_survives_snapshot_expiry(spark, sf_dir):
     assert before[["query_id", "neighbor_id", "rank"]].values.tolist() == (
         after[["query_id", "neighbor_id", "rank"]].values.tolist()
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: versioned generations + refit-and-swap, geometry auto-adopt, fit memos,
+# stats backward compatibility
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_refit_swap_lifecycle(spark, sf_dir):
+    """The full drift-response lifecycle (VERDICT r12 #2): build gen-1 on
+    half the corpus, append the rest, refit-and-swap to gen-2 trained on
+    the grown corpus.  Pins: queries resolve the correct generation on
+    each side of the swap; the post-swap index is bit-identical to a
+    one-shot build on the full corpus (deterministic fits); the
+    superseded generation's physical tables are expired; and the swap is
+    ONE pointer publish (old results stay valid — they were answered by
+    tables that existed wholly until expiry)."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_index,
+        build_ivfpq_versioned,
+        current_index_generation,
+        ivfpq_append_current,
+        ivfpq_refit,
+        ivfpq_topk_current,
+        ivfpq_topk_persisted,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    root = scratch_dir("spark_graft_refit_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    assert resolve_index_table(control) == ("ivfpq_index__g0001", 1)
+    pre = ivfpq_topk_current(wh, control, emb, queries, k=5).toPandas()
+    assert set(pre["index_generation"]) == {1}
+
+    rep = ivfpq_append_current(
+        emb.filter(F.col("vec_id") >= n // 2), wh, control, batch_id="g1"
+    )
+    assert rep["generation"] == 1 and rep["postings_written"] > 0
+
+    out = ivfpq_refit(emb, wh, control)
+    assert out["generation"] == 2 and out["expired"] == ["ivfpq_index__g0001"]
+    assert resolve_index_table(control) == ("ivfpq_index__g0002", 2)
+    # old generation physically reaped; new one intact
+    assert not wh.exists("ivfpq_index__g0001")
+    assert wh.exists("ivfpq_index__g0002")
+
+    post = (
+        ivfpq_topk_current(wh, control, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert set(post["index_generation"]) == {2}
+    # the refit generation answers exactly like a one-shot build on the
+    # same corpus (deterministic memoized fits)
+    wh2 = StagingWarehouse(spark, scratch_dir("spark_graft_refit_oneshot_"))
+    build_ivfpq_index(emb, wh2)
+    want = (
+        ivfpq_topk_persisted(wh2, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert post[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        want[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
+    # the pointer log records both generations (audit trail)
+    assert current_index_generation(control)["generation"] == 2
+
+
+def test_refit_preserves_reads_across_swap_boundary(spark, sf_dir):
+    """A reader that resolved the pointer BEFORE the swap keeps getting
+    gen-1 answers until expiry reaps it — refit with keep_generations=2
+    leaves the old physical tables readable, so long-running queries
+    never lose their tables mid-plan."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_versioned,
+        ivfpq_refit,
+        ivfpq_topk_persisted,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    root = scratch_dir("spark_graft_refit_keep_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    old_phys, _ = resolve_index_table(control)
+    before = (
+        ivfpq_topk_persisted(wh, emb, queries, k=5, table=old_phys)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    out = ivfpq_refit(emb, wh, control, keep_generations=2)
+    assert out["expired"] == []  # retention kept the old generation
+    again = (
+        ivfpq_topk_persisted(wh, emb, queries, k=5, table=old_phys)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert before[["query_id", "neighbor_id", "rank"]].values.tolist() == (
+        again[["query_id", "neighbor_id", "rank"]].values.tolist()
+    )
+
+
+def test_pq_geometry_auto_adopts_plan_past_trainability(spark, sf_dir):
+    """VERDICT r12 #6: with default geometry, a corpus past the
+    ≥40×k-per-subspace bound gets plan_pq's pick (m=4, k=256 at dim 64)
+    with the fit sample raised to the bound; the small fixture keeps the
+    dense PQ_M/PQ_K defaults; explicit arguments are honored verbatim."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        PQ_PLAN_MIN_TRAIN_PER_CODE,
+        PQ_SAMPLE,
+        _resolve_pq_geometry,
+    )
+
+    # fixture-scale corpus (500 vectors): dense defaults
+    emb = _emb(spark, sf_dir)
+    assert _resolve_pq_geometry(emb, None, None) == (PQ_M, PQ_K, PQ_SAMPLE)
+    # explicit geometry: verbatim
+    assert _resolve_pq_geometry(emb, 8, 4) == (8, 4, PQ_SAMPLE)
+
+    # large synthetic corpus (deterministic, no RNG): planner geometry
+    big = spark.range(11_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(id * 64 + d), 1000) - 500 AS float) / 500.0) AS embedding",
+    )
+    need = PQ_PLAN_MIN_TRAIN_PER_CODE * 256
+    m, k, sample = _resolve_pq_geometry(big, None, None)
+    assert (m, k) == (4, 256) and sample == max(PQ_SAMPLE, need)
+
+
+def test_codebook_memo_fit_once_and_identical(spark, sf_dir, monkeypatch):
+    """VERDICT r12 #7: repeated builds over the same corpus fit the PQ /
+    residual codebooks ONCE — the memo returns bit-identical books from
+    the persisted artifact; different corpora (the half-corpus filters of
+    the SAME files) get their own fits (ADVICE r12 #2: the fingerprint
+    must see content, not just file paths)."""
+    import priority_data_pipeline_postgres_db_spark.operators.similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    half = emb.filter(F.col("vec_id") < n // 2)
+    calls = {"pq": 0, "res": 0}
+    real_pq, real_res = sim.fit_pq_codebooks, sim.fit_residual_codebooks
+
+    def spy_pq(*a, **kw):
+        calls["pq"] += 1
+        return real_pq(*a, **kw)
+
+    def spy_res(*a, **kw):
+        calls["res"] += 1
+        return real_res(*a, **kw)
+
+    monkeypatch.setattr(sim, "fit_pq_codebooks", spy_pq)
+    monkeypatch.setattr(sim, "fit_residual_codebooks", spy_res)
+    sim._PQBOOK_ARTIFACTS.clear()
+
+    b1 = sim.pq_codebooks_memo(emb, PQ_M, PQ_K)
+    b2 = sim.pq_codebooks_memo(emb, PQ_M, PQ_K)
+    assert calls["pq"] == 1 and np.array_equal(b1, b2)
+    # a different frame over the SAME files is a different corpus
+    bh = sim.pq_codebooks_memo(half, PQ_M, PQ_K)
+    assert calls["pq"] == 2 and not np.array_equal(b1, bh)
+
+    cents = sim.ivf_centroids_memo(emb, 8)
+    r1 = sim.pq_codebooks_memo(emb, PQ_M, PQ_K, cents=cents)
+    r2 = sim.pq_codebooks_memo(emb, PQ_M, PQ_K, cents=cents)
+    assert calls["res"] == 1 and np.array_equal(r1, r2)
+    # in-memory frame (no inputFiles): memo bypassed, fit runs each time
+    mem = spark.createDataFrame(
+        [(int(i), [float((i * 7 + d) % 13) - 6.0 for d in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    sim.pq_codebooks_memo(mem, PQ_M, 4)
+    sim.pq_codebooks_memo(mem, PQ_M, 4)
+    assert calls["pq"] == 4
+
+
+def test_append_on_pre_stats_index_still_commits(spark, sf_dir):
+    """ADVICE r12 #4: an index built before the stats table existed has
+    no drift baseline — the append must still COMMIT its codes and
+    report (drift_ratio=inf, baseline_available=False) instead of
+    failing after the encode landed."""
+    import shutil
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_append,
+        pq_append,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_prestats_"))
+    build_ivfpq_index(emb.filter(F.col("vec_id") < n // 2), wh)
+    build_pq_index(emb.filter(F.col("vec_id") < n // 2), wh)
+    # simulate the pre-stats vintage: remove the stats tables outright
+    shutil.rmtree(wh._path("ivfpq_index_stats"))
+    shutil.rmtree(wh._path("pq_index_stats"))
+    b = emb.filter(F.col("vec_id") >= n // 2)
+    rep = ivfpq_append(b, wh, batch_id="g1")
+    assert rep["postings_written"] > 0
+    assert rep["drift_ratio"] == float("inf")
+    assert rep["baseline_available"] is False
+    rep2 = pq_append(b, wh, batch_id="g1")
+    assert rep2["codes_written"] > 0
+    assert rep2["baseline_available"] is False
+    # the commits really landed: the grown indexes hold both halves
+    assert wh.read("pq_index").count() == n
