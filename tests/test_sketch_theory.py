@@ -244,3 +244,111 @@ def test_ivf_balance_pin_fails_on_collapsed_centroids(spark, gate_dir):
     collapsed = np.tile(X[0], (k, 1))
     ratio, empty = _ivf_balance(X, collapsed)
     assert ratio == pytest.approx(float(k)) and empty == k - 1
+
+
+# ---------------------------------------------------------------------------
+# dHash (image perceptual hash) — the banded-Hamming join's candidate-rate
+# math (VERDICT r12 #5)
+# ---------------------------------------------------------------------------
+# banded_hamming_pairs bounds its work by Σ(band bucket)² over 16-bit band
+# keys, which assumes dHash bits over NON-duplicate images are near-uniform
+# and only weakly dependent.  For iid-noise images the family has an EXACT
+# theory: each gradient bit (block[j+1] > block[j]) is Bernoulli(½) by
+# symmetry; adjacent bits in one row share a block, and for iid continuous
+# block means P(A>B ∧ B>C) = 1/6, so their correlation is
+# (1/6 − 1/4)/(1/4) = −1/3; block rows are disjoint pixel ranges, so bits
+# in different rows are independent.  Along one 8-bit row the bits form a
+# Markov chain with P(next=1 | cur=1) = 1/3 and P(next=1 | cur=0) = 2/3 —
+# two INDEPENDENT images agree on a whole row with probability
+# ½ · (5/9)^7 (agreement is itself Markov: given agreement at bit j,
+# P(agree at j+1) = (1/3)² + (2/3)² = 5/9), and a 16-bit band is two
+# independent rows, so the per-band key-collision rate between unrelated
+# images is (½ · (5/9)^7)² ≈ 6.7e-5 — ~4.4× a uniform 2^-16, still
+# bucket-bounded.  That number IS the candidate-rate the join's Σ(bucket)²
+# cost model relies on; the pins below measure it, and the degenerate
+# family (monotone-gradient images: every comparison points one way)
+# demonstrates the failure mode the pin exists to catch — all keys
+# collapse into one bucket and the join goes quadratic.
+
+
+def _dhash_family(images) -> np.ndarray:
+    from priority_data_pipeline_postgres_db_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+    )
+
+    return np.array(
+        [dhash64(encode_png(arr)) for arr in images], dtype=np.int64
+    )
+
+
+def _dhash_band_stats(hashes: np.ndarray):
+    """(bit marginals[64], adjacent-in-row correlations, cross-row
+    correlations, per-band collision rate over all unrelated pairs)."""
+    bits = ((hashes[:, None].astype(np.uint64) >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.float64
+    )
+    marg = bits.mean(axis=0)
+    centered = bits - marg[None, :]
+    sd = bits.std(axis=0) + 1e-12
+    corr = (centered.T @ centered) / len(bits) / np.outer(sd, sd)
+    # bit index b of the VALUE is position 63-b of the MSB-first build:
+    # row r, gradient j (0-indexed) sits at value-bit 63 - (8r + j)
+    adj, cross = [], []
+    for r in range(8):
+        for j in range(7):
+            adj.append(corr[63 - (8 * r + j), 63 - (8 * r + j + 1)])
+        if r < 7:
+            cross.append(corr[63 - (8 * r + 7), 63 - (8 * (r + 1))])
+    bands = (
+        hashes[:, None].astype(np.uint64)
+        >> (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+    ) & np.uint64(0xFFFF)
+    n = len(hashes)
+    collisions = sum(
+        int((bands[:, b][:, None] == bands[:, b][None, :]).sum() - n) // 2
+        for b in range(4)
+    )
+    rate = collisions / (4 * n * (n - 1) / 2)
+    return marg, np.array(adj), np.array(cross), rate
+
+
+_DHASH_BAND_COLLISION_THEORY = (0.5 * (5.0 / 9.0) ** 7) ** 2  # ≈ 6.67e-5
+
+
+def test_dhash_band_theory_on_noise_images():
+    """Noise-image pins: bit marginals ½ ± 0.08 (4σ at n=800), adjacent
+    same-row correlation −1/3 ± 0.12, cross-row ≈ 0 ± 0.12, and the
+    per-band key-collision rate within [0.3×, 3×] of the Markov theory
+    value (Poisson noise on ~85 expected collisions spans far less)."""
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 256, (24, 27, 3), dtype=np.uint8) for _ in range(800)
+    ]
+    marg, adj, cross, rate = _dhash_band_stats(_dhash_family(imgs))
+    assert marg.min() > 0.42 and marg.max() < 0.58, (marg.min(), marg.max())
+    assert abs(adj.mean() - (-1.0 / 3.0)) < 0.12, adj.mean()
+    assert np.abs(cross).max() < 0.12, np.abs(cross).max()
+    lo, hi = 0.3 * _DHASH_BAND_COLLISION_THEORY, 3.0 * _DHASH_BAND_COLLISION_THEORY
+    assert lo < rate < hi, (rate, _DHASH_BAND_COLLISION_THEORY)
+
+
+def test_dhash_pin_fails_on_degenerate_family():
+    """Monotone-gradient images (brightness strictly increasing left to
+    right — the constant-structure worst case): every gradient
+    comparison points the same way, all 64 bits saturate at 1, every
+    band key collapses into ONE bucket, and the measured collision rate
+    blows past the tolerance by >1000× — the exact quadratic-join
+    failure the noise pin guards against."""
+    rng = np.random.default_rng(11)
+    imgs = []
+    for _ in range(200):
+        base = np.linspace(10, 240, 27)[None, :, None] + rng.normal(
+            0, 1.0, (24, 27, 1)
+        )
+        imgs.append(
+            np.clip(base, 0, 255).astype(np.uint8).repeat(3, axis=2)
+        )
+    marg, adj, cross, rate = _dhash_band_stats(_dhash_family(imgs))
+    assert marg.mean() > 0.9  # saturated bits, nowhere near ½
+    assert rate > 1000 * _DHASH_BAND_COLLISION_THEORY, rate
