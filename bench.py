@@ -219,6 +219,9 @@ HEADLINE = [
     "j_skew_plan_reuse",
     "sim_ivfpq_append",
     "sim_pq_append",
+    # r13: the versioned-index lifecycle — build gen-1, append, refit,
+    # atomic pointer swap, query the new generation
+    "sim_ivfpq_refit",
 ]
 
 

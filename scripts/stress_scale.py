@@ -221,6 +221,9 @@ STRESS = [
     # bench-only)
     "sim_ivfpq_append",
     "sim_pq_append",
+    # r13: refit-and-swap — the refit's fit+re-encode must stay
+    # corpus-linear and the pointer swap corpus-constant
+    "sim_ivfpq_refit",
 ]
 
 
