@@ -2198,6 +2198,7 @@ def ivf_centroids_memo(
     k_clusters: int,
     sample_n: int = KMEANS_SAMPLE,
     iters: int = KMEANS_ITERS,
+    fp: tuple | None = None,
 ) -> np.ndarray:
     """Fit-once-per-(corpus, k) IVF centroids, persisted through the
     atomic staging protocol: the first call runs ``fit_ivf_centroids``
@@ -2208,7 +2209,8 @@ def ivf_centroids_memo(
     from ..util import scratch_dir
     from .staging import StagingWarehouse
 
-    fp = _emb_fingerprint(emb)
+    if fp is None:
+        fp = _emb_fingerprint(emb)
     if fp is None:
         # in-memory frame: no stable corpus identity — fit directly
         # rather than memo-share across unrelated corpora (ADVICE r12)
@@ -2256,6 +2258,7 @@ def pq_codebooks_memo(
     sample_n: int | None = None,  # None → PQ_SAMPLE (defined below)
     iters: int | None = None,  # None → PQ_ITERS
     cents: np.ndarray | None = None,
+    fp: tuple | None = None,
 ) -> np.ndarray:
     """Fit-once-per-(corpus, quantizer, geometry) PQ codebooks, persisted
     through the staging protocol exactly like ``ivf_centroids_memo``:
@@ -2273,7 +2276,8 @@ def pq_codebooks_memo(
         sample_n = PQ_SAMPLE
     if iters is None:
         iters = PQ_ITERS
-    fp = _emb_fingerprint(emb)
+    if fp is None:
+        fp = _emb_fingerprint(emb)
     if fp is None:
         if cents is None:
             return fit_pq_codebooks(emb, m, k_codes, sample_n, iters)
@@ -4222,8 +4226,13 @@ def build_ivfpq_index(
     (``_resolve_pq_geometry``, VERDICT r12 #6)."""
     spark = emb.sparkSession
     m, k_codes, fit_sample = _resolve_pq_geometry(emb, m, k_codes)
-    cents = ivf_centroids_memo(emb, k_clusters)
-    books = pq_codebooks_memo(emb, m, k_codes, sample_n=fit_sample, cents=cents)
+    # one fingerprint evaluation feeds both memos (the content aggregate
+    # is a column-scan job — no reason to pay it twice per build)
+    fp = _emb_fingerprint(emb)
+    cents = ivf_centroids_memo(emb, k_clusters, fp=fp)
+    books = pq_codebooks_memo(
+        emb, m, k_codes, sample_n=fit_sample, cents=cents, fp=fp
+    )
     encode = ivfpq_encode_udf(cents, books)
     postings = (
         emb.select("vec_id", encode(quantize_expr()).alias("postings"))
