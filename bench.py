@@ -220,8 +220,10 @@ HEADLINE = [
     "sim_ivfpq_append",
     "sim_pq_append",
     # r13: the versioned-index lifecycle — build gen-1, append, refit,
-    # atomic pointer swap, query the new generation
+    # atomic pointer swap, query the new generation — and the hands-free
+    # maintenance loop (append turns + postings bin-pack past the bound)
     "sim_ivfpq_refit",
+    "sim_ivfpq_maintain",
 ]
 
 

@@ -3622,7 +3622,7 @@ PQ_PLAN_MIN_TRAIN_PER_CODE = 40  # trainability bound: ≥40×k points/subspace
 
 
 def _resolve_pq_geometry(
-    emb: DataFrame, m: int | None, k_codes: int | None
+    emb: DataFrame, m: int | None, k_codes: int | None, n: int | None = None
 ) -> tuple[int, int, int]:
     """(m, k_codes, fit_sample_n) for an index build (VERDICT r12 #6).
     Explicit arguments are honored verbatim.  With defaults (``None``),
@@ -3633,13 +3633,15 @@ def _resolve_pq_geometry(
     it, keep the dense fixture-scale defaults (PQ_M/PQ_K), whose every
     cell stays populated at any fixture size.  One count against the
     corpus decides — the planner's pick stops being advice the caller
-    must remember to apply."""
+    must remember to apply.  Builds that already evaluated the corpus
+    fingerprint pass its row count as ``n`` so the decision costs no
+    extra scan."""
     if m is not None and k_codes is not None:
         return m, k_codes, PQ_SAMPLE
     dim = len(emb.select(quantize_expr().alias("q")).first()["q"])
     plan = plan_pq(dim)
     need = PQ_PLAN_MIN_TRAIN_PER_CODE * plan.k_codes
-    if memo_count(emb) >= need:
+    if (memo_count(emb) if n is None else n) >= need:
         return (
             m if m is not None else plan.m,
             k_codes if k_codes is not None else plan.k_codes,
@@ -3835,8 +3837,13 @@ def build_pq_index(
     ``m``/``k_codes`` are honored verbatim.  The codebook fit is
     memoized per (corpus, geometry) through ``pq_codebooks_memo``."""
     spark = emb.sparkSession
-    m, k_codes, fit_sample = _resolve_pq_geometry(emb, m, k_codes)
-    books = pq_codebooks_memo(emb, m, k_codes, sample_n=fit_sample)
+    # one fingerprint feeds the geometry decision and the codebook memo
+    # (the content aggregate already counts the corpus)
+    fp = _emb_fingerprint(emb)
+    m, k_codes, fit_sample = _resolve_pq_geometry(
+        emb, m, k_codes, n=None if fp is None else fp[2]
+    )
+    books = pq_codebooks_memo(emb, m, k_codes, sample_n=fit_sample, fp=fp)
     encode = pq_encode_udf(books)
     codes = emb.select("vec_id", encode(quantize_expr()).alias("codes"))
     wh.write(codes, table, incremental=False)
@@ -4225,10 +4232,13 @@ def build_ivfpq_index(
     geometry auto-adopts ``plan_pq`` past the trainability bound
     (``_resolve_pq_geometry``, VERDICT r12 #6)."""
     spark = emb.sparkSession
-    m, k_codes, fit_sample = _resolve_pq_geometry(emb, m, k_codes)
-    # one fingerprint evaluation feeds both memos (the content aggregate
-    # is a column-scan job — no reason to pay it twice per build)
+    # one fingerprint evaluation feeds both memos AND the geometry
+    # decision (the content aggregate already counts the corpus — no
+    # reason to pay the scan twice or three times per build)
     fp = _emb_fingerprint(emb)
+    m, k_codes, fit_sample = _resolve_pq_geometry(
+        emb, m, k_codes, n=None if fp is None else fp[2]
+    )
     cents = ivf_centroids_memo(emb, k_clusters, fp=fp)
     books = pq_codebooks_memo(
         emb, m, k_codes, sample_n=fit_sample, cents=cents, fp=fp
@@ -4713,6 +4723,89 @@ def ivfpq_topk_current(
     return res.withColumn("index_generation", F.lit(int(gen)))
 
 
+# how many committed posting batches an index generation accumulates
+# before maintain_index bin-packs them (each append = one batch = one
+# more file per probed label partition; past this, listing cost beats
+# the rewrite cost it amortizes)
+INDEX_COMPACT_AFTER_BATCHES = 8
+
+
+def ivfpq_compact(wh, control, table: str = "ivfpq_index") -> dict:
+    """Bin-pack the CURRENT generation's postings.  Every
+    ``ivfpq_append`` commits one more ``ingest_batch=`` dir, so after k
+    appends a probe opens O(k) parquet files per probed label partition
+    — at index scale the file listing, not the code bytes, becomes the
+    query cost.  ``rewrite_compact_files(partition_by=["label"])``
+    collapses the history to ~one file per label dir; quantizers, the
+    generation pointer, and query results are untouched (result
+    identity pinned in tests/test_pq.py).  Safe beside concurrent
+    appends — the rewrite replaces only the batches it read."""
+    phys, gen = resolve_index_table(control, table)
+    before = len(wh.data_files(phys))
+    wh.rewrite_compact_files(phys, partition_by=["label"])
+    return {
+        "generation": gen,
+        "physical": phys,
+        "files_before": before,
+        "files_after": len(wh.data_files(phys)),
+    }
+
+
+def maintain_index(
+    emb_new: DataFrame,
+    wh,
+    control,
+    table: str = "ivfpq_index",
+    *,
+    batch_id: str | None = None,
+    drift_refit_ratio: float = 2.0,
+    emb_full: DataFrame | None = None,
+    compact_after: int = INDEX_COMPACT_AFTER_BATCHES,
+    refit_kwargs: dict | None = None,
+) -> dict:
+    """One hands-free maintenance turn for a versioned IVFPQ index —
+    the orchestration that closes the loop the drift instrument opened:
+    append the batch through the current generation; if the report says
+    ``refit_recommended`` AND the caller supplied the grown corpus
+    (``emb_full``), run ``ivfpq_refit`` (new quantizers, re-encode,
+    atomic pointer swap); otherwise, once the generation's committed
+    batch history passes ``compact_after``, bin-pack the postings
+    (``ivfpq_compact``).  Exactly one heavy action per turn — a refit
+    re-encodes everything anyway, so compaction after it is moot.
+
+    Returns the append report plus ``actions`` (subset of
+    {"refit", "compact"}) and the post-turn generation, so a scheduler
+    can log what each turn did.  Idempotent per ``batch_id`` like the
+    append it wraps.
+
+    A default-geometry refit re-derives (k, m, k_codes) from the GROWN
+    corpus through the planner — intentional: the refit exists because
+    the old geometry aged out, and the trainability bound is exactly
+    what changed.  Callers that need geometry or retention continuity
+    pass ``refit_kwargs`` (forwarded to ``ivfpq_refit`` verbatim, e.g.
+    ``{"k_clusters": 4, "m": 4, "k_codes": 8, "keep_generations": 2}``)."""
+    rep = ivfpq_append_current(
+        emb_new,
+        wh,
+        control,
+        table=table,
+        batch_id=batch_id,
+        drift_refit_ratio=drift_refit_ratio,
+    )
+    actions: list[str] = []
+    if rep.get("refit_recommended") and emb_full is not None:
+        sw = ivfpq_refit(emb_full, wh, control, table=table, **(refit_kwargs or {}))
+        rep["generation"] = sw["generation"]
+        actions.append("refit")
+    else:
+        phys, _gen = resolve_index_table(control, table)
+        if len(wh.snapshots(phys)) > compact_after:
+            rep["compact_report"] = ivfpq_compact(wh, control, table=table)
+            actions.append("compact")
+    rep["actions"] = actions
+    return rep
+
+
 def sim_ivfpq_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — trained float quantizers): the FULL
     versioned-index lifecycle an operator runs on a drifting corpus.
@@ -4757,3 +4850,62 @@ def sim_ivfpq_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_ivfpq_refit"] = sim_ivfpq_refit
 # approximate + trained quantizers → rows-only; swap pins in tests/test_pq.py
+
+
+def sim_ivfpq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — trained float quantizers): the
+    hands-free maintenance loop on a versioned index.  Build generation
+    1 on the first half of the corpus (the same frame the refit entry
+    builds, so the quantizer fits memo-share within a gate run), then
+    two ``maintain_index`` turns over the second half: below the drift
+    bar the turns append, and once the generation's batch history
+    passes ``compact_after`` the turn bin-packs the postings
+    (``ivfpq_compact`` — the small-files bound every probed label
+    partition needs after incremental growth).  Queries answer through
+    the generation pointer afterwards.  In-band: ``index_generation``
+    (still 1 — the fixture never trips drift), the second turn's
+    ``actions``, and the compact's ``files_before``/``files_after``
+    (the compaction must strictly shrink the probe's file listing).
+    Result identity across the compact and the refit-on-drift turn are
+    pinned in tests/test_pq.py."""
+    import os as _os
+
+    from ..sources.control import ControlStore
+    from .staging import StagingWarehouse
+
+    root = scratch_dir("spark_graft_ivfpq_maintain_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(_os.path.join(root, "index_control.json"))
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.drop("label") if "label" in emb.columns else emb
+    n = emb.count()
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    mid = n // 2 + (n - n // 2) // 2
+    rep1 = maintain_index(
+        emb.filter((F.col("vec_id") >= n // 2) & (F.col("vec_id") < mid)),
+        wh,
+        control,
+        batch_id="turn-0",
+        compact_after=2,
+    )
+    rep2 = maintain_index(
+        emb.filter(F.col("vec_id") >= mid),
+        wh,
+        control,
+        batch_id="turn-1",
+        compact_after=2,
+    )
+    cf = rep2.get("compact_report", {})
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = ivfpq_topk_current(wh, control, emb, queries, k=TOP_K)
+    return (
+        res.withColumn("turn1_actions", F.lit(",".join(rep1["actions"])))
+        .withColumn("turn2_actions", F.lit(",".join(rep2["actions"])))
+        .withColumn("files_before", F.lit(int(cf.get("files_before", -1))))
+        .withColumn("files_after", F.lit(int(cf.get("files_after", -1))))
+    )
+
+
+QUERIES["sim_ivfpq_maintain"] = sim_ivfpq_maintain
+# approximate + trained quantizers → rows-only; compact/refit-turn pins
+# in tests/test_pq.py

@@ -823,6 +823,80 @@ class StagingWarehouse:
             _replace_only=basis,
         )
 
+    def rewrite_compact_files(
+        self,
+        table_name: str,
+        *,
+        n_files: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> "WriteReport":
+        """Bin-packing OPTIMIZE — the third maintenance rewrite beside
+        ``compact()`` (merge-on-pk) and ``rewrite_clustered`` (z-order):
+        collapse ALL committed batches into ONE batch with a bounded
+        file count, changing nothing about the rows.  The small-files
+        problem this exists for: every incremental append commits its
+        own ``ingest_batch=`` dir, so after k appends a reader lists and
+        opens O(k) files per hive partition — at 100 TB and a 1000-batch
+        history that is the scan bottleneck, not the bytes.
+
+        Logical content is preserved exactly: an append-only table
+        rewrites verbatim; a table with an upsert contract materializes
+        newest-wins (the same resolution every read already applies —
+        physical duplicates cannot survive a collapse into one batch,
+        where the batch-id tie-break would be lost).
+
+        Layout: with ``partition_by``, rows are hash-repartitioned on
+        the partition columns so each hive partition's rows land in few
+        tasks (near-1 file per partition dir; ``n_files`` widens the
+        hash to cap task size for fat partitions).  Without it,
+        ``n_files`` bounds the flat file count via coalesce (default
+        16, the rewrite_clustered width).
+
+        Same snapshot/concurrency shape as the other maintenance ops:
+        the rewrite replaces only the batches it READ — a batch a
+        concurrent appender commits mid-rewrite survives beside the
+        compacted base (single-maintainer per table, appenders free)."""
+        from pyspark.sql import functions as F
+
+        basis = self._batches(self._path(table_name))
+        live = self._live_ids(table_name)
+        cur = self.read(table_name, as_of=live[-1] if live else None)
+        if partition_by:
+            cols = [F.col(c) for c in partition_by]
+            cur = (
+                cur.repartition(n_files, *cols)
+                if n_files is not None
+                else cur.repartition(*cols)
+            )
+        else:
+            cur = cur.coalesce(n_files if n_files is not None else 16)
+        return self.write(
+            cur,
+            table_name,
+            incremental=False,
+            partition_by=partition_by,
+            _replace_only=basis,
+        )
+
+    def data_files(self, table_name: str) -> list[str]:
+        """The COMMITTED parquet data files of a table right now — the
+        file count a fresh scan would open (maintenance instrumentation:
+        the number ``rewrite_compact_files`` exists to bound).  Resolved
+        from the same membership snapshot reads use, so uncommitted or
+        half-deleted dirs never inflate it."""
+        path = self._path(table_name)
+        out: list[str] = []
+        for b in self._batches(path):
+            for root, dirs, names in os.walk(os.path.join(path, b)):
+                # mirror Spark's listing rule: hidden subtrees don't count
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                out += [
+                    os.path.join(root, f)
+                    for f in names
+                    if f.endswith(".parquet")
+                ]
+        return sorted(out)
+
     def table_changes(
         self, table_name: str, from_snapshot, to_snapshot
     ) -> DataFrame:

@@ -222,8 +222,10 @@ STRESS = [
     "sim_ivfpq_append",
     "sim_pq_append",
     # r13: refit-and-swap — the refit's fit+re-encode must stay
-    # corpus-linear and the pointer swap corpus-constant
+    # corpus-linear and the pointer swap corpus-constant — and the
+    # maintenance loop, whose compact is a postings-linear rewrite
     "sim_ivfpq_refit",
+    "sim_ivfpq_maintain",
 ]
 
 

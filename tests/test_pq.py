@@ -761,3 +761,163 @@ def test_append_on_pre_stats_index_still_commits(spark, sf_dir):
     assert rep2["baseline_available"] is False
     # the commits really landed: the grown indexes hold both halves
     assert wh.read("pq_index").count() == n
+
+
+def test_ivfpq_compact_preserves_queries_and_bounds_files(spark, sf_dir):
+    """Index maintenance for the append path's small-files problem:
+    every ivfpq_append commits one more batch, so a probe opens O(k)
+    files per probed label partition after k appends.  ivfpq_compact
+    bin-packs the CURRENT generation's postings to ~one file per label
+    dir; pins: query results identical pre/post (row-for-row), file
+    count strictly reduced, history collapsed to one batch, and appends
+    keep working after the rewrite."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_versioned,
+        ivfpq_append_current,
+        ivfpq_compact,
+        ivfpq_topk_current,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    root = scratch_dir("spark_graft_ivfpq_cf_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 3), wh, control)
+    for i, lo, hi in ((1, n // 3, 2 * n // 3), (2, 2 * n // 3, n)):
+        ivfpq_append_current(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            wh,
+            control,
+            batch_id=f"grow-{i}",
+        )
+    phys, _ = resolve_index_table(control)
+    before = (
+        ivfpq_topk_current(wh, control, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    rep = ivfpq_compact(wh, control)
+    assert rep["physical"] == phys
+    assert rep["files_after"] < rep["files_before"]
+    assert len(wh.snapshots(phys)) == 1
+    after = (
+        ivfpq_topk_current(wh, control, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert after[cols].values.tolist() == before[cols].values.tolist()
+    # the compacted index still accepts appends (frozen quantizers intact)
+    out = ivfpq_append_current(
+        emb.limit(0), wh, control, batch_id="post-compact"
+    )
+    assert out["generation"] == rep["generation"]
+
+
+def test_maintain_index_compacts_past_threshold(spark, sf_dir):
+    """The hands-free turn: below the drift bar, maintain_index appends
+    and — once the generation's batch history passes compact_after —
+    bin-packs the postings in the same turn.  Exactly one heavy action."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_versioned,
+        maintain_index,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    root = scratch_dir("spark_graft_maint_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    phys, _ = resolve_index_table(control)
+
+    step = max((n - n // 2) // 3, 1)
+    acts = []
+    for i in range(3):
+        lo = n // 2 + i * step
+        hi = n if i == 2 else n // 2 + (i + 1) * step
+        rep = maintain_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            wh,
+            control,
+            batch_id=f"turn-{i}",
+            compact_after=2,
+        )
+        acts.append(rep["actions"])
+        assert rep["generation"] == 1  # fixture corpus never trips drift
+    # turns 1..2 ran 1+1=2, then 3 batches > 2 → compact fired exactly when
+    # the history passed the bound, and the turn after a compact starts over
+    assert acts[0] == [] and "compact" in acts[1] + acts[2]
+    assert len(wh.snapshots(phys)) <= 3
+
+
+def test_maintain_index_refits_on_drift(spark):
+    """When the drift instrument fires AND the caller supplies the grown
+    corpus, the maintenance turn acts on refit_recommended end-to-end:
+    new quantizers, new generation, atomic swap — no compact in the same
+    turn (the refit re-encoded everything anyway)."""
+    import os
+
+    import numpy as np
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_ivfpq_versioned,
+        maintain_index,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    dim, per = 16, 100
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c] = 1.0
+        for i in range(per):
+            v = base + rng.normal(0, 0.02, dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    far = np.ones(dim) / np.sqrt(dim)
+    drift_rows = [
+        (10_000 + i, [float(x) for x in far + rng.normal(0, 0.02, dim)])
+        for i in range(per)
+    ]
+    drifted = spark.createDataFrame(drift_rows, "vec_id long, embedding array<float>")
+
+    root = scratch_dir("spark_graft_maint_refit_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    build_ivfpq_versioned(train, wh, control, k_clusters=4, m=4, k_codes=8)
+
+    rep = maintain_index(
+        drifted,
+        wh,
+        control,
+        batch_id="shifted",
+        emb_full=train.unionByName(drifted),
+        compact_after=0,  # even an eager compact bound must lose to the refit
+    )
+    assert rep["refit_recommended"], rep
+    assert rep["actions"] == ["refit"]
+    assert rep["generation"] == 2
+    assert resolve_index_table(control) == ("ivfpq_index__g0002", 2)

@@ -406,3 +406,54 @@ def test_appends_racing_refresh_swap_survive(spark, tmp_path, dwh):
     wh.compact("live")
     rows = {r["k"]: r["ver"] for r in wh.read("live").collect()}
     assert rows == {k: 6 for k in range(50)}
+
+
+def test_rewrite_compact_files_binpacks_and_preserves_rows(spark, orders, tmp_path):
+    """Bin-packing OPTIMIZE (the small-files maintenance op): after k
+    appends a hive-partitioned table holds O(k) files per partition dir;
+    rewrite_compact_files collapses the history to ONE batch with ~one
+    file per partition, rows verbatim.  Runs in both commit modes."""
+    o = orders.withColumn("pri", F.substring("o_orderpriority", 1, 1))
+    for mode in ("rename", "direct"):
+        wh = StagingWarehouse(
+            spark, str(tmp_path), account_id=f"bp-{mode}", commit_mode=mode
+        )
+        for i in range(4):
+            wh.write(
+                o.filter(F.col("o_orderkey") % 4 == i),
+                "T",
+                incremental=True,
+                batch_id=f"b{i}",
+                partition_by=["pri"],
+            )
+        before_rows = _rows(wh.read("t"))
+        files_before = wh.data_files("t")
+        n_pri = wh.read("t").select("pri").distinct().count()
+        assert len(files_before) > n_pri  # the small-files problem exists
+        wh.rewrite_compact_files("t", partition_by=["pri"])
+        assert _rows(wh.read("t")) == before_rows  # rows verbatim
+        files_after = wh.data_files("t")
+        assert len(files_after) < len(files_before)
+        assert len(files_after) <= n_pri + 1  # ~one file per partition dir
+        assert len(wh.snapshots("t")) == 1  # history collapsed to one batch
+        # appends keep working after the rewrite
+        wh.write(o.limit(7), "T", incremental=True, batch_id="b9",
+                 partition_by=["pri"])
+        assert len(_rows(wh.read("t"))) == len(before_rows) + 7
+
+
+def test_rewrite_compact_files_materializes_upsert_contract(spark, tmp_path, dwh):
+    """On a table WITH an upsert contract the bin-pack materializes
+    newest-wins (physical duplicates cannot survive a collapse into one
+    batch where the batch-id tie-break is lost) — same rule as
+    compact()/rewrite_clustered."""
+    wh = dwh
+    wh.set_upsert_keys("u", pk=["k"], order_col="ver")
+    wh.write(spark.range(20).selectExpr("id k", "0 ver"), "U", incremental=True)
+    wh.write(spark.range(10).selectExpr("id k", "1 ver"), "U", incremental=True)
+    logical_before = _rows(wh.read("u"))
+    wh.rewrite_compact_files("u", n_files=2)
+    assert _rows(wh.read("u")) == logical_before
+    # physically collapsed: raw row count == logical row count now
+    assert wh.read("u", raw=True).count() == 20
+    assert len(wh.data_files("u")) <= 2
