@@ -224,6 +224,7 @@ HEADLINE = [
     # maintenance loop (append turns + postings bin-pack past the bound)
     "sim_ivfpq_refit",
     "sim_ivfpq_maintain",
+    "stream_index_maintain",
 ]
 
 

@@ -1217,3 +1217,103 @@ ORACLE["stream_semantic_dedup"] = _SIM_ORACLE["dedup_embedding_pairs"].replace(
     f"bn <= {_SEM_CAP}", "bn <= 1000000000"
 )
 assert "1000000000" in ORACLE["stream_semantic_dedup"]  # replace() found the cap
+
+
+def stream_index_maintain(
+    spark: SparkSession, sf_dir: str, *, _root: str | None = None
+) -> DataFrame:
+    """Streaming vector ingest through the versioned-index maintenance
+    loop (rows-only — trained float quantizers): generation 1 is built
+    on the first half of the corpus; the second half lands as
+    hash-partitioned files drained ONE per micro-batch through
+    ``foreachBatch``, each batch one ``maintain_index`` turn keyed by a
+    DETERMINISTIC batch id — a foreachBatch replay after a crashed
+    epoch hits the idempotent append no-op, so the index grows
+    exactly-once on plain parquet (the ``stream_staging_cdc_ingest``
+    discipline applied to index postings).  ``compact_after`` is sized
+    so the drain's LAST turn bin-packs the postings — the small-files
+    bound a standing streamed index needs, applied on the same cadence
+    that created the files.  Post-drain queries answer through the
+    generation pointer.
+
+    Structural pin (tests/test_streaming.py): the drained index holds
+    posting-for-posting what a one-shot encode of the full corpus
+    against generation 1's frozen quantizers produces — however the
+    stream was chopped.  In-band: turn count, per-turn action trail,
+    and the final committed file count the compact bounded.
+
+    Scale: each turn's encode is batch-linear Arrow work against
+    broadcast-sized frozen quantizers; the compact is one
+    postings-linear rewrite amortized over the turns between bounds;
+    queries stay partition-pruned throughout — no leg of the loop ever
+    touches more than (batch + postings) regardless of stream length."""
+    import os as _os
+
+    from ..operators.similarity import (
+        TOP_K,
+        N_QUERIES,
+        build_ivfpq_versioned,
+        ivfpq_topk_current,
+        maintain_index,
+    )
+    from ..operators.staging import StagingWarehouse
+    from ..plans.tables import load
+    from ..sources.control import ControlStore
+    from ..util import memo_count
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = memo_count(emb)
+    # _root lets the structural-pin test own the warehouse and inspect
+    # the drained postings afterwards; the gate entry runs scratch-rooted
+    root = _root or scratch_dir("stream_idx_maint_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(_os.path.join(root, "index_control.json"))
+    build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+
+    n_files = 3
+    land = scratch_dir("stream_idx_land_")
+    (
+        emb.filter(F.col("vec_id") >= n // 2)
+        .repartition(n_files, "vec_id")
+        .write.mode("overwrite")
+        .parquet(land)
+    )
+    trail: list[str] = []
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        rep = maintain_index(
+            bdf,
+            wh,
+            control,
+            batch_id=f"stream-{bid:08d}",
+            compact_after=n_files,
+        )
+        trail.append(",".join(rep["actions"]) or "append")
+
+    with _state_partitions(spark):
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("stream_idx_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    _record_progress("stream_index_maintain", q)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = ivfpq_topk_current(wh, control, emb, queries, k=TOP_K)
+    from ..operators.similarity import resolve_index_table
+
+    phys_table, _gen = resolve_index_table(control)
+    return (
+        res.withColumn("n_turns", F.lit(len(trail)))
+        .withColumn("action_trail", F.lit(";".join(trail)))
+        .withColumn("files_final", F.lit(len(wh.data_files(phys_table))))
+    )
+
+
+QUERIES["stream_index_maintain"] = stream_index_maintain
+# approximate + trained quantizers → rows-only; the chop-independence
+# posting identity is pinned in tests/test_streaming.py

@@ -226,6 +226,7 @@ STRESS = [
     # maintenance loop, whose compact is a postings-linear rewrite
     "sim_ivfpq_refit",
     "sim_ivfpq_maintain",
+    "stream_index_maintain",
 ]
 
 

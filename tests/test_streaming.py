@@ -520,3 +520,67 @@ def test_attribution_outer_boundary(spark, tmp_path):
     assert (5, 4) in out  # matched emits without sealing
     assert all(p != 1 for p, _ in out)  # ts == W held
     assert all(p != 3 for p, _ in out)  # unsealed unmatched held
+
+
+def test_stream_index_maintain_chop_independent_postings(spark, sf_dir):
+    """The streamed maintenance loop's structural pin: after the drain
+    (3 micro-batches, last turn bin-packed), the index holds
+    posting-for-posting what a one-shot encode of the FULL corpus
+    against generation 1's frozen quantizers produces — the
+    build(A)+append(B) identity must survive both the stream chop and
+    the compact rewrite."""
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        ivfpq_encode_udf,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        quantize_expr,
+    )
+    from priority_data_pipeline_postgres_db_spark.plans.tables import load
+    from priority_data_pipeline_postgres_db_spark.streaming.incremental import (
+        stream_index_maintain,
+    )
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+    from priority_data_pipeline_postgres_db_spark.util import scratch_dir
+    import os as _os
+
+    # run the streamed drain against a warehouse the TEST owns
+    root = scratch_dir("stream_idx_pin_")
+    res = stream_index_maintain(spark, sf_dir, _root=root).toPandas()
+    assert len(res) > 0
+    assert set(res["index_generation"]) == {1}  # fixture never trips drift
+    trail = res["action_trail"].iloc[0].split(";")
+    assert len(trail) == 3 and trail[-1] == "compact"
+
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(_os.path.join(root, "index_control.json"))
+    phys, _ = resolve_index_table(control)
+    got = {
+        (r["vec_id"], r["label"], tuple(r["codes"]))
+        for r in wh.read(phys).collect()
+    }
+    # the one-shot identity: full corpus encoded against the drained
+    # generation's own frozen quantizers — whatever the chop and the
+    # compact rewrite did, the postings must be exactly this set
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    encode = ivfpq_encode_udf(
+        load_ivf_centroids(wh, table=phys), load_pq_codebooks(wh, table=phys)
+    )
+    want = {
+        (r["vec_id"], r["label"], tuple(r["codes"]))
+        for r in emb.select("vec_id", encode(quantize_expr()).alias("ps"))
+        .select("vec_id", F.explode("ps").alias("p"))
+        .select(
+            "vec_id",
+            F.col("p.label").alias("label"),
+            F.col("p.codes").alias("codes"),
+        )
+        .collect()
+    }
+    assert got == want
