@@ -4806,6 +4806,149 @@ def maintain_index(
     return rep
 
 
+# --- plain-PQ twins of the versioned lifecycle --------------------------
+# pq_append carries the same drift instrument as ivfpq_append, so the
+# plain index deserves the same machinery acting on it.  The generation/
+# pointer/expiry primitives above are already family-agnostic (physical
+# names + the artifact log); these twins just route them through
+# build_pq_index / pq_append / pq_topk_persisted.  Lifecycle pins live
+# beside the IVFPQ ones in tests/test_pq.py; no separate gate entry —
+# the machinery under test is LINE-IDENTICAL to the gate-verified IVFPQ
+# path, only the build/query callables differ.
+
+
+def build_pq_versioned(
+    emb: DataFrame,
+    wh,
+    control,
+    table: str = "pq_index",
+    m: int | None = None,
+    k_codes: int | None = None,
+) -> dict:
+    """Generation-1 build of a versioned plain-PQ index — tables land
+    first, then the pointer publishes (the ``build_ivfpq_versioned``
+    discipline)."""
+    phys = _index_physical(table, 1)
+    build_pq_index(emb, wh, table=phys, m=m, k_codes=k_codes)
+    control.put_artifact(ANN_INDEX_KIND, table, {"generation": 1, "physical": phys})
+    return {"generation": 1, "physical": phys}
+
+
+def pq_refit(
+    emb_full: DataFrame,
+    wh,
+    control,
+    table: str = "pq_index",
+    *,
+    m: int | None = None,
+    k_codes: int | None = None,
+    keep_generations: int = 1,
+) -> dict:
+    """``ivfpq_refit`` for the plain index: new codebooks on the grown
+    corpus, re-encode into generation g+1 beside live queries, one
+    atomic pointer swap, superseded generations expired."""
+    _, cur_gen = resolve_index_table(control, table)
+    gen = cur_gen + 1
+    phys = _index_physical(table, gen)
+    build_pq_index(emb_full, wh, table=phys, m=m, k_codes=k_codes)
+    control.put_artifact(
+        ANN_INDEX_KIND, table, {"generation": gen, "physical": phys}
+    )  # THE swap
+    reaped = expire_index_generations(
+        wh, control, table, keep_last=keep_generations
+    )
+    return {"generation": gen, "physical": phys, "expired": reaped}
+
+
+def pq_append_current(
+    emb_new: DataFrame,
+    wh,
+    control,
+    table: str = "pq_index",
+    *,
+    batch_id: str | None = None,
+    drift_refit_ratio: float = 2.0,
+) -> dict:
+    """``pq_append`` routed through the generation pointer."""
+    phys, gen = resolve_index_table(control, table)
+    rep = pq_append(
+        emb_new, wh, table=phys, batch_id=batch_id,
+        drift_refit_ratio=drift_refit_ratio,
+    )
+    rep["generation"] = gen
+    return rep
+
+
+def pq_topk_current(
+    wh,
+    control,
+    emb: DataFrame,
+    queries: DataFrame,
+    table: str = "pq_index",
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Query the plain index through the generation pointer; the
+    answering generation rides in-band."""
+    phys, gen = resolve_index_table(control, table)
+    res = pq_topk_persisted(wh, emb, queries, table=phys, k=k, rerank=rerank)
+    return res.withColumn("index_generation", F.lit(int(gen)))
+
+
+def pq_compact(wh, control, table: str = "pq_index", n_files: int = 16) -> dict:
+    """Bin-pack the CURRENT generation's code table.  The plain index
+    has no label partitioning — the ADC scan reads the whole table — so
+    the bound is a flat file count: after k appends the scan opens
+    O(k) files; the rewrite collapses them to ``n_files``."""
+    phys, gen = resolve_index_table(control, table)
+    before = len(wh.data_files(phys))
+    wh.rewrite_compact_files(phys, n_files=n_files)
+    return {
+        "generation": gen,
+        "physical": phys,
+        "files_before": before,
+        "files_after": len(wh.data_files(phys)),
+    }
+
+
+def maintain_pq_index(
+    emb_new: DataFrame,
+    wh,
+    control,
+    table: str = "pq_index",
+    *,
+    batch_id: str | None = None,
+    drift_refit_ratio: float = 2.0,
+    emb_full: DataFrame | None = None,
+    compact_after: int = INDEX_COMPACT_AFTER_BATCHES,
+    refit_kwargs: dict | None = None,
+) -> dict:
+    """``maintain_index`` for the plain index — same turn contract:
+    append; refit-and-swap when drift fired and the grown corpus was
+    supplied; else bin-pack past ``compact_after`` committed batches.
+    Exactly one heavy action per turn."""
+    rep = pq_append_current(
+        emb_new,
+        wh,
+        control,
+        table=table,
+        batch_id=batch_id,
+        drift_refit_ratio=drift_refit_ratio,
+    )
+    actions: list[str] = []
+    if rep.get("refit_recommended") and emb_full is not None:
+        sw = pq_refit(emb_full, wh, control, table=table, **(refit_kwargs or {}))
+        rep["generation"] = sw["generation"]
+        actions.append("refit")
+    else:
+        phys, _gen = resolve_index_table(control, table)
+        if len(wh.snapshots(phys)) > compact_after:
+            rep["compact_report"] = pq_compact(wh, control, table=table)
+            actions.append("compact")
+    rep["actions"] = actions
+    return rep
+
+
 def sim_ivfpq_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — trained float quantizers): the FULL
     versioned-index lifecycle an operator runs on a drifting corpus.

@@ -921,3 +921,135 @@ def test_maintain_index_refits_on_drift(spark):
     assert rep["actions"] == ["refit"]
     assert rep["generation"] == 2
     assert resolve_index_table(control) == ("ivfpq_index__g0002", 2)
+
+
+def test_pq_versioned_lifecycle_and_swap_identity(spark, sf_dir):
+    """Plain-PQ twin of the versioned lifecycle: build gen-1 on half the
+    corpus, append the rest through the pointer, pq_refit on the full
+    corpus — gen-2, atomic swap, gen-1 expired — and the post-swap
+    queries answer exactly like a one-shot build on the same corpus
+    (deterministic memoized fits)."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_pq_index,
+        build_pq_versioned,
+        pq_append_current,
+        pq_refit,
+        pq_topk_current,
+        pq_topk_persisted,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    root = scratch_dir("spark_graft_pq_gen_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    build_pq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    assert resolve_index_table(control, "pq_index") == ("pq_index__g0001", 1)
+    rep = pq_append_current(
+        emb.filter(F.col("vec_id") >= n // 2), wh, control, batch_id="g1"
+    )
+    assert rep["generation"] == 1 and rep["codes_written"] > 0
+
+    out = pq_refit(emb, wh, control)
+    assert out["generation"] == 2 and out["expired"] == ["pq_index__g0001"]
+    assert not wh.exists("pq_index__g0001")
+    post = (
+        pq_topk_current(wh, control, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert set(post["index_generation"]) == {2}
+    wh2 = StagingWarehouse(spark, scratch_dir("spark_graft_pq_gen_oneshot_"))
+    build_pq_index(emb, wh2)
+    want = (
+        pq_topk_persisted(wh2, emb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert post[cols].values.tolist() == want[cols].values.tolist()
+
+
+def test_maintain_pq_index_compacts_and_refits(spark, sf_dir):
+    """maintain_pq_index mirrors the IVFPQ turn contract: bin-pack past
+    compact_after on the fixture corpus (drift never fires), and
+    refit-and-swap when the drift instrument fires on the clustered
+    synthetic with the grown corpus supplied."""
+    import os
+
+    from priority_data_pipeline_postgres_db_spark.operators.similarity import (
+        build_pq_versioned,
+        maintain_pq_index,
+        resolve_index_table,
+    )
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+    from priority_data_pipeline_postgres_db_spark.sources.control import ControlStore
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    root = scratch_dir("spark_graft_pq_maint_")
+    wh = StagingWarehouse(spark, root)
+    control = ControlStore(os.path.join(root, "ctl.json"))
+    build_pq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
+    phys, _ = resolve_index_table(control, "pq_index")
+    step = max((n - n // 2) // 3, 1)
+    acts = []
+    for i in range(3):
+        lo = n // 2 + i * step
+        hi = n if i == 2 else n // 2 + (i + 1) * step
+        rep = maintain_pq_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            wh,
+            control,
+            batch_id=f"turn-{i}",
+            compact_after=2,
+        )
+        acts.append(rep["actions"])
+        assert rep["generation"] == 1
+    assert acts[0] == [] and "compact" in acts[1] + acts[2]
+    assert len(wh.snapshots(phys)) <= 3
+
+    # drift branch: clustered synthetic, far-off batch, grown corpus given
+    dim, per = 16, 100
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c] = 1.0
+        for i in range(per):
+            rows.append(
+                (c * per + i, [float(x) for x in base + rng.normal(0, 0.02, dim)])
+            )
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    far = np.ones(dim) / np.sqrt(dim)
+    drifted = spark.createDataFrame(
+        [(9000 + i, [float(x) for x in far + rng.normal(0, 0.02, dim)])
+         for i in range(per)],
+        "vec_id long, embedding array<float>",
+    )
+    root2 = scratch_dir("spark_graft_pq_maint_drift_")
+    wh2 = StagingWarehouse(spark, root2)
+    control2 = ControlStore(os.path.join(root2, "ctl.json"))
+    build_pq_versioned(train, wh2, control2, m=4, k_codes=8)
+    rep = maintain_pq_index(
+        drifted,
+        wh2,
+        control2,
+        batch_id="shifted",
+        emb_full=train.unionByName(drifted),
+        compact_after=0,
+    )
+    assert rep["refit_recommended"], rep
+    assert rep["actions"] == ["refit"]
+    assert resolve_index_table(control2, "pq_index") == ("pq_index__g0002", 2)
