@@ -581,6 +581,16 @@ class StagingWarehouse:
         writer.parquet(target)
 
         has_data = _has_parquet_files(target)
+        if has_data:
+            # zone-map sidecar (operators/stats.py), written BEFORE the
+            # commit act so a committed batch always carries its stats;
+            # best-effort — reads fail open on a missing sidecar
+            from . import stats as _zm
+
+            try:
+                _zm.write_sidecar(target, [f.name for f in df.schema.fields])
+            except Exception:
+                pass
         if has_data and not direct:
             # move the finished batch into place.  A collision means a
             # remnant or a twin: a COMPLETE dir is a concurrent twin's
@@ -896,6 +906,20 @@ class StagingWarehouse:
                     if f.endswith(".parquet")
                 ]
         return sorted(out)
+
+    def table_stats(self, table_name: str) -> dict[str, dict | None]:
+        """Per-committed-batch zone-map sidecars (operators/stats.py),
+        keyed by batch id — the observability face of data skipping:
+        rows, logical columns, and the per-column min/max envelope each
+        ``read(where=...)`` prunes against.  ``None`` for a batch
+        written before the feature (unprunable, always read)."""
+        from . import stats as _zm
+
+        path = self._path(table_name)
+        return {
+            d.split("=", 1)[1]: _zm.load_sidecar(os.path.join(path, d))
+            for d in self._batches(path)
+        }
 
     def table_changes(
         self, table_name: str, from_snapshot, to_snapshot
@@ -1238,7 +1262,9 @@ class StagingWarehouse:
             shutil.rmtree(os.path.join(path, f"{BATCH_COL}={b}"), ignore_errors=True)
         return {"expired": doomed, "horizon": horizon, "base": base_id}
 
-    def _read_dirs(self, path: str, ids: set[str] | None) -> DataFrame:
+    def _read_dirs(
+        self, path: str, ids: set[str] | None, prune=None
+    ) -> DataFrame:
         """Physical read of exactly the COMMITTED batches.  With a
         manifest (``ids`` a set), the read is over explicit resolved
         paths (``basePath`` keeps the partition column): an uncommitted
@@ -1274,6 +1300,17 @@ class StagingWarehouse:
                     "recover, or vacuum to reap"
                 )
             return reader.parquet(path)
+        if prune:
+            # zone-map data skipping (operators/stats.py): drop batches
+            # and files whose sidecar min/max disprove the conjunction —
+            # before Spark ever lists or opens them.  Sound by the
+            # residual-filter contract (read() always applies the full
+            # predicate) plus the schema-preservation guard inside
+            # prune_plan; fail-open everywhere else.
+            from . import stats as _zm
+
+            paths, _ = _zm.prune_plan(path, committed, prune)
+            return reader.option("basePath", path).parquet(*paths)
         return reader.option("basePath", path).parquet(
             *(os.path.join(path, d) for d in committed)
         )
@@ -1315,7 +1352,7 @@ class StagingWarehouse:
             ns = int(as_of)
         return f"{ns:020d}-zzzzzzzz"
 
-    def _visible(self, table_name: str, as_of=None) -> DataFrame:
+    def _visible(self, table_name: str, as_of=None, prune=None) -> DataFrame:
         """The physically VISIBLE frame — marker/as_of rules applied,
         BATCH_COL retained (readers drop it; compact/rewrite need it for
         the newest-wins tie-break).
@@ -1339,7 +1376,7 @@ class StagingWarehouse:
         # reader racing a refresh swap must never mix the old entry set
         # with the new (marker-less) generation or vice versa
         ids, exp = self._snapshot_state(path)
-        df = self._read_dirs(path, ids)
+        df = self._read_dirs(path, ids, prune=prune)
         if exp:
             df = df.filter(
                 ((~F.col(BATCH_COL).endswith(BASE_SUFFIX))
@@ -1369,7 +1406,7 @@ class StagingWarehouse:
         return df
 
     def read(
-        self, table_name: str, *, raw: bool = False, as_of=None
+        self, table_name: str, *, raw: bool = False, as_of=None, where=None
     ) -> DataFrame:
         """Logical table view.  If the table carries an upsert contract
         (``set_upsert_keys``), the DEFAULT read is newest-wins per PK —
@@ -1390,8 +1427,35 @@ class StagingWarehouse:
         Caveat, same trade as lakehouse VACUUM: ``compact()`` collapses
         history into one fresh batch, so snapshots older than the last
         compaction are no longer addressable; pin a compaction cadence
-        to the audit-retention window."""
-        df = self._visible(table_name, as_of=as_of)
+        to the audit-retention window.
+
+        ``where`` is ZONE-MAP DATA SKIPPING (operators/stats.py): a
+        conjunction of ``(column, op, literal)`` predicates — ops
+        ``== != < <= > >= in between`` — semantically IDENTICAL to
+        ``read(...).filter(...)`` (the full predicate is always applied
+        as a residual filter), but batches and files whose committed
+        min/max sidecar disproves a conjunct are pruned from the FILE
+        LISTING before Spark plans: one sidecar read per batch replaces
+        a footer pass over every file — the Delta/Iceberg skipping move
+        on the batch-commit protocol.  On an upsert table only
+        PK-column conjuncts prune (a value-column prune could drop the
+        newest version of a key and resurrect a stale one; the PK range
+        of a batch is version-invariant, so PK pruning stays sound);
+        column NAMES match exactly (case-sensitive).  Note the merged
+        column ORDER of a pruned read can differ from the unpruned one
+        (mergeSchema follows the surviving file set) — select columns
+        explicitly where order matters."""
+        from . import stats as _zm
+
+        prune = None
+        if where:
+            _zm.residual_condition(where)  # validate ops before any IO
+            meta0 = None if raw else self.upsert_keys(table_name)
+            prune = [
+                cj for cj in where
+                if meta0 is None or cj[0] in meta0["pk"]
+            ]
+        df = self._visible(table_name, as_of=as_of, prune=prune)
         from pyspark.sql import functions as F
 
         meta = None if raw else self.upsert_keys(table_name)
@@ -1404,6 +1468,10 @@ class StagingWarehouse:
             df = df.withColumn("_rn", F.row_number().over(w)).filter(
                 F.col("_rn") == 1
             ).drop("_rn")
+        if where:
+            # residual filter AFTER newest-wins resolution: semantics are
+            # exactly read().filter(...), never dependent on pruning
+            df = df.filter(_zm.residual_condition(where))
         return df.drop(BATCH_COL)
 
     def exists(self, table_name: str) -> bool:

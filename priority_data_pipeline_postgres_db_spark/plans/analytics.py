@@ -326,6 +326,61 @@ ORACLE["k1_zorder_scan"] = """
 """
 
 
+def k1_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping under the hash gate (r13 — operators/
+    stats.py): orders land in three committed batches split by total-
+    price band, each batch carrying a min/max sidecar aggregated from
+    its parquet footers at commit time; ``read(where=...)`` prunes the
+    disproved batches FROM THE FILE LISTING (manifest-level skipping —
+    one sidecar read per batch instead of a footer pass over every
+    file; the pruning itself is pinned by touched-file counts in
+    tests/test_staging_stats.py) while the always-applied residual
+    filter keeps the result bit-identical to the plain filtered scan
+    the oracle replays."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_zonemap_"))
+    od = load(spark, sf_dir, "orders")
+    wh.write(od.filter(F.col("o_totalprice") < 100000), "orders_zm",
+             incremental=True, batch_id="b1")
+    wh.write(od.filter((F.col("o_totalprice") >= 100000)
+                       & (F.col("o_totalprice") < 200000)), "orders_zm",
+             incremental=True, batch_id="b2")
+    wh.write(od.filter(F.col("o_totalprice") >= 200000), "orders_zm",
+             incremental=True, batch_id="b3")
+    return (
+        wh.read(
+            "orders_zm",
+            where=[
+                ("o_totalprice", ">=", 150000.0),
+                ("o_orderpriority", "in", ["1-URGENT", "2-HIGH"]),
+            ],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)"
+                " AS DECIMAL(18,4)) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+QUERIES["k1_stats_pruned_read"] = k1_stats_pruned_read
+
+ORACLE["k1_stats_pruned_read"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+      CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+        AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+"""
+
+
 def k1_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the hash gate (r9): three event batches
     land under a (user_id, event_id) upsert contract — each snapshot is
