@@ -225,6 +225,8 @@ HEADLINE = [
     "sim_ivfpq_refit",
     "sim_ivfpq_maintain",
     "stream_index_maintain",
+    # r13 continuation: zone-map data skipping
+    "k1_stats_pruned_read",
 ]
 
 

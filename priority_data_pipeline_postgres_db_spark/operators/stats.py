@@ -162,8 +162,10 @@ def _disproves(stat: dict | None, op: str, value) -> bool:
         return False
     try:
         if op == "in":
+            if not value:
+                return True  # col IN () is false for every row
             vals = [_coerce(t, x) for x in value]
-            if any(x is None for x in vals) or not vals:
+            if any(x is None for x in vals):
                 return False
             return not any(mn <= x <= mx for x in vals)
         if op == "between":
@@ -310,6 +312,8 @@ def load_sidecar(batch_dir: str) -> dict | None:
 # ---------------------------------------------------------------- pruning
 
 def _batch_disproved(sc: dict, conjuncts) -> bool:
+    if conjuncts and sc["rows"] == 0:
+        return True  # an empty batch satisfies nothing (and has no stats)
     for c, op, v in conjuncts:
         if c not in sc["columns"]:
             return True  # absent column: all-NULL under mergeSchema
@@ -319,6 +323,8 @@ def _batch_disproved(sc: dict, conjuncts) -> bool:
 
 
 def _file_disproved(sc: dict, fi: dict, conjuncts) -> bool:
+    if conjuncts and fi["rows"] == 0:
+        return True  # empty part file (Spark writes one per empty task)
     for c, op, v in conjuncts:
         if c not in sc["columns"]:
             # not in the batch's logical schema at all: all-NULL under
@@ -400,6 +406,47 @@ def prune_plan(
     return paths, report
 
 
+def join_prune_conjunct(dim_df, dim_key: str, fact_key: str, max_in: int = 1024):
+    """DYNAMIC FILE PRUNING: derive a zone-map conjunct on ``fact_key``
+    from the small side of an equi-join — the Databricks-DFP /
+    Iceberg-runtime-filter move on the batch-commit protocol.  For an
+    INNER or SEMI join, a fact row whose key is outside the dim side's
+    key set cannot survive the join, so the dim's key envelope is a
+    sound fact-side predicate: pass the result into
+    ``StagingWarehouse.read(where=[...])`` and disjoint batches/files
+    never reach the file listing.
+
+    Shape: the dim side's distinct keys are collected when there are at
+    most ``max_in`` of them (an IN-list — also pushed into parquet row-
+    group filtering by Spark) and collapsed to a min/max BETWEEN
+    envelope otherwise; NULL keys are dropped (NULL never equi-joins).
+    The driver collect is bounded by ``max_in + 1`` rows by
+    construction, and the envelope path is a 1-row aggregate — safe at
+    any dim size, but only WORTH it when the dim side is far smaller
+    than the fact (the DFP premise).  An empty dim yields an
+    always-false conjunct (``in ()``), pruning everything.
+
+    OUTER-JOIN CAVEAT: applying the conjunct to the fact side of a
+    LEFT/FULL outer join from the fact would drop unmatched fact rows —
+    use only where the join discards them anyway (inner/semi), same
+    restriction as engine-native DFP."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        dim_df.select(F.col(dim_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .limit(max_in + 1)
+        .collect()
+    )
+    if len(keys) <= max_in:
+        return (fact_key, "in", sorted(r["k"] for r in keys))
+    lo, hi = dim_df.filter(F.col(dim_key).isNotNull()).agg(
+        F.min(dim_key), F.max(dim_key)
+    ).first()
+    return (fact_key, "between", (lo, hi))
+
+
 def residual_condition(conjuncts):
     """The full predicate as a Spark Column — ALWAYS applied by the
     caller, so pruning can never change results.  Raises on unknown
@@ -422,7 +469,7 @@ def residual_condition(conjuncts):
         elif op == ">=":
             e = col >= v
         elif op == "in":
-            e = col.isin(list(v))
+            e = col.isin(list(v)) if v else F.lit(False)
         elif op == "between":
             e = col.between(v[0], v[1])
         else:

@@ -381,6 +381,65 @@ ORACLE["k1_stats_pruned_read"] = """
 """
 
 
+def j_dynamic_file_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning under the hash gate (r13 —
+    stats.join_prune_conjunct): for an inner equi-join whose dim side is
+    small, the dim's key set is collected (bounded by ``max_in``) into a
+    zone-map conjunct on the fact key, so fact batches/files provably
+    disjoint from the dim never reach the file listing — the
+    Databricks-DFP / Iceberg-runtime-filter move on the batch-commit
+    protocol.  Orders land in three custkey-banded batches; the dim is
+    a nation + balance slice of customer; the result must be
+    bit-identical to the plain join the oracle replays (the conjunct is
+    a superset filter for an inner join).  Key-aligned pruning is
+    pinned by touched-file counts in tests/test_staging_stats.py."""
+    from ..operators.staging import StagingWarehouse
+    from ..operators.stats import join_prune_conjunct
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_dfp_"))
+    od = load(spark, sf_dir, "orders")
+    wh.write(od.filter(F.col("o_custkey") < 500), "orders_dfp",
+             incremental=True, batch_id="b1")
+    wh.write(od.filter((F.col("o_custkey") >= 500)
+                       & (F.col("o_custkey") < 1000)), "orders_dfp",
+             incremental=True, batch_id="b2")
+    wh.write(od.filter(F.col("o_custkey") >= 1000), "orders_dfp",
+             incremental=True, batch_id="b3")
+    dim = load(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") == 3) & (F.col("c_acctbal") > 9000.0)
+    )
+    cj = join_prune_conjunct(dim, "c_custkey", "o_custkey")
+    fact = wh.read("orders_dfp", where=[cj])
+    return (
+        fact.join(
+            F.broadcast(dim.select("c_custkey")),
+            fact["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)"
+                " AS DECIMAL(18,4)) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+QUERIES["j_dynamic_file_prune"] = j_dynamic_file_prune
+
+ORACLE["j_dynamic_file_prune"] = """
+    SELECT c_custkey, count(*) AS n_orders,
+      CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+        AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    WHERE c_nationkey = 3 AND c_acctbal > 9000.0
+    GROUP BY c_custkey
+"""
+
+
 def k1_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the hash gate (r9): three event batches
     land under a (user_id, event_id) upsert contract — each snapshot is

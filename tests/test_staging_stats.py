@@ -252,6 +252,46 @@ def test_upsert_table_prunes_pk_only(spark, tmp_path):
     assert {_batch_of(p) for p in raw.inputFiles()} == {"b1"}
 
 
+# ------------------------------------------- dynamic file pruning (DFP)
+
+def test_join_prune_conjunct_in_and_between(spark):
+    dim = spark.createDataFrame([(5,), (9,), (None,)], "k long")
+    cj = zm.join_prune_conjunct(dim, "k", "fk")
+    assert cj == ("fk", "in", [5, 9])  # NULL dropped: never equi-joins
+    big = spark.range(0, 50).select(F.col("id").alias("k"))
+    col, op, (lo, hi) = zm.join_prune_conjunct(big, "k", "fk", max_in=10)
+    assert (col, op, lo, hi) == ("fk", "between", 0, 49)
+
+
+def test_dynamic_file_prune_join(spark, orders, tmp_path):
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="dfp")
+    od = orders
+    # bands inside sf0.001's actual custkey range (1..150)
+    wh.write(od.filter(F.col("o_custkey") < 75), "o", incremental=True,
+             batch_id="b1")
+    wh.write(od.filter(F.col("o_custkey") >= 75), "o", incremental=True,
+             batch_id="b2")
+    # dim keys confined to the first band → b2 provably disjoint
+    dim = spark.createDataFrame([(11,), (42,), (63,)], "c long")
+    cj = zm.join_prune_conjunct(dim, "c", "o_custkey")
+    fact = wh.read("o", where=[cj])
+    assert {_batch_of(p) for p in fact.inputFiles()} == {"b1"}
+    got = fact.join(F.broadcast(dim), fact["o_custkey"] == F.col("c"))
+    want = wh.read("o").join(F.broadcast(dim), F.col("o_custkey") == F.col("c"))
+    assert _rows(got) == _rows(want)
+
+
+def test_empty_dim_prunes_everything(spark, orders, tmp_path):
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="dfp0")
+    wh.write(orders, "o", incremental=True, batch_id="b1")
+    dim = spark.createDataFrame([], "c long")
+    cj = zm.join_prune_conjunct(dim, "c", "o_custkey")
+    assert cj == ("o_custkey", "in", [])
+    got = wh.read("o", where=[cj])
+    assert got.count() == 0
+    assert set(got.columns) == set(wh.read("o").columns)
+
+
 # ------------------------------------------------------------- unit math
 
 def test_disproves_envelope_matrix():
