@@ -921,6 +921,93 @@ class StagingWarehouse:
             for d in self._batches(path)
         }
 
+    def _visible_ids(self, table_name: str, as_of=None) -> list[str] | None:
+        """The batch ids a ``read(raw=True, as_of=...)`` would scan —
+        the PURE-PYTHON mirror of ``_visible``'s marker/as_of predicates
+        (which are batch-partition filters, so they resolve exactly on
+        ids).  ``None`` for legacy listing-fallback tables."""
+        path = self._path(table_name)
+        ids, exp = self._snapshot_state(path)
+        if ids is None:
+            listed = self._listed(path)
+            ids = {d.split("=", 1)[1] for d in listed}
+        live = set(ids)
+        if exp:
+            live = {
+                b for b in live
+                if (not b.endswith(BASE_SUFFIX) and b > exp["horizon"])
+                or b == exp["base"]
+            }
+        elif any(b.endswith(BASE_SUFFIX) for b in live):
+            live = {b for b in live if not b.endswith(BASE_SUFFIX)}
+        if as_of is not None:
+            cutoff = self._as_of_cutoff(as_of)
+            if exp and cutoff < exp["horizon"]:
+                raise SnapshotExpiredError(
+                    f"snapshot {cutoff!r} of {table_name!r} predates the "
+                    f"retention horizon {exp['horizon']!r}"
+                )
+            live = {
+                b for b in live
+                if b <= cutoff or (exp and b == exp["base"])
+            }
+        # visible = live ∩ physically listed (ghost entries are invisible)
+        listed = {d.split("=", 1)[1] for d in self._listed(path)}
+        return sorted(live & listed)
+
+    def metadata_row_count(self, table_name: str, *, as_of=None) -> int | None:
+        """PHYSICAL row count of the visible batch set answered from the
+        zone-map sidecars alone — no Spark job, no footer pass: the
+        Iceberg/Delta 'count(*) from manifests' move.  Semantics match
+        ``read(raw=True, as_of=...).count()`` (on an upsert table the
+        LOGICAL newest-wins count is smaller — use ``read().count()``
+        for that).  Returns ``None`` when any visible batch lacks a
+        sidecar (legacy batch or unreadable footer) — honest refusal,
+        never a guess."""
+        from . import stats as _zm
+
+        path = self._path(table_name)
+        total = 0
+        for bid in self._visible_ids(table_name, as_of=as_of):
+            sc = _zm.load_sidecar(os.path.join(path, f"{BATCH_COL}={bid}"))
+            if sc is None:
+                return None
+            total += sc["rows"]
+        return total
+
+    def column_bounds(
+        self, table_name: str, column: str, *, as_of=None
+    ) -> tuple | None:
+        """(min, max) of ``column`` over the visible PHYSICAL rows,
+        answered from the sidecars alone — the planning-time envelope
+        (date-spine bounds for gap fill, watermark sanity checks, split
+        points) without a table scan.  ``None`` when any visible batch
+        carrying the column lacks a usable envelope (no stats, NaN
+        bounds, legacy batch) — the caller falls back to the exact
+        aggregate.  Batches whose schema lacks the column contribute
+        only NULLs and are skipped (min/max ignore NULLs)."""
+        from . import stats as _zm
+
+        path = self._path(table_name)
+        lo = hi = None
+        for bid in self._visible_ids(table_name, as_of=as_of):
+            sc = _zm.load_sidecar(os.path.join(path, f"{BATCH_COL}={bid}"))
+            if sc is None:
+                return None
+            if column not in sc["columns"]:
+                continue
+            env = sc["batch"].get(column)
+            if env is None or sc["rows"] == 0:
+                if sc["rows"] == 0:
+                    continue
+                return None
+            mn, mx = _zm._dec(env["t"], env["mn"]), _zm._dec(env["t"], env["mx"])
+            if lo is None or mn < lo:
+                lo = mn
+            if hi is None or mx > hi:
+                hi = mx
+        return None if lo is None else (lo, hi)
+
     def table_changes(
         self, table_name: str, from_snapshot, to_snapshot
     ) -> DataFrame:
@@ -1214,15 +1301,29 @@ class StagingWarehouse:
         writer = folded.drop(BATCH_COL).write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
+        base_cols = [f.name for f in folded.schema.fields if f.name != BATCH_COL]
+
+        def _base_sidecar(target: str) -> None:
+            # zone-map sidecar for the folded base, same discipline as
+            # write(): before the commit act, best-effort
+            from . import stats as _zm
+
+            try:
+                _zm.write_sidecar(target, base_cols)
+            except Exception:
+                pass
+
         if self.commit_mode == "direct":
             # rename-free: the base is written straight into its final
             # dir — safe because an unreferenced (and entry-less) base is
             # INVISIBLE to every reader until the marker commits it, and
             # mode=overwrite converges over a crashed pass's remnant
             writer.parquet(base_path)
+            _base_sidecar(base_path)
         else:
             tmp = os.path.join(path, f".tmp-expire-{uuid.uuid4().hex[:8]}")
             writer.parquet(tmp)
+            _base_sidecar(tmp)
             try:
                 os.rename(tmp, base_path)
             except OSError:

@@ -372,6 +372,65 @@ def upsert_read_stress(spark, big_dir: str, factor: int) -> dict:
     }
 
 
+def zonemap_prune_stress(spark, big_dir: str, factor: int) -> dict:
+    """Zone-map skipping headroom (r13): a day-batched events table read
+    through a fixed 2-day ``where=`` band, pruned (sidecar skipping)
+    vs unpruned (plain filter over the full listing), at 1x and at
+    factor-x rows.  The claim under test: the pruned read's cost tracks
+    the SELECTED band — growing the table's history widens the unpruned
+    scan but leaves the pruned plan (and its touched-file count) flat,
+    which at 100 TB is the difference between a dashboard query and a
+    cluster-wide scan.  Both reads must agree on the row count (the
+    residual-filter contract)."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        root = os.path.join(OUT, f"zonemap_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        wh = StagingWarehouse(spark, root, account_id=f"zm{factor}")
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev.persist()  # 1 scan feeds every per-day batch write
+        days = sorted(
+            r[0] for r in ev.select(F.to_date("ts").alias("dd")).distinct().collect()
+        )
+        for day in days:
+            wh.write(
+                ev.filter(F.to_date("ts") == F.lit(day)), "ev",
+                incremental=True, batch_id=f"d-{day.isoformat()}",
+            )
+        ev.unpersist()
+        w = [("ts", "between", (lo, hi))]
+        t0 = time.time()
+        pruned = wh.read("ev", where=w)
+        pruned.write.format("noop").mode("overwrite").save()
+        t_pruned = time.time() - t0
+        t0 = time.time()
+        full = wh.read("ev").filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        full.write.format("noop").mode("overwrite").save()
+        t_full = time.time() - t0
+        rows_p, rows_f = pruned.count(), full.count()
+        assert rows_p == rows_f, (rows_p, rows_f)
+        out[tag] = {
+            "batches": len(days),
+            "rows_selected": rows_p,
+            "t_pruned_read": round(t_pruned, 2),
+            "t_filter_read": round(t_full, 2),
+            "files_touched_pruned": len(pruned.inputFiles()),
+            "files_touched_filter": len(full.inputFiles()),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def srp_recall_stress(spark, big_dir: str, factor: int) -> dict:
     """Measured SRP recall at the STRESS operating point (VERDICT r6 #3):
     ``n_planes_for`` holds bucket occupancy at any corpus size, but with
@@ -682,6 +741,8 @@ def main() -> None:
     if not sys.argv[2:]:  # full runs also produce the focused evidence
         results["stream_eviction"] = stream_eviction_stress(spark, big_dir, factor)
         results["upsert_read"] = upsert_read_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "zonemap_prune" in sys.argv[2:]:
+        results["zonemap_prune"] = zonemap_prune_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "srp_recall" in sys.argv[2:]:
         results["srp_recall"] = srp_recall_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "knn_recall" in sys.argv[2:]:

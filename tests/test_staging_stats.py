@@ -292,6 +292,47 @@ def test_empty_dim_prunes_everything(spark, orders, tmp_path):
     assert set(got.columns) == set(wh.read("o").columns)
 
 
+# ------------------------------------------ metadata-only table queries
+
+def test_metadata_row_count_matches_raw_read(spark, orders, tmp_path):
+    wh = _three_band_orders(spark, orders, tmp_path)
+    want = wh.read("orders_zm", raw=True).count()
+    assert wh.metadata_row_count("orders_zm") == want
+    # composes with time travel
+    assert wh.metadata_row_count("orders_zm", as_of="b2") == wh.read(
+        "orders_zm", raw=True, as_of="b2"
+    ).count()
+    # honest refusal once a sidecar is gone
+    os.remove(os.path.join(wh._path("orders_zm"), "ingest_batch=b1",
+                           zm.STATS_FILE))
+    assert wh.metadata_row_count("orders_zm") is None
+
+
+def test_metadata_row_count_after_expiry(spark, orders, tmp_path):
+    wh = _three_band_orders(spark, orders, tmp_path)
+    wh.expire_snapshots("orders_zm", keep_last=1)
+    got = wh.metadata_row_count("orders_zm")
+    want = wh.read("orders_zm", raw=True).count()
+    # the retention base batch is written by expire_snapshots itself and
+    # carries a sidecar like any committed batch
+    assert got == want
+
+
+def test_column_bounds_matches_aggregate(spark, orders, tmp_path):
+    wh = _three_band_orders(spark, orders, tmp_path)
+    lo, hi = wh.column_bounds("orders_zm", "o_totalprice")
+    agg = wh.read("orders_zm").agg(F.min("o_totalprice"),
+                                   F.max("o_totalprice")).first()
+    assert (lo, hi) == (agg[0], agg[1])
+    # string column bounds
+    slo, shi = wh.column_bounds("orders_zm", "o_orderpriority")
+    sagg = wh.read("orders_zm").agg(F.min("o_orderpriority"),
+                                    F.max("o_orderpriority")).first()
+    assert (slo, shi) == (sagg[0], sagg[1])
+    # unknown column: skipped by every batch → None
+    assert wh.column_bounds("orders_zm", "nope") is None
+
+
 # ------------------------------------------------------------- unit math
 
 def test_disproves_envelope_matrix():
