@@ -225,8 +225,9 @@ HEADLINE = [
     "sim_ivfpq_refit",
     "sim_ivfpq_maintain",
     "stream_index_maintain",
-    # r13 continuation: zone-map data skipping
+    # r13 continuation: zone-map data skipping + dynamic file pruning
     "k1_stats_pruned_read",
+    "j_dynamic_file_prune",
 ]
 
 
