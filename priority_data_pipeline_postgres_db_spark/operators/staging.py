@@ -588,7 +588,9 @@ class StagingWarehouse:
             from . import stats as _zm
 
             try:
-                _zm.write_sidecar(target, [f.name for f in df.schema.fields])
+                _zm.write_sidecar(
+                    target, [f.name for f in df.schema.fields], self.spark
+                )
             except Exception:
                 pass
         if has_data and not direct:
@@ -1309,7 +1311,7 @@ class StagingWarehouse:
             from . import stats as _zm
 
             try:
-                _zm.write_sidecar(target, base_cols)
+                _zm.write_sidecar(target, base_cols, self.spark)
             except Exception:
                 pass
 

@@ -195,67 +195,96 @@ def _disproves(stat: dict | None, op: str, value) -> bool:
 
 # ---------------------------------------------------------------- sidecar
 
-def write_sidecar(batch_dir: str, columns: list[str]) -> dict | None:
+def _file_stats(fp: str) -> dict | None:
+    """Per-file stats from one parquet FOOTER (no data pages), or None
+    when the footer is unreadable.  Pure function of the path — safe to
+    run in executor tasks for the distributed pass."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(fp).metadata
+    except Exception:
+        return None
+    cols: dict[str, dict | None] = {}
+    dead: set[str] = set()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            cm = rg.column(j)
+            name = cm.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = cm.statistics
+            enc_mn = enc_mx = None
+            if st is not None and st.has_min_max:
+                enc_mn, enc_mx = _enc(st.min), _enc(st.max)
+            if enc_mn is None or enc_mx is None or enc_mn[0] != enc_mx[0]:
+                dead.add(name)
+                cols[name] = None
+                continue
+            t = enc_mn[0]
+            prev = cols.get(name)
+            if prev is None:
+                cols[name] = {"t": t, "mn": enc_mn[1], "mx": enc_mx[1]}
+            elif prev["t"] != t:
+                dead.add(name)
+                cols[name] = None
+            else:
+                if _dec(t, enc_mn[1]) < _dec(t, prev["mn"]):
+                    prev["mn"] = enc_mn[1]
+                if _dec(t, enc_mx[1]) > _dec(t, prev["mx"]):
+                    prev["mx"] = enc_mx[1]
+    return {"rows": md.num_rows, "cols": cols}
+
+
+#: above this many files the footer pass runs as a Spark job — at a
+#: production batch (10^3-10^4 files on an object store) a driver-side
+#: loop would serialize 10^4 footer GETs right at the commit point
+DISTRIBUTE_THRESHOLD = 64
+
+
+def write_sidecar(
+    batch_dir: str, columns: list[str], spark=None
+) -> dict | None:
     """Aggregate parquet-footer min/max into ``<batch_dir>/_stats.json``.
 
     ``columns`` is the batch's LOGICAL column list (the written frame's
     schema, partition columns included) — the read side needs it for
     the absent-column pruning rule and the schema-preservation guard.
     Metadata-only: reads every file's footer, never a data page — the
-    same cost class as the _SUCCESS commit walk.  Returns the payload,
-    or None (and writes nothing) when no footer is readable; a column
-    with unusable stats in ANY row group is recorded as null
-    (unprunable) rather than dropped, so per-file maps stay complete.
-    Atomic publish (hidden tmp + ``os.replace``) — a torn sidecar can
-    never be parsed as a short-but-valid stats map."""
-    import pyarrow.parquet as pq
-
-    files: dict[str, dict] = {}
+    same cost class as the _SUCCESS commit walk; past
+    ``DISTRIBUTE_THRESHOLD`` files the footer reads fan out as a Spark
+    job (executors already hold the data locally right after the
+    write).  Returns the payload, or None (and writes nothing) when
+    any footer is unreadable; a column with unusable stats in ANY row
+    group is recorded as null (unprunable) rather than dropped, so
+    per-file maps stay complete.  Atomic publish (hidden tmp +
+    ``os.replace``) — a torn sidecar can never be parsed as a
+    short-but-valid stats map."""
+    paths: list[str] = []
     for dirpath, dirnames, filenames in os.walk(batch_dir):
         dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
-        for f in sorted(filenames):
-            if not f.endswith(".parquet"):
-                continue
-            fp = os.path.join(dirpath, f)
-            try:
-                md = pq.ParquetFile(fp).metadata
-            except Exception:
-                return None  # unreadable footer: fail open, no sidecar
-            cols: dict[str, dict | None] = {}
-            dead: set[str] = set()
-            for i in range(md.num_row_groups):
-                rg = md.row_group(i)
-                for j in range(rg.num_columns):
-                    cm = rg.column(j)
-                    name = cm.path_in_schema
-                    if "." in name or name in dead:
-                        continue
-                    st = cm.statistics
-                    enc_mn = enc_mx = None
-                    if st is not None and st.has_min_max:
-                        enc_mn, enc_mx = _enc(st.min), _enc(st.max)
-                    if (
-                        enc_mn is None
-                        or enc_mx is None
-                        or enc_mn[0] != enc_mx[0]
-                    ):
-                        dead.add(name)
-                        cols[name] = None
-                        continue
-                    t = enc_mn[0]
-                    prev = cols.get(name)
-                    if prev is None:
-                        cols[name] = {"t": t, "mn": enc_mn[1], "mx": enc_mx[1]}
-                    elif prev["t"] != t:
-                        dead.add(name)
-                        cols[name] = None
-                    else:
-                        if _dec(t, enc_mn[1]) < _dec(t, prev["mn"]):
-                            prev["mn"] = enc_mn[1]
-                        if _dec(t, enc_mx[1]) > _dec(t, prev["mx"]):
-                            prev["mx"] = enc_mx[1]
-            rel = os.path.relpath(fp, batch_dir)
-            files[rel] = {"rows": md.num_rows, "cols": cols}
+        paths += [
+            os.path.join(dirpath, f)
+            for f in sorted(filenames)
+            if f.endswith(".parquet")
+        ]
+    if spark is not None and len(paths) > DISTRIBUTE_THRESHOLD:
+        per_file = (
+            spark.sparkContext.parallelize(
+                paths, max(1, len(paths) // 32)
+            )
+            .map(_file_stats)
+            .collect()
+        )
+    else:
+        per_file = [_file_stats(fp) for fp in paths]
+    if any(fi is None for fi in per_file):
+        return None  # unreadable footer: fail open, no sidecar
+    files = {
+        os.path.relpath(fp, batch_dir): fi
+        for fp, fi in zip(paths, per_file)
+    }
     if not files:
         return None
     # batch rollup: envelope over the files that carry the column; a
@@ -298,14 +327,33 @@ def write_sidecar(batch_dir: str, columns: list[str]) -> dict | None:
     return payload
 
 
+#: path -> (mtime_ns, payload).  Sidecars are immutable once published
+#: (a rewrite replaces the whole batch dir), so an mtime-validated cache
+#: makes the O(batches) prune pass pay JSON parsing once per session —
+#: a 1000-batch history costs 1000 stat() calls, not 1000 parses.
+#: Callers treat payloads as read-only.
+_SIDECAR_CACHE: dict[str, tuple[int, dict]] = {}
+
+
 def load_sidecar(batch_dir: str) -> dict | None:
+    sp = os.path.join(batch_dir, STATS_FILE)
     try:
-        with open(os.path.join(batch_dir, STATS_FILE)) as fh:
+        mt = os.stat(sp).st_mtime_ns
+    except OSError:
+        return None
+    hit = _SIDECAR_CACHE.get(sp)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    try:
+        with open(sp) as fh:
             payload = json.load(fh)
     except (OSError, json.JSONDecodeError):
         return None
     if not isinstance(payload, dict) or payload.get("v") != 1:
         return None
+    if len(_SIDECAR_CACHE) > 8192:
+        _SIDECAR_CACHE.clear()  # crude bound; refills on demand
+    _SIDECAR_CACHE[sp] = (mt, payload)
     return payload
 
 

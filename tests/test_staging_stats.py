@@ -292,6 +292,43 @@ def test_empty_dim_prunes_everything(spark, orders, tmp_path):
     assert set(got.columns) == set(wh.read("o").columns)
 
 
+# ----------------------------------------- distributed footer pass, cache
+
+def test_distributed_footer_pass_matches_driver_side(spark, tmp_path):
+    # >DISTRIBUTE_THRESHOLD files routes the footer reads through a
+    # Spark job; the payload must be identical to the driver-side loop
+    df = spark.range(7000).select(
+        F.col("id"), (F.col("id") % 97).alias("bucket")
+    )
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="dist")
+    wh.write(df.repartition(zm.DISTRIBUTE_THRESHOLD + 8), "wide",
+             incremental=True, batch_id="b1")
+    bdir = os.path.join(wh._path("wide"), "ingest_batch=b1")
+    distributed = zm.load_sidecar(bdir)
+    assert distributed is not None
+    assert len(distributed["files"]) > zm.DISTRIBUTE_THRESHOLD
+    driver_side = zm.write_sidecar(bdir, distributed["columns"], None)
+    assert driver_side["files"] == distributed["files"]
+    assert driver_side["batch"] == distributed["batch"]
+    assert distributed["batch"]["id"] == {"t": "i", "mn": 0, "mx": 6999}
+
+
+def test_sidecar_cache_invalidates_on_rewrite(spark, orders, tmp_path):
+    wh = _three_band_orders(spark, orders, tmp_path)
+    bdir = os.path.join(wh._path("orders_zm"), "ingest_batch=b1")
+    first = zm.load_sidecar(bdir)
+    assert zm.load_sidecar(bdir) is first  # cache hit returns same object
+    # a changed sidecar (new mtime) must re-parse, not serve stale stats
+    payload = dict(first)
+    payload["rows"] = 12345
+    import time as _t
+
+    _t.sleep(0.01)
+    with open(os.path.join(bdir, zm.STATS_FILE), "w") as fh:
+        json.dump(payload, fh)
+    assert zm.load_sidecar(bdir)["rows"] == 12345
+
+
 # ------------------------------------------ metadata-only table queries
 
 def test_metadata_row_count_matches_raw_read(spark, orders, tmp_path):
