@@ -228,6 +228,7 @@ HEADLINE = [
     # r13 continuation: zone-map data skipping + dynamic file pruning
     "k1_stats_pruned_read",
     "j_dynamic_file_prune",
+    "k1_expectations_ingest",
 ]
 
 

@@ -133,6 +133,19 @@ class StagingReadError(Exception):
     them via ``vacuum``."""
 
 
+class ExpectationFailedError(Exception):
+    """Raised by ``write(expectations=...)`` when a ``fail``-action rule
+    has violations: nothing is written, and the exception carries the
+    per-rule violation counts (``.violations``)."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            "expectation(s) failed: "
+            + ", ".join(f"{n}={c} rows" for n, c in violations.items())
+        )
+
+
 class SnapshotExpiredError(Exception):
     """Raised by ``read(as_of=...)`` when the requested snapshot predates
     the retention horizon set by ``expire_snapshots`` — the lakehouse
@@ -142,11 +155,72 @@ class SnapshotExpiredError(Exception):
 
 @dataclass
 class WriteReport:
-    """Per-entity run report entry (priorityDataSource.py:209-215)."""
+    """Per-entity run report entry (priorityDataSource.py:209-215).
+    ``records_quarantined`` counts rows diverted to the table's
+    ``__quarantine`` twin by ``write(expectations=...)``."""
 
     entity_name: str
     table_name: str
     records_written: int
+    records_quarantined: int = 0
+
+
+QUARANTINE_SUFFIX = "__quarantine"
+
+
+def _split_expectations(df: DataFrame, expectations):
+    """DLT-style ingestion gates: each rule is ``(name, sql_condition,
+    action)`` — a row VIOLATES the rule when the condition is not true
+    (NULL counts as a violation, the standard expectation semantics).
+
+    - ``fail``: any violation aborts the whole write with
+      ``ExpectationFailedError`` (per-rule counts attached) — one
+      aggregate job over the frame before anything lands.
+    - ``quarantine``: violating rows are diverted to the
+      ``<table>__quarantine`` twin, tagged with ``_dq_violations`` (the
+      names of every quarantine rule the row failed).
+    - ``drop``: violating rows are silently removed (unless they also
+      trip a quarantine rule, which retains them in the quarantine).
+
+    Returns ``(valid_df, quarantine_df | None)`` — the valid frame
+    satisfies ALL rules.  Note the dual sink executes the source
+    lineage once per destination (plus once for fail counts); callers
+    with expensive non-replayable sources should land raw first and
+    gate the staged copy (the OData readers already stage raw)."""
+    from pyspark.sql import functions as F
+
+    checks = []
+    for name, cond, action in expectations:
+        if action not in ("drop", "quarantine", "fail"):
+            raise ValueError(
+                f"expectation {name!r}: action must be drop | quarantine"
+                f" | fail, got {action!r}"
+            )
+        checks.append((name, F.coalesce(F.expr(cond), F.lit(False)), action))
+    fail_checks = [(n, c) for n, c, a in checks if a == "fail"]
+    if fail_checks:
+        agg = df.agg(
+            *[
+                F.coalesce(F.sum(F.when(~c, 1)), F.lit(0)).alias(n)
+                for n, c in fail_checks
+            ]
+        ).first()
+        bad = {n: agg[n] for n, _ in fail_checks if agg[n] > 0}
+        if bad:
+            raise ExpectationFailedError(bad)
+    valid = df
+    for _, c, _a in checks:
+        valid = valid.filter(c)
+    quar_checks = [(n, c) for n, c, a in checks if a == "quarantine"]
+    quar = None
+    if quar_checks:
+        viol = F.array_compact(
+            F.array(*[F.when(~c, F.lit(n)) for n, c in quar_checks])
+        )
+        quar = df.withColumn("_dq_violations", viol).filter(
+            F.size("_dq_violations") > 0
+        )
+    return valid, quar
 
 
 def _has_parquet_files(root: str) -> bool:
@@ -445,6 +519,7 @@ class StagingWarehouse:
         entity_name: str | None = None,
         partition_by: list[str] | None = None,
         batch_id: str | None = None,
+        expectations=None,
         _replace_only: list[str] | None = None,
     ) -> WriteReport:
         """Append (incremental) or overwrite (full refresh) — K1 — via the
@@ -485,14 +560,36 @@ class StagingWarehouse:
         (single-maintainer per table; appends may flow freely while one
         maintenance op runs).
 
+        ``expectations`` are DLT-style ingestion gates — ``(name,
+        sql_condition, action)`` with actions ``drop`` / ``quarantine``
+        / ``fail`` (see ``_split_expectations``): the main table
+        receives only rows satisfying every rule, quarantined rows land
+        in ``<table>__quarantine`` (committed BEFORE the main batch
+        under the same explicit batch id, so a crashed gate write heals
+        on the idempotent retry), and a tripped ``fail`` rule aborts
+        the whole write with per-rule counts.
+
         ``_replace_only`` (internal, full-refresh only): replace exactly
         these committed batch dirs instead of everything present at
         delete time — how compact/rewrite spare concurrent appends."""
         path = self._path(table_name)
         os.makedirs(path, exist_ok=True)
         direct = self.commit_mode == "direct"
+        n_quarantined = 0
+        if expectations:
+            df, quar_df = _split_expectations(df, expectations)
+            if quar_df is not None:
+                n_quarantined = self.write(
+                    quar_df,
+                    table_name + QUARANTINE_SUFFIX,
+                    incremental=True,
+                    batch_id=batch_id,
+                ).records_written
         noop = WriteReport(
-            entity_name or table_name, STG_PREFIX + table_name.lower(), 0
+            entity_name or table_name,
+            STG_PREFIX + table_name.lower(),
+            0,
+            n_quarantined,
         )
         # a standing retention marker (expire_snapshots) makes ids at or
         # below the horizon INVISIBLE to read() and DEAD to the next
@@ -660,7 +757,12 @@ class StagingWarehouse:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             if has_data:
                 n = self.spark.read.parquet(committed).count()
-        return WriteReport(entity_name or table_name, STG_PREFIX + table_name.lower(), n)
+        return WriteReport(
+            entity_name or table_name,
+            STG_PREFIX + table_name.lower(),
+            n,
+            n_quarantined,
+        )
 
     def compact(
         self,

@@ -440,6 +440,63 @@ ORACLE["j_dynamic_file_prune"] = """
 """
 
 
+def k1_expectations_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path data-quality gates under the hash gate (r13 —
+    staging._split_expectations, the DLT-expectations move on the
+    batch-commit protocol): events land through three rules — a
+    ``value_cap`` quarantine (the heavy value tail diverts to the
+    ``__quarantine`` twin, committed before the main batch), a
+    ``known_type`` drop, and a ``has_user`` fail rule that passes.  The
+    result reconciles both sinks per event type: valid count from the
+    main table, quarantined count from the twin — and must equal the
+    oracle's single-scan FILTER split of the raw source (no row lost,
+    none double-counted)."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_dq_"))
+    ev = load(spark, sf_dir, "events")
+    wh.write(
+        ev, "events_dq", incremental=True, batch_id="b1",
+        expectations=[
+            ("value_cap", "value <= 200.0", "quarantine"),
+            ("known_type",
+             "event_type IN ('signup','error','click','view','purchase')",
+             "drop"),
+            ("has_user", "user_id IS NOT NULL", "fail"),
+        ],
+    )
+    valid = (
+        wh.read("events_dq")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_valid"))
+    )
+    quar = (
+        wh.read("events_dq__quarantine")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_quarantined"))
+    )
+    return (
+        valid.join(quar, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+        )
+    )
+
+
+QUERIES["k1_expectations_ingest"] = k1_expectations_ingest
+
+ORACLE["k1_expectations_ingest"] = """
+    SELECT event_type,
+           count(*) FILTER (WHERE value <= 200.0) AS n_valid,
+           count(*) FILTER (WHERE NOT (value <= 200.0)) AS n_quarantined
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def k1_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the hash gate (r9): three event batches
     land under a (user_id, event_id) upsert contract — each snapshot is
