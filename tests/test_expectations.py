@@ -80,6 +80,36 @@ def test_unknown_action_raises(spark, frame, tmp_path):
                  expectations=[("x", "value > 0", "warn")])
 
 
+def test_streaming_ingest_with_expectations(spark, frame, tmp_path):
+    # the gates compose with Structured Streaming unchanged: each
+    # foreachBatch micro-batch writes through the same expectations,
+    # deterministic batch ids keep both sinks exactly-once under replay
+    land = os.path.join(str(tmp_path), "landing")
+    frame.filter(F.col("id") <= 2).write.mode("append").parquet(land)
+    frame.filter(F.col("id") > 2).write.mode("append").parquet(land)
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="dqs")
+    stream = (
+        spark.readStream.schema("id long, label string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+
+    def sink(bdf, bid):
+        wh.write(bdf, "t", incremental=True, batch_id=f"s-{bid:06d}",
+                 expectations=RULES)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [1]
+    quar = {r["id"] for r in wh.read("t" + QUARANTINE_SUFFIX).collect()}
+    assert quar == {2, 4, 5}
+
+
 def test_full_refresh_with_expectations(spark, frame, tmp_path):
     wh = StagingWarehouse(spark, str(tmp_path), account_id="dqr")
     wh.write(frame, "t", incremental=True, batch_id="b1", expectations=RULES)
