@@ -1112,6 +1112,85 @@ class StagingWarehouse:
                 hi = mx
         return None if lo is None else (lo, hi)
 
+    def maintain_table(
+        self,
+        table_name: str,
+        *,
+        compact_after: int = 16,
+        smallfile_ratio: float = 4.0,
+        keep_last: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """ONE hands-free maintenance turn for a staging table — the
+        warehouse twin of the ANN index's ``maintain_index`` loop: the
+        caller schedules turns; each turn inspects cheap metadata only
+        (batch ids, file listing, contracts — no data scan) and takes
+        at most ONE heavy action, so a maintenance cadence is safe to
+        run blindly beside appenders (every action rides the snapshot-
+        basis/atomic-swap protocol; single maintainer per table, as
+        everywhere).
+
+        Decision order, first match wins:
+
+        1. batch history deeper than ``compact_after`` → collapse it:
+           ``compact()`` when the table carries an upsert contract
+           (folds shadowed versions), else ``rewrite_compact_files``
+           (verbatim bin-pack).  Bounds the O(batches) footer/listing
+           cost every read pays.
+        2. average files per batch above ``smallfile_ratio`` → bin-pack
+           (the many-small-files shape a parallel writer leaves even in
+           a short history).
+        3. ``keep_last`` set and addressable snapshots exceed it →
+           ``expire_snapshots`` (compaction above resets history, so
+           expiry only fires on turns where depth is already bounded).
+        4. nothing → ``{"action": "none"}``.
+
+        Returns the action taken plus before/after counts."""
+        before_batches = len(self._batches(self._path(table_name)))
+        before_files = len(self.data_files(table_name))
+        out = {
+            "table": table_name,
+            "batches_before": before_batches,
+            "files_before": before_files,
+        }
+        meta = self.upsert_keys(table_name)
+        if before_batches > compact_after:
+            if meta:
+                self.compact(table_name, partition_by=partition_by)
+                out["action"] = "compact"
+            else:
+                self.rewrite_compact_files(
+                    table_name, partition_by=partition_by
+                )
+                out["action"] = "bin_pack"
+        elif (
+            before_batches
+            and before_files / before_batches > smallfile_ratio
+        ):
+            self.rewrite_compact_files(table_name, partition_by=partition_by)
+            out["action"] = "bin_pack"
+        elif keep_last is not None and (
+            # expirable depth counts only per-batch snapshots — the
+            # retention base is the floor, not history (else a turn
+            # would re-fire forever on the steady state base + keep_last)
+            len(
+                [
+                    b
+                    for b in self.snapshots(table_name)
+                    if not b.endswith(BASE_SUFFIX)
+                ]
+            )
+            > keep_last
+        ):
+            exp = self.expire_snapshots(table_name, keep_last=keep_last)
+            out["action"] = "expire"
+            out["expired"] = len(exp["expired"])
+        else:
+            out["action"] = "none"
+        out["batches_after"] = len(self._batches(self._path(table_name)))
+        out["files_after"] = len(self.data_files(table_name))
+        return out
+
     def table_changes(
         self, table_name: str, from_snapshot, to_snapshot
     ) -> DataFrame:
