@@ -229,6 +229,7 @@ HEADLINE = [
     "k1_stats_pruned_read",
     "j_dynamic_file_prune",
     "k1_expectations_ingest",
+    "k1_maintain_turns",
 ]
 
 

@@ -497,6 +497,46 @@ ORACLE["k1_expectations_ingest"] = """
 """
 
 
+def k1_maintain_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hands-free warehouse maintenance turn under the hash gate
+    (r13 — staging.maintain_table, the table twin of the ANN
+    ``maintain_index`` loop): six event batches land under a
+    (user_id ← event_id) upsert contract, one turn compacts the deep
+    history (6 batches → 1), the next turn is a no-op — and the
+    logical table is IDENTICAL through both turns to the latest-per-
+    user window the oracle computes from the raw source.  Maintenance
+    is a pure layout property; the gate pins exactly that."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_mturn_"))
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wh.set_upsert_keys("user_state", ["user_id"], "event_id")
+    for i in range(6):
+        wh.write(ev.filter(F.col("event_id") % 6 == i), "user_state",
+                 incremental=True, batch_id=f"b{i}")
+    t1 = wh.maintain_table("user_state", compact_after=4)
+    t2 = wh.maintain_table("user_state", compact_after=4)
+    assert t1["action"] == "compact" and t2["action"] == "none", (t1, t2)
+    return wh.read("user_state").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+QUERIES["k1_maintain_turns"] = k1_maintain_turns
+
+ORACLE["k1_maintain_turns"] = """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
 def k1_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the hash gate (r9): three event batches
     land under a (user_id, event_id) upsert contract — each snapshot is
