@@ -230,6 +230,7 @@ HEADLINE = [
     "j_dynamic_file_prune",
     "k1_expectations_ingest",
     "k1_maintain_turns",
+    "k1_delete_rows",
 ]
 
 

@@ -436,16 +436,24 @@ class StagingWarehouse:
                 return
 
     def _manifest_swap(
-        self, path: str, add_ids: list[str], drop_ids: set[str]
+        self,
+        path: str,
+        add_ids: list[str],
+        drop_ids: set[str],
+        marker: dict | None = None,
     ) -> None:
         """Atomically replace the committed set with
         ``(current − drop_ids) ∪ add_ids`` — ONE visibility flip
         (VERDICT r12 #4): build the post-state entry set under a hidden
         scratch dir, sweep in entries concurrent appenders added since
         the snapshot, rename it to ``g-<id>``, and commit by atomically
-        replacing ``CURRENT``.  The new generation carries NO retention
-        marker: replace-style ops reset retention, and the flip drops
-        marker and old membership together.
+        replacing ``CURRENT``.  By default the new generation carries NO
+        retention marker: replace-style ops reset retention, and the
+        flip drops marker and old membership together.  ``marker``
+        overrides that for ops that must PRESERVE retention across the
+        swap (``delete_rows``): it is written into the scratch
+        generation before the rename, so marker and membership still
+        change in one atomic pointer replace.
 
         Maintenance-op-only (single maintainer per table); concurrent
         APPENDS are preserved by the pre-flip sweep plus the appenders'
@@ -465,6 +473,9 @@ class StagingWarehouse:
             for bid in (base - drop_ids) | set(add_ids):
                 with open(os.path.join(scratch, bid + ".json"), "w") as fh:
                     json.dump({"batch": bid, "committed_at": now}, fh)
+            if marker is not None:
+                with open(os.path.join(scratch, EXPIRY_META), "w") as fh:
+                    json.dump(marker, fh)
             new_gdir = os.path.join(mdir, gen)
             os.rename(scratch, new_gdir)  # named but unreferenced: invisible
             # pre-flip sweep: adopt entries appenders committed into the
@@ -1112,6 +1123,155 @@ class StagingWarehouse:
                 hi = mx
         return None if lo is None else (lo, hi)
 
+    def delete_rows(self, table_name: str, where) -> dict:
+        """Row-level DELETE — ``DELETE FROM t WHERE <conjunction>`` on
+        plain parquet, pruned by the zone maps: only the batches whose
+        sidecar min/max CANNOT disprove the predicate are read and
+        rewritten; every other batch stays byte-identical on disk (the
+        GDPR/compliance shape at 100 TB — a delete keyed on one user
+        touches the few files that can contain them, not the table).
+        ``where`` is the same conjunct spec as ``read(where=...)``; a
+        row is deleted when the conjunction is TRUE (NULL keeps the
+        row, standard SQL DELETE semantics).
+
+        Protocol: each affected batch's surviving rows are staged as a
+        replacement batch under id ``<old>-d<hex>`` — sorting directly
+        after the old id, so retention-horizon comparisons and
+        timestamp-cutoff time travel keep working — and ALL
+        replacements become visible in ONE generation swap that also
+        carries the retention marker forward (re-pointed if the base
+        batch itself was rewritten).  A fully-deleted batch is simply
+        dropped.  Crash anywhere leaves either the old table or the
+        new one, never a mix; orphaned replacement dirs are invisible
+        and vacuum-reapable.
+
+        Semantics notes, all deliberate: DELETE REWRITES HISTORY — a
+        time-travel read after the delete shows the affected batches
+        WITHOUT the deleted rows (that is the point of a compliance
+        delete; timestamp cutoffs still resolve, but an ``as_of`` pin
+        on an affected batch's EXACT id no longer includes it — pin by
+        timestamp).  On an upsert table, equal-``order_col`` ties
+        between an affected and an unaffected batch may re-resolve
+        (same caveat as ``compact()``); within-batch content is
+        otherwise untouched.  Single-maintainer op, like every rewrite.
+        Batch granularity: a batch with any matching row rewrites
+        wholly (file-level surgical rewrite is a further refinement the
+        sidecars already support)."""
+        from . import stats as _zm
+        from pyspark.sql import functions as F
+
+        if not where:
+            raise ValueError(
+                "refusing an unconditional delete_rows — use drop_table "
+                "or write(incremental=False)"
+            )
+        cond = _zm.residual_condition(where)  # validates the spec
+        path = self._path(table_name)
+        committed = self._batches(path)
+        out = {
+            "batches_total": len(committed),
+            "batches_untouched": 0,
+            "batches_rewritten": 0,
+            "batches_dropped": 0,
+            "rows_deleted": 0,
+        }
+        if not committed:
+            return out
+        self._manifest_ensure(path)  # the swap needs manifest machinery
+        marker = self._expiry(table_name)
+        candidates = []
+        for d in committed:
+            sc = _zm.load_sidecar(os.path.join(path, d))
+            if sc is not None and _zm._batch_disproved(sc, where):
+                out["batches_untouched"] += 1  # provably predicate-free
+            else:
+                candidates.append(d)
+        reader = self.spark.read.option("mergeSchema", "true").option(
+            "basePath", path
+        )
+        adds: list[str] = []
+        drops: set[str] = set()
+        new_marker = dict(marker) if marker else None
+        for d in candidates:
+            bid = d.split("=", 1)[1]
+            src = os.path.join(path, d)
+            keep = (
+                reader.parquet(src)
+                .drop(BATCH_COL)
+                .filter(~F.coalesce(cond, F.lit(False)))
+            )
+            suffix = f"-d{uuid.uuid4().hex[:6]}"
+            if bid.endswith(BASE_SUFFIX):
+                core = bid[: -len(BASE_SUFFIX)]
+                nid = core + suffix + BASE_SUFFIX
+            else:
+                nid = bid + suffix
+            part_cols = self._nested_partition_cols(src)
+            target = os.path.join(path, f"{BATCH_COL}={nid}")
+            if self.commit_mode == "direct":
+                stage = target
+            else:
+                stage = os.path.join(
+                    path, f".tmp-del-{uuid.uuid4().hex[:8]}"
+                )
+            writer = keep.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(stage)
+            before = _zm.load_sidecar(src)
+            n_before = (
+                before["rows"]
+                if before is not None
+                else self.spark.read.parquet(src).count()
+            )
+            side = None
+            if _has_parquet_files(stage):
+                try:
+                    side = _zm.write_sidecar(
+                        stage, [f.name for f in keep.schema.fields], self.spark
+                    )
+                except Exception:
+                    pass
+            n_after = (
+                side["rows"]
+                if side is not None
+                else (
+                    self.spark.read.parquet(stage).count()
+                    if _has_parquet_files(stage)
+                    else 0
+                )
+            )
+            if n_after > 0:
+                if stage is not target:
+                    os.rename(stage, target)
+                adds.append(nid)
+                out["batches_rewritten"] += 1
+                if new_marker and bid == new_marker.get("base"):
+                    new_marker["base"] = nid
+            else:
+                # every row of the batch matched (an empty part file may
+                # remain): drop the batch outright
+                shutil.rmtree(stage, ignore_errors=True)
+                out["batches_dropped"] += 1
+                if new_marker and bid == new_marker.get("base"):
+                    # the whole retention base deleted: the horizon state
+                    # is now empty — drop the base pointer, keep horizon
+                    new_marker["base"] = None
+            drops.add(bid)
+            out["rows_deleted"] += n_before - n_after
+        if drops:
+            # ONE visibility flip for the whole delete, marker carried
+            self._manifest_swap(path, adds, drops, marker=new_marker)
+            stale_root = os.path.join(path, EXPIRY_META)
+            if os.path.isfile(stale_root):
+                os.remove(stale_root)
+            for bid in drops:
+                shutil.rmtree(
+                    os.path.join(path, f"{BATCH_COL}={bid}"),
+                    ignore_errors=True,
+                )
+        return out
+
     def maintain_table(
         self,
         table_name: str,
@@ -1468,18 +1628,9 @@ class StagingWarehouse:
         # the base must mirror the batches' nested hive layout: partition
         # discovery refuses a flat dir next to `col=val` siblings, so a
         # flat base would break every read of a partitioned table
-        part_cols = []
-        probe = os.path.join(path, f"{BATCH_COL}={doomed[0]}")
-        while True:
-            subs = sorted(
-                s
-                for s in os.listdir(probe)
-                if "=" in s and os.path.isdir(os.path.join(probe, s))
-            )
-            if not subs:
-                break
-            part_cols.append(subs[0].split("=", 1)[0])
-            probe = os.path.join(probe, subs[0])
+        part_cols = self._nested_partition_cols(
+            os.path.join(path, f"{BATCH_COL}={doomed[0]}")
+        )
         base_path = os.path.join(path, f"{BATCH_COL}={base_id}")
         writer = folded.drop(BATCH_COL).write.mode("overwrite")
         if part_cols:
@@ -1545,6 +1696,25 @@ class StagingWarehouse:
             self._manifest_remove(path, b)
             shutil.rmtree(os.path.join(path, f"{BATCH_COL}={b}"), ignore_errors=True)
         return {"expired": doomed, "horizon": horizon, "base": base_id}
+
+    @staticmethod
+    def _nested_partition_cols(batch_dir: str) -> list[str]:
+        """The hive partition columns nested inside one batch dir, in
+        nesting order — a rewrite of that batch must reproduce them
+        (partition discovery refuses a flat dir beside ``col=val``
+        siblings)."""
+        part_cols: list[str] = []
+        probe = batch_dir
+        while True:
+            subs = sorted(
+                s
+                for s in os.listdir(probe)
+                if "=" in s and os.path.isdir(os.path.join(probe, s))
+            )
+            if not subs:
+                return part_cols
+            part_cols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
 
     def _read_dirs(
         self, path: str, ids: set[str] | None, prune=None

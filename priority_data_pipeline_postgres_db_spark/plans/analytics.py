@@ -497,6 +497,58 @@ ORACLE["k1_expectations_ingest"] = """
 """
 
 
+def k1_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE under the hash gate (r13 —
+    staging.delete_rows): orders land in three price-banded batches,
+    a DELETE keyed on a band inside ONE batch rewrites only that batch
+    (the zone maps prove the other two predicate-free — pinned by
+    byte-identity in tests/test_delete_rows.py), and the table
+    afterwards equals the oracle's anti-filter of the raw source —
+    including the NULL-keeps-row SQL DELETE rule."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_del_"))
+    od = load(spark, sf_dir, "orders")
+    wh.write(od.filter(F.col("o_totalprice") < 100000), "orders_del",
+             incremental=True, batch_id="b1")
+    wh.write(od.filter((F.col("o_totalprice") >= 100000)
+                       & (F.col("o_totalprice") < 200000)), "orders_del",
+             incremental=True, batch_id="b2")
+    wh.write(od.filter(F.col("o_totalprice") >= 200000), "orders_del",
+             incremental=True, batch_id="b3")
+    rep = wh.delete_rows(
+        "orders_del",
+        [("o_totalprice", "between", (120000.0, 150000.0)),
+         ("o_orderpriority", "==", "3-MEDIUM")],
+    )
+    assert rep["batches_untouched"] >= 2, rep  # b1/b3 provably disjoint
+    return (
+        wh.read("orders_del")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)"
+                " AS DECIMAL(18,4)) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+QUERIES["k1_delete_rows"] = k1_delete_rows
+
+ORACLE["k1_delete_rows"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+      CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+        AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE NOT (o_totalprice BETWEEN 120000.0 AND 150000.0
+               AND o_orderpriority = '3-MEDIUM')
+    GROUP BY o_orderpriority
+"""
+
+
 def k1_maintain_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hands-free warehouse maintenance turn under the hash gate
     (r13 — staging.maintain_table, the table twin of the ANN
