@@ -1154,9 +1154,16 @@ class StagingWarehouse:
         between an affected and an unaffected batch may re-resolve
         (same caveat as ``compact()``); within-batch content is
         otherwise untouched.  Single-maintainer op, like every rewrite.
-        Batch granularity: a batch with any matching row rewrites
-        wholly (file-level surgical rewrite is a further refinement the
-        sidecars already support)."""
+
+        FILE-LEVEL SURGERY: inside a candidate batch, per-file sidecar
+        stats narrow the rewrite further — files provably predicate-
+        free are CARRIED into the replacement batch by hard link (copy
+        fallback; on an object store, a server-side copy — still no
+        read, decode, or re-encode), and only the files that may hold
+        matching rows are read and rewritten.  A batch whose files are
+        all provably clean (batch-rollup gap) is left untouched
+        outright.  ``files_carried`` / ``files_rewritten`` report the
+        split."""
         from . import stats as _zm
         from pyspark.sql import functions as F
 
@@ -1174,31 +1181,60 @@ class StagingWarehouse:
             "batches_rewritten": 0,
             "batches_dropped": 0,
             "rows_deleted": 0,
+            "files_carried": 0,
+            "files_rewritten": 0,
         }
         if not committed:
             return out
         self._manifest_ensure(path)  # the swap needs manifest machinery
         marker = self._expiry(table_name)
-        candidates = []
+        candidates = []  # (dir, clean_rels | None) — None = rewrite wholly
         for d in committed:
             sc = _zm.load_sidecar(os.path.join(path, d))
             if sc is not None and _zm._batch_disproved(sc, where):
                 out["batches_untouched"] += 1  # provably predicate-free
-            else:
-                candidates.append(d)
+                continue
+            clean = None
+            if sc is not None:
+                clean = [
+                    rel
+                    for rel, fi in sc["files"].items()
+                    if _zm._file_disproved(sc, fi, where)
+                ]
+                if len(clean) == len(sc["files"]):
+                    # every file individually clean (batch-rollup gap):
+                    # nothing to rewrite at all
+                    out["batches_untouched"] += 1
+                    continue
+                if not clean:
+                    clean = None  # all files dirty: whole-batch rewrite
+            candidates.append((d, clean))
         reader = self.spark.read.option("mergeSchema", "true").option(
             "basePath", path
         )
         adds: list[str] = []
         drops: set[str] = set()
         new_marker = dict(marker) if marker else None
-        for d in candidates:
+        for d, clean in candidates:
             bid = d.split("=", 1)[1]
             src = os.path.join(path, d)
-            keep = (
-                reader.parquet(src)
-                .drop(BATCH_COL)
-                .filter(~F.coalesce(cond, F.lit(False)))
+            if clean:
+                # surgical: read ONLY the files that may hold matches
+                sc = _zm.load_sidecar(src)
+                dirty = [r for r in sc["files"] if r not in set(clean)]
+                out["files_carried"] += len(clean)
+                out["files_rewritten"] += len(dirty)
+                scan = reader.parquet(*(os.path.join(src, r) for r in dirty))
+            else:
+                scan = reader.parquet(src)
+                out["files_rewritten"] += sum(
+                    1
+                    for _dp, _dn, fn in os.walk(src)
+                    for f in fn
+                    if f.endswith(".parquet")
+                )
+            keep = scan.drop(BATCH_COL).filter(
+                ~F.coalesce(cond, F.lit(False))
             )
             suffix = f"-d{uuid.uuid4().hex[:6]}"
             if bid.endswith(BASE_SUFFIX):
@@ -1218,6 +1254,22 @@ class StagingWarehouse:
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(stage)
+            if clean:
+                # carry the provably-clean files verbatim: hard link
+                # (same filesystem by construction), copy as fallback —
+                # never read, decoded, or re-encoded
+                for rel in clean:
+                    dst = os.path.join(stage, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if os.path.exists(dst):  # name clash (never in practice)
+                        head, tail = os.path.split(dst)
+                        dst = os.path.join(
+                            head, f"carried-{uuid.uuid4().hex[:6]}-{tail}"
+                        )
+                    try:
+                        os.link(os.path.join(src, rel), dst)
+                    except OSError:
+                        shutil.copy2(os.path.join(src, rel), dst)
             before = _zm.load_sidecar(src)
             n_before = (
                 before["rows"]

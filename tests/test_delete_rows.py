@@ -119,6 +119,50 @@ def test_delete_upsert_table_resolution(spark, tmp_path):
     assert got == {1: 10.0, 2: 20.0}
 
 
+def test_surgical_delete_carries_clean_files(spark, tmp_path):
+    # one batch, range-partitioned into several files by repartitionByRange
+    # so each file covers a tight id band — the delete hits ONE band and
+    # must carry the other files verbatim (hard links: same inode)
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="surg")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    wh.write(df.repartitionByRange(5, "id"), "t", incremental=True,
+             batch_id="b1")
+    files_before = wh.data_files("t")
+    assert len(files_before) == 5
+    inode_by_name = {os.path.basename(p): os.stat(p).st_ino
+                     for p in files_before}
+    rep = wh.delete_rows("t", [("id", "between", (900, 950))])
+    assert rep["batches_rewritten"] == 1
+    assert rep["files_carried"] == 4 and rep["files_rewritten"] == 1
+    assert rep["rows_deleted"] == 51
+    assert wh.read("t").count() == 949
+    assert wh.read("t").filter(F.col("id").between(900, 950)).count() == 0
+    # carried files are the SAME inodes (hard links, zero data movement)
+    carried = 0
+    for p in wh.data_files("t"):
+        ino = inode_by_name.get(os.path.basename(p))
+        if ino is not None and os.stat(p).st_ino == ino:
+            carried += 1
+    assert carried == 4
+
+
+def test_all_files_clean_batch_untouched(spark, tmp_path):
+    # batch-level rollup can't disprove a two-sided predicate whose two
+    # conjunct ranges each live in a DIFFERENT file — per-file stats can
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="surg2")
+    df = spark.range(100).select(F.col("id"))
+    wh.write(df.repartitionByRange(2, "id"), "t", incremental=True,
+             batch_id="b1")
+    # id in [40, 60] spans the file split (~50): per-file stats still
+    # overlap, so craft a conjunction disproved per-file but not by the
+    # batch rollup: id < 10 AND id > 90
+    rep = wh.delete_rows("t", [("id", "<", 10), ("id", ">", 90)])
+    assert rep["batches_untouched"] == 1
+    assert rep["rows_deleted"] == 0
+    assert wh.read("t").count() == 100
+    assert wh.snapshots("t") == ["b1"]  # id unchanged — nothing rewritten
+
+
 def test_delete_validates_spec(spark, tmp_path):
     wh = _banded(spark, tmp_path)
     with pytest.raises(ValueError):
