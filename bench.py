@@ -231,6 +231,7 @@ HEADLINE = [
     "k1_expectations_ingest",
     "k1_maintain_turns",
     "k1_delete_rows",
+    "k1_update_rows",
 ]
 
 

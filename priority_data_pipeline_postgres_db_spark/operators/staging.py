@@ -1164,7 +1164,6 @@ class StagingWarehouse:
         all provably clean (batch-rollup gap) is left untouched
         outright.  ``files_carried`` / ``files_rewritten`` report the
         split."""
-        from . import stats as _zm
         from pyspark.sql import functions as F
 
         if not where:
@@ -1172,6 +1171,64 @@ class StagingWarehouse:
                 "refusing an unconditional delete_rows — use drop_table "
                 "or write(incremental=False)"
             )
+        return self._targeted_rewrite(
+            table_name,
+            where,
+            lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))),
+            count_key="rows_deleted",
+        )
+
+    def update_rows(self, table_name: str, where, set: dict) -> dict:
+        """Row-level UPDATE — ``UPDATE t SET col = <expr> WHERE
+        <conjunction>`` on plain parquet, zone-map-pruned exactly like
+        ``delete_rows`` (same candidate selection, same file-level
+        surgery with clean files carried by hard link, same
+        marker-carrying single-swap visibility, same history-rewrite
+        semantics).  ``set`` maps column name → SQL expression string
+        (may reference other columns); only rows where the conjunction
+        is TRUE change (NULL leaves the row untouched — SQL UPDATE),
+        and each assignment is cast back to the column's existing type
+        so the table schema is stable under mergeSchema.  With DELETE,
+        UPDATE, and the upsert-contract MERGE, the warehouse covers the
+        DML triangle.  ``rows_updated`` counts matched rows (one
+        bounded count over the dirty files only)."""
+        from pyspark.sql import functions as F
+
+        if not where:
+            raise ValueError("refusing an unconditional update_rows")
+        if not set:
+            raise ValueError("update_rows needs at least one assignment")
+
+        def transform(df, cond):
+            hit = F.coalesce(cond, F.lit(False))
+            for c, expr in set.items():
+                if c not in df.columns:
+                    raise ValueError(f"update_rows: unknown column {c!r}")
+                df = df.withColumn(
+                    c,
+                    F.when(hit, F.expr(expr).cast(df.schema[c].dataType))
+                    .otherwise(F.col(c)),
+                )
+            return df
+
+        return self._targeted_rewrite(
+            table_name, where, transform,
+            count_key="rows_updated", count_matches=True,
+        )
+
+    def _targeted_rewrite(
+        self, table_name: str, where, transform, *,
+        count_key: str, count_matches: bool = False
+    ) -> dict:
+        """Shared engine of ``delete_rows``/``update_rows``: zone-map
+        candidate selection → per-batch (and per-file) rewrite via
+        ``transform(df, cond)`` → one marker-carrying generation swap.
+        ``count_matches`` counts predicate hits over the dirty scan
+        (UPDATE reporting); otherwise the count is rows_before −
+        rows_after (DELETE)."""
+        from . import stats as _zm
+        from pyspark.sql import functions as F
+
         cond = _zm.residual_condition(where)  # validates the spec
         path = self._path(table_name)
         committed = self._batches(path)
@@ -1180,7 +1237,7 @@ class StagingWarehouse:
             "batches_untouched": 0,
             "batches_rewritten": 0,
             "batches_dropped": 0,
-            "rows_deleted": 0,
+            count_key: 0,
             "files_carried": 0,
             "files_rewritten": 0,
         }
@@ -1233,9 +1290,12 @@ class StagingWarehouse:
                     for f in fn
                     if f.endswith(".parquet")
                 )
-            keep = scan.drop(BATCH_COL).filter(
-                ~F.coalesce(cond, F.lit(False))
-            )
+            base_df = scan.drop(BATCH_COL)
+            if count_matches:
+                out[count_key] += base_df.filter(
+                    F.coalesce(cond, F.lit(False))
+                ).count()
+            keep = transform(base_df, cond)
             suffix = f"-d{uuid.uuid4().hex[:6]}"
             if bid.endswith(BASE_SUFFIX):
                 core = bid[: -len(BASE_SUFFIX)]
@@ -1310,7 +1370,8 @@ class StagingWarehouse:
                     # is now empty — drop the base pointer, keep horizon
                     new_marker["base"] = None
             drops.add(bid)
-            out["rows_deleted"] += n_before - n_after
+            if not count_matches:
+                out[count_key] += n_before - n_after
         if drops:
             # ONE visibility flip for the whole delete, marker carried
             self._manifest_swap(path, adds, drops, marker=new_marker)

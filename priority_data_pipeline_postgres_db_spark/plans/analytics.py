@@ -549,6 +549,58 @@ ORACLE["k1_delete_rows"] = """
 """
 
 
+def k1_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE under the hash gate (r13 —
+    staging.update_rows): same three price-banded batches as the DELETE
+    twin; an UPDATE re-prices one band inside one batch (the zone maps
+    leave the other two byte-identical; file-level carry pinned in
+    tests/test_delete_rows.py), and the table afterwards equals the
+    oracle's CASE expression over the raw source — the SQL-UPDATE
+    semantics including NULL-leaves-row-untouched."""
+    from ..operators.staging import StagingWarehouse
+    from ..util import scratch_dir
+
+    wh = StagingWarehouse(spark, scratch_dir("spark_graft_upd_"))
+    od = load(spark, sf_dir, "orders")
+    wh.write(od.filter(F.col("o_totalprice") < 100000), "orders_upd",
+             incremental=True, batch_id="b1")
+    wh.write(od.filter((F.col("o_totalprice") >= 100000)
+                       & (F.col("o_totalprice") < 200000)), "orders_upd",
+             incremental=True, batch_id="b2")
+    wh.write(od.filter(F.col("o_totalprice") >= 200000), "orders_upd",
+             incremental=True, batch_id="b3")
+    rep = wh.update_rows(
+        "orders_upd",
+        [("o_totalprice", "between", (120000.0, 150000.0))],
+        {"o_orderstatus": "'R'"},
+    )
+    assert rep["batches_untouched"] >= 2, rep
+    return (
+        wh.read("orders_upd")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)"
+                " AS DECIMAL(18,4)) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+QUERIES["k1_update_rows"] = k1_update_rows
+
+ORACLE["k1_update_rows"] = """
+    SELECT CASE WHEN o_totalprice BETWEEN 120000.0 AND 150000.0
+                THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+           count(*) AS n_orders,
+      CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+        AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+"""
+
+
 def k1_maintain_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hands-free warehouse maintenance turn under the hash gate
     (r13 — staging.maintain_table, the table twin of the ANN

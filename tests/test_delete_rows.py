@@ -163,6 +163,43 @@ def test_all_files_clean_batch_untouched(spark, tmp_path):
     assert wh.snapshots("t") == ["b1"]  # id unchanged — nothing rewritten
 
 
+def test_update_rows_matches_case_expression(spark, tmp_path):
+    wh = _banded(spark, tmp_path)
+    rep = wh.update_rows(
+        "t", [("id", "between", (150, 160))], {"v": "v + 1000"}
+    )
+    assert rep["rows_updated"] == 11
+    assert rep["batches_untouched"] == 2 and rep["batches_rewritten"] == 1
+    got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    for i in range(300):
+        want = i * 2 + (1000 if 150 <= i <= 160 else 0)
+        assert got[i] == want, i
+    assert wh.read("t").count() == 300  # UPDATE never changes row count
+
+
+def test_update_surgical_carry_and_types(spark, tmp_path):
+    wh = StagingWarehouse(spark, str(tmp_path), account_id="upd2")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    wh.write(df.repartitionByRange(5, "id"), "t", incremental=True,
+             batch_id="b1")
+    rep = wh.update_rows("t", [("id", ">=", 990)], {"v": "-1"})
+    assert rep["files_carried"] == 4 and rep["files_rewritten"] == 1
+    assert rep["rows_updated"] == 10
+    out = wh.read("t")
+    assert dict(out.dtypes)["v"] == "bigint"  # cast back to column type
+    assert out.filter(F.col("v") == -1).count() == 10
+
+
+def test_update_validates(spark, tmp_path):
+    wh = _banded(spark, tmp_path)
+    with pytest.raises(ValueError):
+        wh.update_rows("t", [], {"v": "0"})
+    with pytest.raises(ValueError):
+        wh.update_rows("t", [("id", "<", 5)], {})
+    with pytest.raises(ValueError, match="unknown column"):
+        wh.update_rows("t", [("id", "<", 5)], {"nope": "0"})
+
+
 def test_delete_validates_spec(spark, tmp_path):
     wh = _banded(spark, tmp_path)
     with pytest.raises(ValueError):
