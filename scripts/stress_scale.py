@@ -431,6 +431,58 @@ def zonemap_prune_stress(spark, big_dir: str, factor: int) -> dict:
     return out
 
 
+def dml_delete_stress(spark, big_dir: str, factor: int) -> dict:
+    """Zone-map-pruned DELETE headroom (r13): delete a fixed 2-day band
+    from the day-batched events table at 1x and factor-x history.  The
+    claim under test: the delete's cost tracks the AFFECTED band —
+    untouched batches are never read (the report counts them), so
+    growing the table's history leaves the rewrite wall flat while a
+    naive full-table rewrite would scale with the corpus.  Row
+    accounting must reconcile exactly (deleted = before − after)."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from priority_data_pipeline_postgres_db_spark.operators.staging import (
+        StagingWarehouse,
+    )
+
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)
+    out: dict[str, dict] = {}
+    for tag, d in (("1x", BASE), (f"{factor}x", big_dir)):
+        root = os.path.join(OUT, f"dmldel_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        wh = StagingWarehouse(spark, root, account_id=f"dml{factor}")
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev.persist()
+        days = sorted(
+            r[0] for r in ev.select(F.to_date("ts").alias("dd")).distinct().collect()
+        )
+        for day in days:
+            wh.write(
+                ev.filter(F.to_date("ts") == F.lit(day)), "ev",
+                incremental=True, batch_id=f"d-{day.isoformat()}",
+            )
+        n_total = ev.count()
+        ev.unpersist()
+        t0 = time.time()
+        rep = wh.delete_rows("ev", [("ts", "between", (lo, hi))])
+        t_del = time.time() - t0
+        remaining = wh.read("ev").count()
+        assert remaining + rep["rows_deleted"] == n_total
+        out[tag] = {
+            "batches": len(days),
+            "batches_untouched": rep["batches_untouched"],
+            "batches_rewritten": rep["batches_rewritten"]
+            + rep["batches_dropped"],
+            "rows_deleted": rep["rows_deleted"],
+            "t_delete": round(t_del, 2),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def srp_recall_stress(spark, big_dir: str, factor: int) -> dict:
     """Measured SRP recall at the STRESS operating point (VERDICT r6 #3):
     ``n_planes_for`` holds bucket occupancy at any corpus size, but with
@@ -741,6 +793,8 @@ def main() -> None:
     if not sys.argv[2:]:  # full runs also produce the focused evidence
         results["stream_eviction"] = stream_eviction_stress(spark, big_dir, factor)
         results["upsert_read"] = upsert_read_stress(spark, big_dir, factor)
+    if not sys.argv[2:] or "dml_delete" in sys.argv[2:]:
+        results["dml_delete"] = dml_delete_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "zonemap_prune" in sys.argv[2:]:
         results["zonemap_prune"] = zonemap_prune_stress(spark, big_dir, factor)
     if not sys.argv[2:] or "srp_recall" in sys.argv[2:]:
