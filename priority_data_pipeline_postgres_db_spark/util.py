@@ -61,17 +61,85 @@ _LOCK = threading.Lock()
 # invocation after the first instead of paying a count job per operator
 # call (VERDICT r6 flagged the 8 ``n_planes_for(emb.count())`` sites as
 # the embedding-family bench drift).  Derived frames get a fresh object
-# per invocation and simply miss — correctness never depends on a hit.
+# per invocation; for those a SECOND memo keys on (canonical plan text,
+# input files, mtimes) — a deterministic plan over unchanged files
+# always reproduces the same row count, so e.g. the half-corpus filters
+# the ANN lifecycle entries rebuild per invocation stop paying a count
+# job each time.  Non-deterministic or file-less plans always count.
 _COUNTS: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
+_PLAN_COUNTS: dict[tuple, int] = {}
+
+#: substrings whose presence in a plan marks it non-reproducible from
+#: (files, mtimes) alone
+_NONDET_PLAN_TOKENS = (
+    "rand(",
+    "randn(",
+    "random",
+    "uuid",
+    "shuffle(",
+    "monotonically_increasing",
+    "current_timestamp",
+    "current_date",
+    "now()",
+    "input_file_",
+    "spark_partition_id",
+)
+
+
+def canonical_plan(df: DataFrame) -> str | None:
+    """Expression-id-normalized analyzed-plan text — a stable identity
+    for 'the same computation' across repeated invocations within a
+    session — or None when the plan cannot be proven deterministic."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    low = plan.lower()
+    if any(tok in low for tok in _NONDET_PLAN_TOKENS):
+        return None
+    return re.sub(r"#\d+", "#", plan)
+
+
+def _plan_count_key(df: DataFrame) -> tuple | None:
+    import os
+
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        # an in-memory frame's plan text truncates large literal rows, so
+        # identical text would not imply identical content — never key
+        return None
+    canon = canonical_plan(df)
+    if canon is None:
+        return None
+    mts = []
+    for f in files:
+        try:
+            mts.append(os.path.getmtime(f.removeprefix("file:")))
+        except OSError:
+            mts.append(0.0)
+    return (canon, files, tuple(mts))
 
 
 def memo_count(df: DataFrame) -> int:
-    """``df.count()`` memoized on the DataFrame object (see module note)."""
+    """``df.count()`` memoized on the DataFrame object, then on the
+    (deterministic plan, files, mtimes) identity (see module note)."""
     try:
         return _COUNTS[df]
     except (KeyError, TypeError):
         pass
-    n = df.count()
+    key = _plan_count_key(df)
+    n = _PLAN_COUNTS.get(key) if key is not None else None
+    if n is None:
+        n = df.count()
+        if key is not None:
+            if len(_PLAN_COUNTS) > 2048:
+                _PLAN_COUNTS.clear()  # crude bound; refills on demand
+            _PLAN_COUNTS[key] = n
     try:
         _COUNTS[df] = n
     except TypeError:  # un-weakref-able stub (tests/mocks)
