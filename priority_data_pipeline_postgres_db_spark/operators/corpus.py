@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..plans.tables import load
@@ -50,6 +51,63 @@ class FixedPointOverflowError(ValueError):
 # ---------------------------------------------------------------------------
 # connected components over near-dup pairs
 # ---------------------------------------------------------------------------
+
+#: edge-count bound for the driver-side union-find shortcut below — the
+#: broadcast-hash-join sizing argument applied to CC: ≤2M edges is
+#: ≈64 MB of id pairs on the driver, and union-find labels them in
+#: O(E·α) single-process time, vs O(diameter) distributed rounds each
+#: paying joins + checkpoints + a convergence action (measured: the
+#: sf0.1 semantic near-dup graph needs 10 rounds ≈ 8 s for 4k edges).
+#: Above the bound the exact same min-label loop as before runs — the
+#: 100 TB path is untouched.
+CC_DRIVER_EDGE_BOUND = 2_000_000
+
+
+def _cc_driver_labels(e: DataFrame) -> dict | None:
+    """Union-find (path compression + union by rank) over a collected
+    edge list: node -> min reachable node id, for edge-endpoint nodes
+    only (singletons are restored by the caller's left join, exactly as
+    in the distributed loop).  Returns None when an edge endpoint is
+    NULL — the caller falls back to the distributed loop rather than
+    guessing comparison semantics."""
+    pdf = e.toPandas()
+    if len(pdf) and (pdf["src"].isna().any() or pdf["dst"].isna().any()):
+        return None
+    parent: dict = {}
+    rank: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rank.get(ra, 0) < rank.get(rb, 0):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        if rank.get(ra, 0) == rank.get(rb, 0):
+            rank[ra] = rank.get(ra, 0) + 1
+    # min id per root (python < on ints/strings == Spark's min ordering:
+    # int64 numeric; UTF-8 byte order preserves code-point order)
+    comp_min: dict = {}
+    seen = set(parent)
+    seen.update(pdf["src"])
+    seen.update(pdf["dst"])
+    labels: dict = {}
+    for x in seen:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    for x in seen:
+        labels[x] = comp_min[find(x)]
+    return labels
 
 
 def connected_components(
@@ -94,6 +152,34 @@ def connected_components(
     # wide.  Concurrent jobs in the session are untouched.
     spark = nodes.sparkSession
     n_edges = e.count()  # cheap: e is materialized
+    if n_edges <= CC_DRIVER_EDGE_BOUND:
+        # small edge set: label it on the driver (see CC_DRIVER_EDGE_BOUND)
+        labels_map = _cc_driver_labels(e)
+        if labels_map is not None:
+            node_type = nodes.schema[node_col].dataType
+            schema = T.StructType(
+                [
+                    T.StructField(node_col, node_type),
+                    T.StructField("component", node_type),
+                ]
+            )
+            if labels_map:
+                # pandas frame → Arrow createDataFrame path: ~free even at
+                # the 2M-edge bound (a list of Python tuples is pickled
+                # row-at-a-time)
+                lpdf = pd.DataFrame(
+                    {
+                        node_col: list(labels_map.keys()),
+                        "component": list(labels_map.values()),
+                    }
+                )
+                labels = spark.createDataFrame(lpdf, schema)
+            else:
+                labels = spark.createDataFrame([], schema)
+            return nodes.select(node_col).join(labels, node_col, "left").select(
+                node_col,
+                F.coalesce("component", F.col(node_col)).alias("component"),
+            )
     try:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
@@ -3712,6 +3798,11 @@ def mix_schedule_warehouse(
         root = scratch_dir("spark_graft_mix_")
         wh = StagingWarehouse(spark, root)
         _, avail = _mix_inputs(spark, sf_dir)
+        # one corpus scan: the ~20-row per-source aggregate is
+        # materialized once; the budget .first() and the waterfill's
+        # tot/lam broadcast subplans all reuse it instead of each
+        # re-tokenizing the corpus (5 scans -> 1)
+        avail = avail.localCheckpoint()
         total = avail.agg(F.sum("avail").cast("long")).first()[0]
         budget = int(total) * budget_pct // 100
         wh.write(mix_waterfill(avail, budget), "mix_schedule", incremental=False)
@@ -3729,6 +3820,8 @@ def corpus_mix_schedule(
     algorithm's redistribution is REAL under the gate).  One corpus
     scan for the per-source token counts, then the 20-row waterfill."""
     _, avail = _mix_inputs(spark, sf_dir)
+    # one corpus scan instead of 5 — see mix_schedule_warehouse
+    avail = avail.localCheckpoint()
     total = avail.agg(F.sum("avail").cast("long")).first()[0]
     budget = int(total) * budget_pct // 100
     return mix_waterfill(avail, budget)

@@ -62,6 +62,74 @@ def test_connected_components_matches_union_find(spark):
         assert got == expected
 
 
+def test_connected_components_driver_equals_distributed(spark, monkeypatch):
+    """The size-gated driver union-find shortcut must be label-identical
+    to the distributed min-label loop — on long ids, string ids (UTF-8
+    byte order vs Python code-point order), chains, stars, and
+    singletons."""
+    import random
+
+    from priority_data_pipeline_postgres_db_spark.operators import corpus as corpus_mod
+
+    rng = random.Random(20260817)
+    raw = [(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(70)]
+    raw = [(a, b) for a, b in raw if a != b] + [(i, i + 1) for i in range(50, 58)]
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 61)], "doc_id long")
+    edges = spark.createDataFrame(raw, "doc_id_a long, doc_id_b long")
+    driver = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    monkeypatch.setattr(corpus_mod, "CC_DRIVER_EDGE_BOUND", -1)
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    monkeypatch.undo()
+    assert driver == dist
+
+    # string ids: the distributed loop's sum-based convergence check only
+    # supports numeric ids (all production call sites), so pin the driver
+    # path against a Python reference union-find instead.
+    snodes = [f"d{i:03d}" for i in range(1, 61)] + ["Über", "zz"]
+    sedges = [(f"d{a:03d}", f"d{b:03d}") for a, b in raw] + [("Über", "zz"), ("zz", "d001")]
+    parent = {x: x for x in snodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sedges:
+        parent[find(a)] = find(b)
+    comp_min: dict = {}
+    for x in snodes:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in snodes}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame([(x,) for x in snodes], "doc_id string"),
+            spark.createDataFrame(sedges, "doc_id_a string, doc_id_b string"),
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_null_edge_falls_back(spark):
+    """A NULL edge endpoint must not crash the driver shortcut — it falls
+    back to the distributed loop (which drops null-keyed join rows)."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
 def test_hash_split_deterministic_and_stable(spark, sf_dir):
     out1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus_hash_split(spark, sf_dir).collect()}
     out2 = {r["doc_id"]: (r["bucket"], r["split"]) for r in corpus_hash_split(spark, sf_dir).collect()}
