@@ -2793,12 +2793,26 @@ def q_part_pagerank(
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     nodes = bounded_cache(deg.select(F.col("src").alias("part"), "outdeg"))
     base = 15 * PAGERANK_SCALE // 100
+    # Join strategy, chosen deliberately (guide §3.1): the per-round
+    # inner join is |edges| x |rank| where rank has one row per NODE —
+    # orders of magnitude smaller than the edge set it joins.  The
+    # planner's size estimate for rank (derived through joins + aggs)
+    # overshoots the 10 MB auto-broadcast threshold, yielding a
+    # SortMergeJoin that re-shuffles and re-sorts the whole edge set by
+    # src EVERY round (measured sf0.1: 6 SMJs / 3 rounds in the plan).
+    # Broadcasting the rank side removes the per-round edge shuffle;
+    # gated on the node count so a graph too big to broadcast keeps the
+    # shuffle plan (node ids + two longs: 2M rows ~ 50 MB relation).
+    from ..util import memo_count
+
+    bcast = memo_count(nodes) <= 2_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
     rank = nodes.withColumn("pr", F.lit(PAGERANK_SCALE).cast("long"))
     for _ in range(iters):
         inc = (
             edges.join(
-                rank.select(
-                    F.col("part").alias("src"), "outdeg", "pr"
+                hint(
+                    rank.select(F.col("part").alias("src"), "outdeg", "pr")
                 ),
                 "src",
             )
@@ -2806,7 +2820,7 @@ def q_part_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        rank = nodes.join(inc, nodes.part == inc.dst, "left").select(
+        rank = nodes.join(hint(inc), nodes.part == inc.dst, "left").select(
             nodes.part,
             nodes.outdeg,
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
