@@ -211,14 +211,36 @@ def _srp_probed(emb: DataFrame, dim: int, n_planes: int, k: int) -> DataFrame:
 _MAX_RESIDUE_WORK = 1_000_000_000
 
 
+#: (canonical plan, files, mtimes) -> (ids, mat, norms).  The broadcast
+#: verify and the query-side kNN kernels re-collect the SAME quantized
+#: matrix for every shard round / reshard salt of one entry invocation
+#: (the candidate stream differs per round; the matrix never does) —
+#: measured 0.6 s per collect at sf0.1, x rounds x entries.  Keyed like
+#: memo_count: a deterministic plan over unchanged files reproduces the
+#: same matrix, derived/in-memory frames bypass.  Bounded small: each
+#: entry holds an O(corpus) matrix.
+_QUANTIZED_MEMO: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
 def _collect_quantized(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from ..util import _plan_count_key
+
+    key = _plan_count_key(emb)
+    if key is not None and key in _QUANTIZED_MEMO:
+        return _QUANTIZED_MEMO[key]
     pdf = emb.select("vec_id", quantize_expr().alias("q")).toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     if len(ids) == 0:  # np.stack rejects an empty sequence
         mat = np.empty((0, 1), dtype=np.int64)
-        return ids, mat, (mat * mat).sum(axis=1)
-    mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
-    return ids, mat, (mat * mat).sum(axis=1)
+        out = (ids, mat, (mat * mat).sum(axis=1))
+    else:
+        mat = np.stack(pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64)))
+        out = (ids, mat, (mat * mat).sum(axis=1))
+    if key is not None:
+        if len(_QUANTIZED_MEMO) >= 4:
+            _QUANTIZED_MEMO.pop(next(iter(_QUANTIZED_MEMO)))
+        _QUANTIZED_MEMO[key] = out
+    return out
 
 
 _SCORED_SCHEMA = T.StructType(
@@ -357,14 +379,25 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
 
     n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
+    # Per-candidate cost discipline (guide §1.2/§2.3): the self-dot is
+    # computed ONCE per vector before the bucket explode — the previous
+    # shape re-evaluated the interpreted higher-order dot_expr 4x per
+    # CANDIDATE row (two in the zero-norm filter, two in the cosine
+    # denominator).  Zero-norm rows (undefined cosine, excluded by the
+    # oracle's norm2 > 0 filter either way) drop BEFORE the join instead
+    # of after the dedup — same surviving pairs, fewer hashed/joined rows.
     def with_buckets(df: DataFrame, id_out: str) -> DataFrame:
         # spread before the UDF (the _srp_bucketed discipline): the
         # corpus side otherwise hashes on the scan's few partitions
-        q = df.repartition(n_shuffle).select(
-            F.col("vec_id").alias(id_out), quantize_expr().alias("q")
-        ).withColumn("buckets", buckets(F.col("q")))
+        q = (
+            df.repartition(n_shuffle)
+            .select(F.col("vec_id").alias(id_out), quantize_expr().alias("q"))
+            .withColumn("n2", dot_expr(F.col("q"), F.col("q")))
+            .filter(F.col("n2") > 0)
+            .withColumn("buckets", buckets(F.col("q")))
+        )
         return q.select(
-            id_out, "q", F.posexplode("buckets").alias("table_id", "bucket")
+            id_out, "q", "n2", F.posexplode("buckets").alias("table_id", "bucket")
         )
 
     def with_probed_buckets(df: DataFrame, id_out: str) -> DataFrame:
@@ -372,43 +405,42 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -
         # bucket + kp most-marginal flips per table
         fan = 1 + kp
         pb = probe_bucket_ids_udf(dim, n_planes, kp)
-        q = df.select(
-            F.col("vec_id").alias(id_out), quantize_expr().alias("q")
-        ).withColumn("pb", pb(F.col("q")))
+        q = (
+            df.select(F.col("vec_id").alias(id_out), quantize_expr().alias("q"))
+            .withColumn("n2", dot_expr(F.col("q"), F.col("q")))
+            .filter(F.col("n2") > 0)
+            .withColumn("pb", pb(F.col("q")))
+        )
         return q.select(
-            id_out, "q", F.posexplode("pb").alias("idx", "bucket")
+            id_out, "q", "n2", F.posexplode("pb").alias("idx", "bucket")
         ).select(
             id_out,
             "q",
+            "n2",
             F.expr(f"idx div {fan}").cast("int").alias("table_id"),
             "bucket",
         )
 
-    c = with_buckets(emb, "vec_id").withColumnRenamed("q", "cq")
+    c = with_buckets(emb, "vec_id").withColumnsRenamed({"q": "cq", "n2": "cn2"})
     qside = with_probed_buckets if kp else with_buckets
-    qb = qside(queries, "query_id").withColumnRenamed("q", "qq")
-    cand = (
-        c.join(F.broadcast(qb), ["table_id", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+    qb = qside(queries, "query_id").withColumnsRenamed({"q": "qq", "n2": "qn2"})
+    cand = c.join(F.broadcast(qb), ["table_id", "bucket"]).filter(
+        F.col("vec_id") != F.col("query_id")
     )
 
-    # exact cosine on the candidate set (same integer kernel as dedup)
+    # exact cosine on the candidate stream (same integer kernel as dedup;
+    # same operation order: int64 dot -> cast double -> sqrt product).
+    # Scoring BEFORE the per-pair dedup keeps the dedup exchange to three
+    # scalar columns instead of two dim-length arrays per row — cosine is
+    # a pure function of the pair, so whichever duplicate row survives
+    # carries the identical value.
     cos = dot_expr(F.col("qq"), F.col("cq")) / (
-        F.sqrt(dot_expr(F.col("qq"), F.col("qq")).cast("double"))
-        * F.sqrt(dot_expr(F.col("cq"), F.col("cq")).cast("double"))
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        # zero-norm vectors have undefined cosine — exclude them BEFORE
-        # the division (the oracle's norm2 > 0 filter), as query and as
-        # neighbor; filtering NaN after the fact both orders wrong under
-        # desc sort AND raises under ANSI division
-        cand.filter(
-            (dot_expr(F.col("qq"), F.col("qq")) > 0)
-            & (dot_expr(F.col("cq"), F.col("cq")) > 0)
-        )
-        .select("query_id", "vec_id", cos.alias("cosine"))
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "vec_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
@@ -1854,19 +1886,25 @@ def knn_recall_report(emb: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
     engine-portable."""
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     ann = ann_lsh_topk(emb, queries, dim, k=k).select("query_id", "neighbor_id")
-    q = queries.select(F.col("vec_id").alias("query_id"), quantize_expr().alias("qq"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), quantize_expr().alias("cq"))
+    # self-dots once per VECTOR, zero-norm rows dropped before the
+    # nested-loop join — the previous shape re-evaluated the interpreted
+    # dot_expr 4x per (query, corpus) ROW (see ann_lsh_topk)
+    q = (
+        queries.select(F.col("vec_id").alias("query_id"), quantize_expr().alias("qq"))
+        .withColumn("qn2", dot_expr(F.col("qq"), F.col("qq")))
+        .filter(F.col("qn2") > 0)
+    )
+    c = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), quantize_expr().alias("cq"))
+        .withColumn("cn2", dot_expr(F.col("cq"), F.col("cq")))
+        .filter(F.col("cn2") > 0)
+    )
     cos = dot_expr(F.col("qq"), F.col("cq")) / (
-        F.sqrt(dot_expr(F.col("qq"), F.col("qq")).cast("double"))
-        * F.sqrt(dot_expr(F.col("cq"), F.col("cq")).cast("double"))
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     exact = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .filter(
-            (dot_expr(F.col("qq"), F.col("qq")) > 0)
-            & (dot_expr(F.col("cq"), F.col("cq")) > 0)
-        )
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
