@@ -2927,9 +2927,17 @@ def semantic_pairs_sharded(
             n_shards, salt=salt
         )
 
+    # The SRP hash pass is salt-INDEPENDENT — only the shard fold over
+    # the computed bucket differs per reshard round — so the cached
+    # subtree deliberately excludes the fold: across the R rounds of
+    # ``semantic_pairs_resharded`` the Arrow hashing pass over the corpus
+    # runs once (CacheManager matches the identical pre-fold plan) and
+    # each round re-applies only the cheap md5 fold projection.
     if k == 0:
         capped = _cap_buckets(
-            _srp_bucketed(emb, dim, n_planes).withColumn("bucket", fold()),
+            bounded_cache(_srp_bucketed(emb, dim, n_planes)).withColumn(
+                "bucket", fold()
+            ),
             max_bucket,
         )
         a, b = capped.alias("a"), capped.alias("b")
@@ -2943,8 +2951,10 @@ def semantic_pairs_sharded(
             F.col("b.vec_id").alias("vec_id_b"),
         )
         return _verified_pairs_auto(raw, emb, threshold, n_corpus)
-    allb = bounded_cache(
-        _srp_probed(emb, dim, n_planes, k).withColumn("bucket", fold())
+    # cache pre-fold (see the k == 0 branch comment): one probed hash
+    # pass shared across reshard rounds, fold re-applied per round
+    allb = bounded_cache(_srp_probed(emb, dim, n_planes, k)).withColumn(
+        "bucket", fold()
     )
     home = allb.filter(F.col("slot") == 0).drop("slot")
     capped = _cap_buckets(home, max_bucket)
