@@ -22,6 +22,7 @@ import json
 import os
 import shutil
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -247,6 +248,16 @@ def test_atomic_refresh_no_partial_view(spark, tmp_path):
                 wh.write(
                     spark.range(n).selectExpr("id k"), "T", incremental=False
                 )
+            # mid-refresh reads may legitimately fail (their planned files
+            # were vacuumed by a later refresh) — liveness is only
+            # guaranteed once the table is quiescent, so give the reader
+            # a stable window to land at least one successful read before
+            # stopping it.  Without this the assertion races the scheduler
+            # (observed flake: back-to-back refreshes on a fast box leave
+            # no stable window and the reader starves).
+            deadline = time.time() + 120
+            while not observed and time.time() < deadline:
+                time.sleep(0.05)
         finally:
             stop.set()
             t.join()
