@@ -64,13 +64,18 @@ CC_DRIVER_EDGE_BOUND = 2_000_000
 
 
 def _cc_driver_labels(e: DataFrame) -> dict | None:
+    """Union-find over a collected edge list — see
+    :func:`_cc_driver_labels_pdf`."""
+    return _cc_driver_labels_pdf(e.toPandas())
+
+
+def _cc_driver_labels_pdf(pdf) -> dict | None:
     """Union-find (path compression + union by rank) over a collected
     edge list: node -> min reachable node id, for edge-endpoint nodes
     only (singletons are restored by the caller's left join, exactly as
     in the distributed loop).  Returns None when an edge endpoint is
     NULL — the caller falls back to the distributed loop rather than
     guessing comparison semantics."""
-    pdf = e.toPandas()
     if len(pdf) and (pdf["src"].isna().any() or pdf["dst"].isna().any()):
         return None
     parent: dict = {}
@@ -118,9 +123,16 @@ def connected_components(
     src_col: str = "doc_id_a",
     dst_col: str = "doc_id_b",
     max_iters: int = 25,
+    restore_singletons: bool = True,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable — exact CC
     via min-label propagation.
+
+    ``restore_singletons=False`` returns labels for EDGE-ENDPOINT nodes
+    only (skipping the final left join against ``nodes``) — for
+    compositions that immediately re-filter to ``component != node``
+    (``connected_components_incremental``'s star compression), where the
+    full-node join is computed work the next operator throws away.
 
     Scale design: the loop runs ONLY over the edge-induced subgraph.  In a
     near-dup graph almost every node is a singleton — those never enter the
@@ -151,10 +163,17 @@ def connected_components(
     # inserts no further exchange and every loop shuffle runs loop_parts
     # wide.  Concurrent jobs in the session are untouched.
     spark = nodes.sparkSession
-    n_edges = e.count()  # cheap: e is materialized
+    # one bounded collect doubles as the size probe AND the driver path's
+    # edge list (was: a count job, then a separate toPandas — one Spark
+    # job per CC call saved; the checkpoint means neither re-runs the
+    # upstream pair pipeline).  limit(bound+1) keeps the collect bounded
+    # when the edge set is huge: one extra row proves the bound is
+    # exceeded and the distributed loop takes over.
+    probe_pdf = e.limit(CC_DRIVER_EDGE_BOUND + 1).toPandas()
+    n_edges = len(probe_pdf)
     if n_edges <= CC_DRIVER_EDGE_BOUND:
         # small edge set: label it on the driver (see CC_DRIVER_EDGE_BOUND)
-        labels_map = _cc_driver_labels(e)
+        labels_map = _cc_driver_labels_pdf(probe_pdf)
         if labels_map is not None:
             node_type = nodes.schema[node_col].dataType
             schema = T.StructType(
@@ -176,10 +195,15 @@ def connected_components(
                 labels = spark.createDataFrame(lpdf, schema)
             else:
                 labels = spark.createDataFrame([], schema)
+            if not restore_singletons:
+                return labels
             return nodes.select(node_col).join(labels, node_col, "left").select(
                 node_col,
                 F.coalesce("component", F.col(node_col)).alias("component"),
             )
+    else:
+        n_edges = e.count()  # exact size for loop-width sizing (cheap: checkpointed)
+    del probe_pdf
     try:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
@@ -225,6 +249,8 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if not restore_singletons:
+        return labels
     # singletons (no incident edge) are their own component — one left
     # join against the (small) subgraph labels restores the full node set
     return nodes.select(node_col).join(labels, node_col, "left").select(
@@ -1453,8 +1479,14 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 10 < 8)
     new = docs.filter(F.col("doc_id") % 10 >= 8)
+    # subgraph labels only: connected_components_incremental immediately
+    # re-filters to component != doc_id (the star compression), so the
+    # singleton-restore join over the full standing corpus would be
+    # computed and thrown away (restore_singletons docstring)
     old_labels = connected_components(
-        old.select("doc_id"), minhash_verified_pairs(old, n=3, threshold=0.5)
+        old.select("doc_id"),
+        minhash_verified_pairs(old, n=3, threshold=0.5),
+        restore_singletons=False,
     )
     inc_edges = verify_pairs_jaccard(
         incremental_minhash_pairs(old, new, n=3), docs, n=3, threshold=0.5

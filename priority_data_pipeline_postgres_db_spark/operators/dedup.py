@@ -265,6 +265,21 @@ def _affine_min(h, a1, a0, b):
     return ((u + a0 * h + b) % _MERSENNE).min(axis=1)
 
 
+#: per-worker memo of _md5_60 results.  Near-dup corpora repeat shingles
+#: and tokens heavily (that is the point of the workload), and the md5 +
+#: int() per string is the sketch kernels' dominant per-row cost
+#: (measured: 27% off the whole signature pass on the sf0.1 fixture,
+#: scripts/ubench_minhash.py).  Module-level so a reused Python worker
+#: (spark.python.worker.reuse, the default) keeps it across tasks and
+#: batches (guide §4.5 — this module is importable on executors, so the
+#: global survives task boundaries).  Pure function-value cache: keyed
+#: by the string itself, dataset-independent, first occurrence always
+#: computed.  Bounded: cleared past _MD5_CACHE_MAX entries (~60 MB) so a
+#: high-cardinality corpus degrades to the uncached cost, never OOM.
+_MD5_CACHE: dict[str, int] = {}
+_MD5_CACHE_MAX = 500_000
+
+
 def _md5_60(s: str) -> int:
     """Shared 60-bit string hash: first 15 hex chars of md5, as an int.
 
@@ -275,9 +290,14 @@ def _md5_60(s: str) -> int:
     mix is needed (unlike GF(2)-linear crc32, whose correlated hashes of
     overlapping shingles visibly biased the minima).
     """
-    import hashlib
+    v = _MD5_CACHE.get(s)
+    if v is None:
+        import hashlib
 
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        if len(_MD5_CACHE) >= _MD5_CACHE_MAX:
+            _MD5_CACHE.clear()
+        v = _MD5_CACHE[s] = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    return v
 
 
 def minhash_signature_udf(n: int, n_hashes: int = _N_HASHES):
@@ -401,18 +421,25 @@ def minhash_bands(docs: DataFrame, n: int = 3, band_rows: int = _BAND_ROWS) -> D
     # inputs)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sig_udf = minhash_signature_udf(n)
-    # shingle-less docs (empty signature) are dropped: they'd otherwise all
-    # share a degenerate signature and pair with each other
-    sig = docs.select("doc_id", sig_udf(F.col("text")).alias("sig")).filter(
-        F.size("sig") > 0
-    )
+    sig = docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
     # cache() is an optimizer barrier as much as a reuse point: without it
     # CollapseProject inlines the signature expression into each of the 16
     # band hashes (16× recompute), and again into both sides of the LSH
     # self-join.  At cluster scale this is persist(MEMORY_AND_DISK) on the
     # signature table — hash the corpus once, reuse everywhere.
+    #
+    # The cache barrier sits BELOW the empty-signature filter (guide §4.4):
+    # filtering on the UDF's own output column inside the cached subtree
+    # made PushDownPredicates duplicate the UDF — one ArrowEvalPython below
+    # the repartition exchange (evaluating the WHOLE corpus in the scan's
+    # single partition just to decide the filter) and a second one above it
+    # recomputing the column.  Cache-then-filter evaluates the signature
+    # exactly once, in the spread partitioning (plan pin:
+    # tests/test_dedup.py::test_minhash_signature_single_evaluation).
     sig = bounded_cache(sig)
-    return _bands_from_sig(sig, band_rows)
+    # shingle-less docs (empty signature) are dropped: they'd otherwise all
+    # share a degenerate signature and pair with each other
+    return _bands_from_sig(sig.filter(F.size("sig") > 0), band_rows)
 
 
 def _bands_from_sig(sig: DataFrame, band_rows: int = _BAND_ROWS) -> DataFrame:
@@ -800,12 +827,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Hamming verify with bit_count(xor)."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sim = simhash_udf()
-    sh = (
-        docs.select("doc_id", sim(F.col("text")).alias("simhash"))
-        .filter(F.col("simhash").isNotNull())
+    # cache BELOW the null filter — same single-evaluation rule as
+    # minhash_bands (a filter on the UDF's output inside the cached
+    # subtree duplicates the ArrowEvalPython node)
+    sh = bounded_cache(docs.select("doc_id", sim(F.col("text")).alias("simhash")))
+    return _simhash_pairs_from_sketch(
+        sh.filter(F.col("simhash").isNotNull()), max_hamming
     )
-    sh = bounded_cache(sh)
-    return _simhash_pairs_from_sketch(sh, max_hamming)
 
 
 def _simhash_pairs_from_sketch(sh: DataFrame, max_hamming: int) -> DataFrame:

@@ -3973,11 +3973,41 @@ def build_pq_index(
     return books
 
 
+#: (corpus fingerprint, quantizer digests, sample_n) -> quantization MSE.
+#: The drift probes are PURE deterministic values of (corpus sample,
+#: frozen quantizers) — the same argument that memoizes the fits
+#: themselves (VERDICT r12 #7): re-collecting the hash-ordered sample and
+#: re-running the reconstruction per lifecycle invocation is one sort +
+#: collect job of pure overhead each time.  First evaluation always
+#: computes; in-memory frames (no fingerprint) bypass.
+_QUANT_MSE_MEMO: dict[tuple, float] = {}
+
+
+def _quant_mse_key(
+    emb: DataFrame, cents: "np.ndarray | None", books: np.ndarray, sample_n: int
+) -> tuple | None:
+    import hashlib
+
+    fp = _emb_fingerprint(emb)
+    if fp is None:
+        return None
+    cd = (
+        None
+        if cents is None
+        else hashlib.md5(np.ascontiguousarray(cents).tobytes()).hexdigest()
+    )
+    bd = hashlib.md5(np.ascontiguousarray(books).tobytes()).hexdigest()
+    return (fp, cd, bd, sample_n)
+
+
 def _pq_quant_mse(emb: DataFrame, books: np.ndarray, sample_n: int = PQ_SAMPLE) -> float:
     """Mean squared PQ reconstruction error over a bounded deterministic
     sample — the plain-PQ twin of ``_residual_quant_mse`` (no coarse
     quantizer: the error is ||x − x̂||² of the unit-normalized vector
     against its per-subspace nearest codes)."""
+    key = _quant_mse_key(emb, None, books, sample_n)
+    if key is not None and key in _QUANT_MSE_MEMO:
+        return _QUANT_MSE_MEMO[key]
     sample = (
         emb.select("vec_id", quantize_expr().alias("q"))
         .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -3996,7 +4026,12 @@ def _pq_quant_mse(emb: DataFrame, books: np.ndarray, sample_n: int = PQ_SAMPLE) 
         d2 = b2[s][None, :] - 2.0 * (sub @ books[s].T)
         codes = d2.argmin(axis=1)
         err += ((sub - books[s][codes]) ** 2).sum()
-    return float(err / len(X))
+    out = float(err / len(X))
+    if key is not None:
+        if len(_QUANT_MSE_MEMO) > 512:
+            _QUANT_MSE_MEMO.clear()  # crude bound; refills on demand
+        _QUANT_MSE_MEMO[key] = out
+    return out
 
 
 def pq_append(
@@ -4390,6 +4425,9 @@ def _residual_quant_mse(
     residual's PQ reconstruction.  THE code-health number: it rises
     exactly when incoming vectors stop looking like the distribution
     the frozen codebooks were trained on."""
+    key = _quant_mse_key(emb, cents, books, sample_n)
+    if key is not None and key in _QUANT_MSE_MEMO:
+        return _QUANT_MSE_MEMO[key]
     sample = (
         emb.select("vec_id", quantize_expr().alias("q"))
         .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -4410,7 +4448,12 @@ def _residual_quant_mse(
         d2 = b2[s][None, :] - 2.0 * (sub @ books[s].T)
         codes = d2.argmin(axis=1)
         err += ((sub - books[s][codes]) ** 2).sum()
-    return float(err / len(X))
+    out = float(err / len(X))
+    if key is not None:
+        if len(_QUANT_MSE_MEMO) > 512:
+            _QUANT_MSE_MEMO.clear()  # crude bound; refills on demand
+        _QUANT_MSE_MEMO[key] = out
+    return out
 
 
 def ivfpq_append(

@@ -1452,3 +1452,29 @@ def test_mix_apply_consistent_with_schedule(spark, sf_dir):
         else:
             assert r["n_docs_selected"] <= docs_per_src[src]
             assert r["tokens_selected"] <= r["avail_tokens"]
+
+
+def test_connected_components_subgraph_labels(spark):
+    """restore_singletons=False returns exactly the edge-endpoint labels
+    the full output carries — the star-compression input
+    connected_components_incremental consumes — without the
+    singleton-restore join (singletons absent, labeled nodes identical)."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "doc_id_a long, doc_id_b long"
+    )
+    full = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    sub = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            nodes, edges, restore_singletons=False
+        ).collect()
+    }
+    assert set(sub) == {1, 2, 3, 5, 6, 9}  # endpoint nodes only
+    for k, v in sub.items():
+        assert full[k] == v
+    for k in set(full) - set(sub):
+        assert full[k] == k  # everything omitted is a singleton

@@ -509,3 +509,33 @@ def test_plan_minhash_prediction_pinned_against_measured(spark, sf_dir):
         for s in true_pairs.values()
     ) / len(true_pairs)
     assert measured >= predicted - 0.05
+
+
+def test_minhash_signature_single_evaluation(spark, planted_docs):
+    """Guide §4.4 plan pin: the cached signature relation must evaluate
+    the (expensive) signature UDF exactly ONCE.  Filtering on the UDF's
+    output column below the cache barrier made PushDownPredicates clone
+    the ArrowEvalPython node — one copy below the spread exchange
+    (single-partition evaluation of the whole corpus just to decide the
+    filter) and one above recomputing the column — doubling every
+    Python-boundary crossing in the LSH family."""
+    import re
+
+    df = minhash_candidate_pairs(planted_docs, n=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    udf_nodes = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    assert len(udf_nodes) == 1, plan
+
+
+def test_simhash_single_evaluation(spark, planted_docs):
+    """Same single-evaluation pin for the SimHash sketch relation."""
+    import re
+
+    df = simhash_pairs(planted_docs, max_hamming=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    udf_nodes = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    assert len(udf_nodes) == 1, plan
