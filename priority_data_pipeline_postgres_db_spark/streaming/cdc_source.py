@@ -169,10 +169,18 @@ class StagingChangesStreamReader(SimpleDataSourceStreamReader):
                         ]
                     )
                 )
-            for rec in tbl.to_pylist():
-                out.append(
-                    tuple(rec.get(c) for c in self._fields) + ("insert",)
-                )
+            # columnar extraction + zip: identical tuples to the previous
+            # per-row ``to_pylist()``/dict path, without materializing a
+            # dict per row — the driver-side prefetch is the Simple
+            # reader's whole cost, and row-dict churn dominated it
+            # (guide §4.2: hand whole batches to vectorized paths)
+            n = tbl.num_rows
+            names = set(tbl.column_names)
+            cols = [
+                tbl.column(c).to_pylist() if c in names else [None] * n
+                for c in self._fields
+            ]
+            out.extend(zip(*cols, ("insert",) * n, strict=True))
         # a LIST iterator, not a generator (the Simple wrapper next()s and
         # copy.copy()s it — same constraint as the OData stream reader)
         return iter(out)
