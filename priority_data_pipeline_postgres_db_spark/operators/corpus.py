@@ -1472,7 +1472,7 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import (
         incremental_minhash_pairs,
-        minhash_candidate_pairs,
+        minhash_verified_pairs,
         verify_pairs_jaccard,
     )
 
@@ -1482,18 +1482,10 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subgraph labels only: connected_components_incremental immediately
     # re-filters to component != doc_id (the star compression), so the
     # singleton-restore join over the full standing corpus would be
-    # computed and thrown away (restore_singletons docstring).
-    # Candidates still come from the OLD corpus' own band join (same
-    # caps); the verify runs against the FULL corpus' cached gram
-    # relation — old-candidate pairs only join old doc ids, so the
-    # jaccard values are identical, and both this verify and the
-    # incremental one below share ONE tokenize+shingle pass
-    # (verify_pairs_jaccard docstring).
+    # computed and thrown away (restore_singletons docstring)
     old_labels = connected_components(
         old.select("doc_id"),
-        verify_pairs_jaccard(
-            minhash_candidate_pairs(old, n=3), docs, n=3, threshold=0.5
-        ),
+        minhash_verified_pairs(old, n=3, threshold=0.5),
         restore_singletons=False,
     )
     inc_edges = verify_pairs_jaccard(

@@ -550,16 +550,8 @@ def verify_pairs_jaccard(
     (full-corpus LSH, ``incremental_minhash_pairs``, a persisted band
     store) feeds the same bit-exact kernel.  Two joins hang the gram
     sets onto the candidate edges; integer set sizes keep the jaccard
-    bit-identical to the oracle.
-
-    The gram relation is cached: within one composed entry the SAME
-    ``docs`` frame is often verified against twice (e.g. the standing
-    corpus' own edges and the incremental batch's edges in
-    ``dedup_cc_incremental``) — CacheManager matches the identical
-    subtree across calls, so the tokenize+shingle pass over the corpus
-    runs once per entry instead of once per verify (guide §2.4); a
-    single-verify caller just fills the cache during its one pass."""
-    g = bounded_cache(
+    bit-identical to the oracle."""
+    g = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", ngrams_expr(tokens_expr(), n).alias("grams"))
         .filter(F.size("grams") > 0)
