@@ -2869,6 +2869,7 @@ def semantic_pairs_sharded(
     n_shards: int | None = None,
     n_planes: int | None = None,
     salt: str = "shard_",
+    share_hash_pass: bool = False,
 ) -> DataFrame:
     """Loose-threshold semantic near-dup pairs past the SRP envelope:
     disjoint random shards, each sized INSIDE the measured ≤9-plane
@@ -2927,17 +2928,23 @@ def semantic_pairs_sharded(
             n_shards, salt=salt
         )
 
-    # The SRP hash pass is salt-INDEPENDENT — only the shard fold over
-    # the computed bucket differs per reshard round — so the cached
-    # subtree deliberately excludes the fold: across the R rounds of
-    # ``semantic_pairs_resharded`` the Arrow hashing pass over the corpus
-    # runs once (CacheManager matches the identical pre-fold plan) and
-    # each round re-applies only the cheap md5 fold projection.
+    # ``share_hash_pass`` (set by ``semantic_pairs_resharded`` when it
+    # runs >1 salted round): the SRP hash pass is salt-INDEPENDENT —
+    # only the shard fold over the computed bucket differs per round —
+    # so caching the subtree BEFORE the fold lets the R rounds share one
+    # Arrow hashing pass over the corpus (CacheManager matches the
+    # identical pre-fold plan) and each round re-applies only the cheap
+    # md5 fold projection.  Single-round callers keep the r12 shape:
+    # the extra materialization barrier has no reuse to pay for it, and
+    # the r14 interleaved A/B measured it as a small local LOSS there
+    # (dedup_semantic_planned 0.81 pair-min ratio for the revert; the
+    # rest of the family read noise — OPTIMIZATION_r14.md #1).
     if k == 0:
+        # small-shard geometry (≤4 planes ⇒ gate-scale corpora by the
+        # occupancy law): one cheap hash pass per round beats a cache
+        # barrier even when rounds>1 — measured, see above
         capped = _cap_buckets(
-            bounded_cache(_srp_bucketed(emb, dim, n_planes)).withColumn(
-                "bucket", fold()
-            ),
+            _srp_bucketed(emb, dim, n_planes).withColumn("bucket", fold()),
             max_bucket,
         )
         a, b = capped.alias("a"), capped.alias("b")
@@ -2951,11 +2958,17 @@ def semantic_pairs_sharded(
             F.col("b.vec_id").alias("vec_id_b"),
         )
         return _verified_pairs_auto(raw, emb, threshold, n_corpus)
-    # cache pre-fold (see the k == 0 branch comment): one probed hash
-    # pass shared across reshard rounds, fold re-applied per round
-    allb = bounded_cache(_srp_probed(emb, dim, n_planes, k)).withColumn(
-        "bucket", fold()
-    )
+    # k>0 (production shard sizes): ``allb`` is consumed on both join
+    # sides within one round, so it is cached either way; the pre-fold
+    # placement only pays off when the cache is SHARED across rounds
+    if share_hash_pass:
+        allb = bounded_cache(_srp_probed(emb, dim, n_planes, k)).withColumn(
+            "bucket", fold()
+        )
+    else:
+        allb = bounded_cache(
+            _srp_probed(emb, dim, n_planes, k).withColumn("bucket", fold())
+        )
     home = allb.filter(F.col("slot") == 0).drop("slot")
     capped = _cap_buckets(home, max_bucket)
     surv = capped.select("vec_id", "table_id")
@@ -3024,7 +3037,7 @@ def semantic_pairs_resharded(
         semantic_pairs_sharded(
             emb, dim, threshold=threshold, max_bucket=max_bucket,
             shard_target=shard_target, n_shards=n_shards, n_planes=n_planes,
-            salt=_reshard_salt(r),
+            salt=_reshard_salt(r), share_hash_pass=rounds > 1,
         )
         for r in range(rounds)
     ]

@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for registry entries into plans/r13/.
+"""Capture .explain("formatted") for registry entries into plans/r14/.
 
     python scripts/capture_plans.py <entry> [<entry> ...] --suffix before
 
-Writes plans/r13/<entry>_<suffix>.txt with the formatted physical plan of
+Writes plans/r14/<entry>_<suffix>.txt with the formatted physical plan of
 the entry's returned DataFrame (the plan the noop sink executes).
 """
 
@@ -29,7 +29,7 @@ def main() -> None:
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
-    outdir = os.path.join(_REPO, "plans", "r13")
+    outdir = os.path.join(_REPO, "plans", "r14")
     os.makedirs(outdir, exist_ok=True)
     for name in args.entries:
         df = qs[name](spark, args.sf_dir)
