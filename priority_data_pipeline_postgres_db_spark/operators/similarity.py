@@ -2692,9 +2692,18 @@ def _semantic_pairs_cells_with(
     """Cell-pair pipeline against ALREADY-FIT centroids — split out so
     the recall instrument can run the production (full-corpus) centroid
     config over a sample (the ``srp_recall_report`` discipline)."""
+    from ..util import bounded_cache
+
     assign = assign_clusters_udf(cents)
     n_shuffle = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cells = (
+    # cache the assigned cells: the self-join consumes the relation on
+    # BOTH sides (the broadcast build included), and without the barrier
+    # each side re-runs the quantize+assign Arrow pass over the whole
+    # corpus — at scale that is 2× the dominant per-vector matmul against
+    # n/512 centroids for a relation of two tiny (vec_id, cell) rows per
+    # vector (plan evidence: plans/r14/dedup_semantic_cells_before.txt
+    # carries two identical ArrowEvalPython subtrees, after.txt one)
+    cells = bounded_cache(
         emb.repartition(n_shuffle)
         .select("vec_id", quantize_expr().alias("q"))
         .withColumn("labels", assign(F.col("q")))
