@@ -5,11 +5,12 @@ The polling CDC consumer (``k1_cdc_poll_cycle``: read
 ``table_changes(last_seen, newest)``, apply, advance the watermark)
 re-expressed as a source Structured Streaming MANAGES: the consumer
 offset is a batch id living in the checkpoint instead of the control
-store, retried micro-batches replay EXACTLY (``readBetweenOffsets`` over
-immutable committed batches), and downstream gets foreachBatch sinks /
-watermarks / AvailableNow for free — the Structured Streaming twin of
-the reference's refresh-every-N-minutes loop (priorityDataSource.py
-lastRun), pointed at a warehouse table instead of an OData entity.
+store, retried micro-batches replay EXACTLY (``partitions(start, end)``
+is a pure function of the offsets over immutable committed batches), and
+downstream gets foreachBatch sinks / watermarks / AvailableNow for free —
+the Structured Streaming twin of the reference's refresh-every-N-minutes
+loop (priorityDataSource.py lastRun), pointed at a warehouse table
+instead of an OData entity.
 
 Semantics = the append-only change feed (``_table_changes_append``):
 every committed batch is immutable, so the rows between two offsets are
@@ -22,20 +23,29 @@ Options: ``root`` (warehouse root), ``table``, ``account`` (default
 ``local``), ``startafter`` (initial offset batch id — default '' =
 everything ever committed).
 
-Scale note, same as the OData stream reader: the Simple stream-reader
-API prefetches each batch on the driver by design — right for the poll
-tail (per-interval deltas read directly from the batch dirs via Arrow,
-no Spark job).  Backfills should read the table through the warehouse's
-batch path instead.
+Execution shape (r14, guide §4/§5 — the driver does no data work): this
+is a PARTITION-BASED ``DataSourceStreamReader``, not the Simple wrapper.
+The driver only lists committed batch ids (offset planning — tiny,
+O(batches) directory entries); each committed batch dir becomes one
+input partition whose rows are read EXECUTOR-SIDE via Arrow and handed
+to Spark as RecordBatches.  The previous Simple reader prefetched every
+row on the driver as Python tuples and shipped them through pickle —
+at 100 TB a day's worth of change batches through one driver process;
+now the heavy bytes never touch it.  (The OData stream reader stays
+Simple: its input IS per-row JSON from a paged HTTP driver loop.)
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..operators.staging import (
     BASE_SUFFIX,
@@ -110,14 +120,24 @@ class StagingChangesDataSource(DataSource):
         cols = [f"{f.name} {_arrow_ddl(f)}" for f in sch]
         return ", ".join(cols + [f"{CHANGE_COL} string"])
 
-    def simpleStreamReader(self, schema: T.StructType):
+    def streamReader(self, schema: T.StructType):
         return StagingChangesStreamReader(schema, dict(self.options))
 
 
-class StagingChangesStreamReader(SimpleDataSourceStreamReader):
-    """Batch-id offsets over the append-only feed.  ``read`` advances to
-    the newest committed id; ``readBetweenOffsets`` replays ``(start,
-    end]`` bit-exactly from the immutable batch dirs."""
+@dataclass
+class ChangeBatchPartition(InputPartition):
+    """One committed batch dir = one input partition (immutable once
+    committed, so a retried task re-reads identical bytes)."""
+
+    batch_dir: str
+
+
+class StagingChangesStreamReader(DataSourceStreamReader):
+    """Batch-id offsets over the append-only feed.  ``latestOffset``
+    advances to the newest committed id; ``partitions(start, end)`` maps
+    the ids in ``(start, end]`` to one partition per immutable batch dir
+    (bit-exact replay for retried micro-batches); ``read`` runs on the
+    EXECUTORS via Arrow."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
@@ -127,6 +147,12 @@ class StagingChangesStreamReader(SimpleDataSourceStreamReader):
             None, options["root"], options.get("account", "local")
         )
         self._fields = [f.name for f in schema.fields if f.name != CHANGE_COL]
+        # the exact arrow schema the executor-side read must emit
+        # (computed once driver-side; the reader is pickled to the
+        # executors with it)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._pa_schema = to_arrow_schema(schema)
 
     def initialOffset(self) -> dict:
         return {"last": self.options.get("startafter", "")}
@@ -145,53 +171,53 @@ class StagingChangesStreamReader(SimpleDataSourceStreamReader):
             if not b.endswith(BASE_SUFFIX) and b > last
         ]
 
-    def _rows(self, ids: list[str]) -> Iterator[tuple]:
+    def latestOffset(self) -> dict:
+        live = [
+            b
+            for b in self.wh._live_ids(self.table)
+            if not b.endswith(BASE_SUFFIX)
+        ]
+        if not live:
+            return self.initialOffset()
+        return {"last": max(live)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        hi = end.get("last", "")
+        ids = [b for b in self._ids_after(start.get("last", "")) if b <= hi]
+        root = self.wh._path(self.table)
+        return [
+            ChangeBatchPartition(os.path.join(root, f"{BATCH_COL}={bid}"))
+            for bid in ids
+        ]
+
+    def read(self, partition: ChangeBatchPartition):
         import pyarrow as pa
         import pyarrow.dataset as ds
 
-        out: list[tuple] = []
-        root = self.wh._path(self.table)
-        for bid in ids:
-            tbl = ds.dataset(
-                os.path.join(root, f"{BATCH_COL}={bid}"), format="parquet"
-            ).to_table()
-            # Spark's INT96 parquet timestamps read back as ns precision,
-            # whose to_pylist() values (pandas Timestamps) the Python
-            # source runner cannot convert — cast to Spark's native µs
-            if any(pa.types.is_timestamp(f.type) for f in tbl.schema):
-                tbl = tbl.cast(
-                    pa.schema(
-                        [
-                            pa.field(f.name, pa.timestamp("us", f.type.tz))
-                            if pa.types.is_timestamp(f.type)
-                            else f
-                            for f in tbl.schema
-                        ]
-                    )
-                )
-            # columnar extraction + zip: identical tuples to the previous
-            # per-row ``to_pylist()``/dict path, without materializing a
-            # dict per row — the driver-side prefetch is the Simple
-            # reader's whole cost, and row-dict churn dominated it
-            # (guide §4.2: hand whole batches to vectorized paths)
-            n = tbl.num_rows
-            names = set(tbl.column_names)
-            cols = [
-                tbl.column(c).to_pylist() if c in names else [None] * n
-                for c in self._fields
-            ]
-            out.extend(zip(*cols, ("insert",) * n, strict=True))
-        # a LIST iterator, not a generator (the Simple wrapper next()s and
-        # copy.copy()s it — same constraint as the OData stream reader)
-        return iter(out)
+        pa_schema = self._pa_schema
+        for rb in ds.dataset(
+            partition.batch_dir, format="parquet"
+        ).to_batches():
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = set(rb.schema.names)
+            arrays = []
+            for f in pa_schema:
+                if f.name == CHANGE_COL:
+                    arrays.append(pa.array(["insert"] * n, type=f.type))
+                elif f.name in names:
+                    # cast lands every physical reading (INT96-ns
+                    # timestamps, int32 vs int64 parquet encodings,
+                    # tz-naive wall times under the UTC-pinned session)
+                    # on the schema's exact arrow type
+                    arrays.append(rb.column(f.name).cast(f.type))
+                else:
+                    # schema-evolution None-fill, same contract as the
+                    # warehouse's mergeSchema read
+                    arrays.append(pa.nulls(n, type=f.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        ids = self._ids_after(start.get("last", ""))
-        if not ids:
-            return iter([]), dict(start)
-        return self._rows(ids), {"last": ids[-1]}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        hi = end.get("last", "")
-        ids = [b for b in self._ids_after(start.get("last", "")) if b <= hi]
-        return self._rows(ids)
+    def commit(self, end: dict) -> None:
+        # offsets address immutable committed batches; nothing to clean
+        return

@@ -87,21 +87,35 @@ def test_chopped_drains_equal_batch_read(spark, tmp_path):
     assert got1 | new == full
 
 
-def test_read_between_offsets_replays_exactly(spark, tmp_path):
+def _rows(reader, start, end):
+    """Drain every partition of (start, end] through the executor-side
+    read path and return plain tuples (the arrow RecordBatches the
+    executors would hand Spark, flattened)."""
+    out = []
+    for part in reader.partitions(start, end):
+        for rb in reader.read(part):
+            cols = [rb.column(i).to_pylist() for i in range(rb.num_columns)]
+            out.extend(zip(*cols, strict=True))
+    return out
+
+
+def test_partition_replay_is_exact(spark, tmp_path):
     _src(spark, tmp_path, n_batches=3)
     reader = StagingChangesStreamReader(
         spark.createDataFrame([], DDL).schema,
         {"root": str(tmp_path), "account": "cdc", "table": "feed"},
     )
     assert reader.initialOffset() == {"last": ""}
-    rows, end = reader.read({"last": ""})
-    assert end == {"last": "b2"} and len(list(rows)) == 30
-    # empty tail: offset unchanged
-    rows2, end2 = reader.read(end)
-    assert list(rows2) == [] and end2 == end
-    # exact replay of the middle slice, twice
-    mid = sorted(reader.readBetweenOffsets({"last": "b0"}, {"last": "b1"}))
-    assert mid == sorted(reader.readBetweenOffsets({"last": "b0"}, {"last": "b1"}))
+    end = reader.latestOffset()
+    assert end == {"last": "b2"}
+    rows = _rows(reader, {"last": ""}, end)
+    assert len(rows) == 30
+    # empty range: no partitions planned (start == end)
+    assert reader.partitions(end, end) == []
+    # exact replay of the middle slice, twice — partitions(start, end)
+    # is a pure function of the offsets over immutable batch dirs
+    mid = sorted(_rows(reader, {"last": "b0"}, {"last": "b1"}))
+    assert mid == sorted(_rows(reader, {"last": "b0"}, {"last": "b1"}))
     assert [r[0] for r in mid] == list(range(10, 20))
     assert {r[2] for r in mid} == {"insert"}
 
@@ -114,10 +128,11 @@ def test_offset_below_retention_horizon_raises(spark, tmp_path):
         {"root": str(tmp_path), "account": "cdc", "table": "feed"},
     )
     with pytest.raises(SnapshotExpiredError):
-        reader.read({"last": ""})
+        reader.partitions({"last": ""}, reader.latestOffset())
     # offsets at/above the horizon still stream, and the folded base
     # never re-delivers as a change
-    rows, end = reader.read({"last": "b1"})
+    end = reader.latestOffset()
+    rows = _rows(reader, {"last": "b1"}, end)
     assert end == {"last": "b3"} and [r[0] for r in sorted(rows)] == list(
         range(20, 40)
     )
